@@ -1,0 +1,1 @@
+from . import fbank  # noqa: F401
