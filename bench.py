@@ -1,0 +1,96 @@
+"""End-to-end benchmark: 1-s windows/sec/chip through the full two-stage
+cascade (fbank + Stage-1 AST + Stage-2 AST), per BASELINE.md.
+
+The reference publishes no throughput numbers (SURVEY §6), so the baseline
+denominator is measured here: the reference's own serving math — HF
+ASTFeatureExtractor (numpy kaldi fbank) + torch ASTForAudioClassification
+on CPU — timed on a window sample and extrapolated. vs_baseline is
+ours / reference on identical work (both stages on every window).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_engine():
+    import jax
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.infer import cascade as C
+    from zenker_audio_detection_tpu.models import ast as ast_mod
+
+    cfg = ast_mod.ASTConfig()
+    params1 = ast_mod.init_params(jax.random.PRNGKey(0), cfg)
+    params2 = ast_mod.init_params(jax.random.PRNGKey(1), cfg)
+    s1 = C.StageSpec(params1, cfg, -1.1509622, 3.5340312, ("Idle", "Swallow"))
+    s2 = C.StageSpec(params2, cfg, -1.1509622, 3.5340312, ("Healthy", "Zenker"))
+    return C.TwoStageEngine(s1, s2, C.CascadeConfig(dtype=jnp.bfloat16))
+
+
+def bench_tpu(engine, seconds_of_audio=120.0, repeats=3):
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(int(16000 * seconds_of_audio)) * 0.1
+             ).astype(np.float32)
+    # warmup / compile
+    p1, _ = engine.window_probs(audio)
+    n_windows = len(p1)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        engine.window_probs(audio)
+    dt = (time.perf_counter() - t0) / repeats
+    return n_windows / dt, n_windows
+
+
+def bench_cpu_reference(n_windows_sample=8):
+    """Reference pipeline cost per window: fbank (HF numpy kaldi path) +
+    both torch AST forwards, CPU."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    model1 = transformers.ASTForAudioClassification(
+        transformers.ASTConfig(num_labels=2)).eval()
+    model2 = transformers.ASTForAudioClassification(
+        transformers.ASTConfig(num_labels=2)).eval()
+    fx = transformers.ASTFeatureExtractor()
+    rng = np.random.default_rng(0)
+    windows = [
+        (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        for _ in range(n_windows_sample)
+    ]
+    # warmup
+    with torch.inference_mode():
+        feats = fx(windows[:2], sampling_rate=16000,
+                   return_tensors="pt")["input_values"]
+        model1(feats)
+    t0 = time.perf_counter()
+    with torch.inference_mode():
+        feats = fx(windows, sampling_rate=16000,
+                   return_tensors="pt")["input_values"]
+        torch.softmax(model1(feats).logits, -1)
+        torch.softmax(model2(feats).logits, -1)
+    dt = time.perf_counter() - t0
+    return n_windows_sample / dt
+
+
+def main():
+    engine = build_engine()
+    tpu_wps, n_windows = bench_tpu(engine)
+    cpu_wps = bench_cpu_reference()
+    print(json.dumps({
+        "metric": "e2e_2stage_windows_per_sec_per_chip",
+        "value": round(tpu_wps, 2),
+        "unit": "windows/s",
+        "vs_baseline": round(tpu_wps / cpu_wps, 2),
+    }))
+    print(f"# windows={n_windows} cpu_reference={cpu_wps:.2f} windows/s",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Logit-parity tests for the JAX AST vs the HF torch reference.
+
+No pretrained download is available (or needed): parity is checked on
+randomly-initialized `ASTForAudioClassification` models converted through
+`models.convert.from_hf_state_dict` — this exercises every weight-layout
+decision (conv->NHWC, Linear transpose, layer stacking, token/pos-embed
+order), the same path a real `MIT/ast-finetuned-audioset-10-10-0.4593`
+checkpoint takes.
+"""
+
+import numpy as np
+import pytest
+
+from zenker_audio_detection_tpu.models import ast as ast_mod
+from zenker_audio_detection_tpu.models import convert
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+from transformers import ASTConfig as HFASTConfig  # noqa: E402
+from transformers import ASTForAudioClassification  # noqa: E402
+
+
+def make_pair(seed=0, **overrides):
+    """Matching (torch model, our params, our config) with random weights."""
+    kw = dict(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        patch_size=8,
+        frequency_stride=4,
+        time_stride=4,
+        num_mel_bins=16,
+        max_length=64,
+        num_labels=2,
+    )
+    kw.update(overrides)
+    torch.manual_seed(seed)
+    hf_cfg = HFASTConfig(**{k: v for k, v in kw.items() if k != "num_labels"},
+                         num_labels=kw["num_labels"],
+                         attention_probs_dropout_prob=0.0,
+                         hidden_dropout_prob=0.0)
+    model = ASTForAudioClassification(hf_cfg).eval()
+    ours_cfg = convert.config_from_hf_dict(hf_cfg.to_dict() | {
+        "id2label": {i: f"L{i}" for i in range(kw["num_labels"])}})
+    params = convert.from_hf_state_dict(model.state_dict(), ours_cfg)
+    return model, params, ours_cfg
+
+
+def rand_features(rng, b, cfg):
+    return rng.standard_normal((b, cfg.max_length, cfg.num_mel_bins)).astype(
+        np.float32
+    )
+
+
+def test_small_model_logit_parity(rng):
+    model, params, cfg = make_pair()
+    x = rand_features(rng, 3, cfg)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).logits.numpy()
+    ours = np.asarray(ast_mod.forward(params, x, cfg))
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_small_model_hidden_parity(rng):
+    """Trunk (final-LN hidden states) parity, catching block-level drift."""
+    model, params, cfg = make_pair(seed=1)
+    x = rand_features(rng, 2, cfg)
+    with torch.no_grad():
+        ref = model.audio_spectrogram_transformer(
+            torch.from_numpy(x)
+        ).last_hidden_state.numpy()
+    ours = np.asarray(ast_mod.encode(params, x, cfg))
+    assert ours.shape == ref.shape == (2, cfg.seq_length, cfg.hidden_size)
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_roundtrip_state_dict(rng):
+    model, params, cfg = make_pair(seed=2)
+    sd = convert.to_hf_state_dict(params)
+    ref_sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    assert set(sd) == set(ref_sd)
+    for k in sd:
+        np.testing.assert_allclose(sd[k], ref_sd[k], atol=0, rtol=0, err_msg=k)
+
+
+def test_model_dir_roundtrip(tmp_path, rng):
+    model, params, cfg = make_pair(seed=3)
+    convert.save_hf_model_dir(params, cfg, str(tmp_path), {0: "Idle", 1: "Swallow"})
+    params2, cfg2 = convert.load_hf_model_dir(str(tmp_path))
+    assert cfg2 == cfg
+    x = rand_features(rng, 2, cfg)
+    a = np.asarray(ast_mod.forward(params, x, cfg))
+    b = np.asarray(ast_mod.forward(params2, x, cfg2))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    # and the exported dir loads in HF transformers itself
+    hf_model = ASTForAudioClassification.from_pretrained(str(tmp_path)).eval()
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(x)).logits.numpy()
+    np.testing.assert_allclose(a, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_reinit_head_keeps_trunk(rng):
+    import jax
+
+    _, params, cfg = make_pair(seed=4)
+    new = ast_mod.reinit_head(jax.random.PRNGKey(0), params, cfg)
+    x = rand_features(rng, 2, cfg)
+    a = np.asarray(ast_mod.encode(params, x, cfg))
+    b = np.asarray(ast_mod.encode(new, x, cfg))
+    np.testing.assert_allclose(a, b, atol=0)
+    assert not np.allclose(
+        np.asarray(new["head"]["dense"]["kernel"]),
+        np.asarray(params["head"]["dense"]["kernel"]),
+    )
+
+
+def test_seq_geometry_full_size():
+    cfg = ast_mod.ASTConfig()
+    assert (cfg.frequency_out_dimension, cfg.time_out_dimension) == (12, 101)
+    assert cfg.num_patches == 1212 and cfg.seq_length == 1214
+
+
+@pytest.mark.slow
+def test_full_size_logit_parity(rng):
+    """Full ViT-B geometry (12 layers, 1214 tokens): ≤1e-3 as per SURVEY §7."""
+    model, params, cfg = make_pair(
+        seed=5,
+        hidden_size=768,
+        num_hidden_layers=12,
+        num_attention_heads=12,
+        intermediate_size=3072,
+        patch_size=16,
+        frequency_stride=10,
+        time_stride=10,
+        num_mel_bins=128,
+        max_length=1024,
+    )
+    x = rand_features(rng, 2, cfg)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).logits.numpy()
+    ours = np.asarray(ast_mod.forward(params, x, cfg))
+    np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-4)

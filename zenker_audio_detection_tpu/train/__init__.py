@@ -1,0 +1,3 @@
+from . import losses  # noqa: F401
+from . import optim  # noqa: F401
+from . import steps  # noqa: F401

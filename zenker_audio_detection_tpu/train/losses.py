@@ -1,0 +1,105 @@
+"""Loss functions replicating the reference's two custom Trainer subclasses.
+
+Stage 1 — `FocalLossTrainer` (src/train_ast_stage1_cross_validation.py:55-85):
+  γ>0:   FL = mean((1 - exp(-ce))^γ * ce) with ce = torch-style
+         label-smoothed cross-entropy (smoothing mass ls/C on ALL classes).
+  γ==0:  plain label-smoothed CE.
+
+Stage 2 — `ImprovedWeightedTrainer`
+(src/train_ast_stage2_cross_validation.py:369-469): focal loss with a
+*different* smoothing scheme (ls/(C-1) on non-true classes only), per-sample
+class weights, and the batch-level α quirk
+(α_t = α if mean(labels) < 0.5 else 1-α, :459-465) — replicated exactly
+because it produced the paper's baseline numbers (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _log_softmax(logits):
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def torch_smoothed_ce(logits, labels, label_smoothing: float = 0.0):
+    """Per-sample CE matching `torch.nn.functional.cross_entropy(...,
+    label_smoothing=ls, reduction="none")`: target distribution puts
+    (1 - ls) + ls/C on the true class and ls/C elsewhere."""
+    logp = _log_softmax(logits)
+    C = logits.shape[-1]
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if label_smoothing == 0.0:
+        return nll
+    smooth = -jnp.mean(logp, axis=-1)
+    return (1.0 - label_smoothing) * nll + label_smoothing * smooth
+
+
+def stage1_loss(logits, labels, focal_gamma: float = 0.0,
+                label_smoothing: float = 0.0):
+    """FocalLossTrainer.compute_loss, mean-reduced scalar."""
+    ce = torch_smoothed_ce(logits, labels, label_smoothing)
+    if focal_gamma > 0:
+        pt = jnp.exp(-ce)
+        return jnp.mean((1.0 - pt) ** focal_gamma * ce)
+    return jnp.mean(ce)
+
+
+def stage2_focal_loss(logits, labels, class_weights=None,
+                      focal_alpha: float | None = 0.25,
+                      focal_gamma: float = 2.0,
+                      label_smoothing: float = 0.1):
+    """ImprovedWeightedTrainer.focal_loss_with_smoothing (:421-469)."""
+    logp = _log_softmax(logits)
+    probs = jnp.exp(logp)
+    C = logits.shape[-1]
+
+    # smoothing mass ls/(C-1) on non-true classes, 1-ls on the true class
+    smooth = jnp.full_like(logp, label_smoothing / (C - 1))
+    onehot = jax.nn.one_hot(labels, C, dtype=logp.dtype)
+    smooth = smooth * (1.0 - onehot) + (1.0 - label_smoothing) * onehot
+
+    p_t = jnp.take_along_axis(probs, labels[:, None], axis=-1)[:, 0]
+    focal_weight = (1.0 - p_t) ** focal_gamma
+    ce = -jnp.sum(smooth * logp, axis=-1)
+    loss = focal_weight * ce
+
+    if class_weights is not None:
+        loss = loss * jnp.asarray(class_weights, jnp.float32)[labels]
+
+    if focal_alpha is not None:
+        alpha_t = jnp.where(jnp.mean(labels.astype(jnp.float32)) < 0.5,
+                            focal_alpha, 1.0 - focal_alpha)
+        loss = loss * alpha_t
+    return jnp.mean(loss)
+
+
+def stage2_weighted_ce(logits, labels, class_weights=None,
+                       label_smoothing: float = 0.1):
+    """`--no-focal-loss` path (:404-417): torch CrossEntropyLoss(weight=w,
+    label_smoothing=ls) semantics (verified empirically vs torch 2.13):
+    per-sample = (1-ls)·w[y]·nll + ls·(-Σ_c w_c·logp_c)/C, mean reduction
+    normalized by Σ w[y]."""
+    logp = _log_softmax(logits)
+    C = logits.shape[-1]
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if class_weights is None:
+        smooth = -jnp.mean(logp, axis=-1)
+        return jnp.mean((1.0 - label_smoothing) * nll
+                        + label_smoothing * smooth)
+    w = jnp.asarray(class_weights, jnp.float32)
+    wi = w[labels]
+    smooth = -jnp.sum(logp * w[None, :], axis=-1) / C
+    num = (1.0 - label_smoothing) * wi * nll + label_smoothing * smooth
+    return jnp.sum(num) / jnp.sum(wi)
+
+
+def inverse_frequency_weights(labels, num_classes: int = 2):
+    """Class weights from train labels: n_total / (n_classes * count_c)
+    (src/train_ast_stage2_cross_validation.py:355-366)."""
+    import numpy as np
+
+    labels = np.asarray(labels)
+    counts = np.bincount(labels, minlength=num_classes).astype(np.float64)
+    return (len(labels) / (num_classes * np.maximum(counts, 1))).astype(np.float32)
