@@ -1,0 +1,178 @@
+"""Bit-parity tests for the CV splitters against the reference scripts.
+
+The reference scripts (mounted read-only at /root/reference) are executed on
+a synthetic dataset tree with their filesystem targets redirected into tmp
+dirs; our splitters run on the same tree and every produced artifact is
+diffed. This pins fold membership, file ordering, label mapping, and the
+meta-JSON contract without copying any reference code.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from zenker_audio_detection_tpu.data import splits as S
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+
+
+def make_tree(root: Path, rng):
+    """Synthetic Class/<patient>/*.wav tree; empty files are fine (the
+    splitters never read audio)."""
+    layout = {
+        "Healthy": {f"H{i:02d}": 3 + (i % 4) for i in range(12)},
+        "Zenker": {f"Z{i:02d}": 2 + (i % 5) for i in range(11)},
+        "Idle": {f"H{i:02d}": 2 for i in range(0, 12, 2)}
+        | {f"Z{i:02d}": 1 for i in range(0, 11, 3)}
+        | {"X99": 2},  # unmatched idle patient
+    }
+    for cls, patients in layout.items():
+        for pid, n in patients.items():
+            d = root / cls / pid
+            d.mkdir(parents=True)
+            for k in range(n):
+                (d / f"{pid}_clip{k}.wav").touch()
+    return root
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    return make_tree(tmp_path_factory.mktemp("swallowset"), rng)
+
+
+@pytest.fixture(scope="module")
+def ref_cv_dir(tree, tmp_path_factory):
+    """Run the reference base splitter via exec with redirected paths."""
+    out_parent = tmp_path_factory.mktemp("refbase")
+    fake_file = out_parent / "utils" / "PrepareTrainingData_AST_cv.py"
+    fake_file.parent.mkdir()
+    src = (REF / "utils" / "PrepareTrainingData_AST_cv.py").read_text()
+    config_stub = types.ModuleType("config")
+    config_stub.get_short_audio_dir = lambda: str(tree)
+    sys.modules["config"] = config_stub
+    try:
+        exec(compile(src, str(fake_file), "exec"),
+             {"__file__": str(fake_file), "__name__": "__main__"})
+    finally:
+        del sys.modules["config"]
+    return out_parent / "data_ast_cv"
+
+
+@pytest.fixture(scope="module")
+def our_cv_dir(tree, tmp_path_factory):
+    out = tmp_path_factory.mktemp("ourbase") / "data_ast_cv"
+    S.make_base_cv_splits(str(tree), str(out))
+    return out
+
+
+def _load(p):
+    return np.load(p, allow_pickle=True)
+
+
+def test_base_cv_bit_parity(ref_cv_dir, our_cv_dir):
+    for fold in range(1, 6):
+        for side in ("train", "test"):
+            ref_x = _load(ref_cv_dir / f"{side}_x_fold{fold}.npy")
+            our_x = _load(our_cv_dir / f"{side}_x_fold{fold}.npy")
+            assert [str(a) for a in our_x] == [str(a) for a in ref_x], \
+                f"{side} paths differ fold {fold}"
+            ref_y = _load(ref_cv_dir / f"{side}_y_fold{fold}.npy").astype(int)
+            our_y = _load(our_cv_dir / f"{side}_y_fold{fold}.npy").astype(int)
+            np.testing.assert_array_equal(our_y, ref_y)
+            assert (our_cv_dir / f"{side}_ids_fold{fold}.txt").read_text() == \
+                (ref_cv_dir / f"{side}_ids_fold{fold}.txt").read_text()
+            assert (our_cv_dir / f"{side}_labels_fold{fold}.csv").read_text() == \
+                (ref_cv_dir / f"{side}_labels_fold{fold}.csv").read_text()
+        ref_meta = json.loads((ref_cv_dir / f"fold{fold}_meta.json").read_text())
+        our_meta = json.loads((our_cv_dir / f"fold{fold}_meta.json").read_text())
+        assert our_meta == ref_meta
+    assert json.loads((our_cv_dir / "class_mapping.json").read_text()) == \
+        json.loads((ref_cv_dir / "class_mapping.json").read_text())
+
+
+def _run_ref_2stage(script, cv_dir, out1, out2, extra=()):
+    subprocess.run(
+        [sys.executable, str(REF / "utils" / script),
+         "--cv-dir", str(cv_dir), "--out-stage1", str(out1),
+         "--out-stage2", str(out2), *extra],
+        check=True, capture_output=True, text=True)
+
+
+@pytest.mark.parametrize("val_args,opts", [
+    ((), S.TwoStageOptions()),
+    (("--val-ratio", "0.15", "--val-mode", "random", "--seed", "42"),
+     S.TwoStageOptions(val_ratio=0.15, val_mode="random", seed=42)),
+    (("--val-ratio", "0.2", "--val-mode", "per-fold"),
+     S.TwoStageOptions(val_ratio=0.2, val_mode="per-fold")),
+])
+def test_two_stage_bit_parity(ref_cv_dir, tmp_path, val_args, opts):
+    ref1, ref2 = tmp_path / "r1", tmp_path / "r2"
+    our1, our2 = tmp_path / "o1", tmp_path / "o2"
+    _run_ref_2stage("PrepareTrainingData_AST_cv_2stage.py",
+                    ref_cv_dir, ref1, ref2, val_args)
+    S.derive_two_stage_splits(str(ref_cv_dir), str(our1), str(our2), opts)
+
+    for fold in range(1, 6):
+        sides = ["train", "test"] + (["val"] if opts.val_ratio > 0 else [])
+        for stage_ref, stage_our, tag in ((ref1, our1, "stage1"),
+                                          (ref2, our2, "stage2")):
+            for side in sides:
+                rx = _load(stage_ref / f"{side}_x_fold{fold}.npy")
+                ox = _load(stage_our / f"{side}_x_fold{fold}.npy")
+                assert [str(a) for a in ox] == [str(a) for a in rx], \
+                    (tag, side, fold)
+                ry = _load(stage_ref / f"{side}_y_fold{fold}.npy").astype(int)
+                oy = _load(stage_our / f"{side}_y_fold{fold}.npy").astype(int)
+                np.testing.assert_array_equal(oy, ry)
+                assert (stage_our / f"{side}_ids_fold{fold}.txt").read_text() \
+                    == (stage_ref / f"{side}_ids_fold{fold}.txt").read_text()
+                assert (stage_our / f"{side}_{tag}_labels_fold{fold}.csv"
+                        ).read_text() == \
+                    (stage_ref / f"{side}_{tag}_labels_fold{fold}.csv").read_text()
+        ref_meta = json.loads((ref2 / f"fold{fold}_2stage_meta.json").read_text())
+        our_meta = json.loads((our2 / f"fold{fold}_2stage_meta.json").read_text())
+        # our dist keys are ints pre-json; json stringifies both identically
+        assert our_meta == ref_meta
+
+
+@pytest.mark.parametrize("val_ratio", [0.0, 0.25])
+def test_capped_two_stage_bit_parity(ref_cv_dir, tmp_path, val_ratio):
+    ref1, ref2 = tmp_path / "r1", tmp_path / "r2"
+    our1, our2 = tmp_path / "o1", tmp_path / "o2"
+    _run_ref_2stage("PrepareTrainingData_AST_cv_2stage_capped.py",
+                    ref_cv_dir, ref1, ref2,
+                    ("--max-files-per-patient", "3",
+                     "--val-ratio", str(val_ratio)))
+    S.derive_two_stage_splits(
+        str(ref_cv_dir), str(our1), str(our2),
+        S.TwoStageOptions(max_files_per_patient=3, val_ratio=val_ratio))
+
+    for fold in range(1, 6):
+        sides = ["train", "test"] + (["val"] if val_ratio > 0 else [])
+        for side in sides:
+            rx = _load(ref2 / f"{side}_x_fold{fold}.npy")
+            ox = _load(our2 / f"{side}_x_fold{fold}.npy")
+            assert [str(a) for a in ox] == [str(a) for a in rx], (side, fold)
+            ry = _load(ref2 / f"{side}_y_fold{fold}.npy").astype(int)
+            oy = _load(our2 / f"{side}_y_fold{fold}.npy").astype(int)
+            np.testing.assert_array_equal(oy, ry)
+    ref_stats = json.loads((ref2 / "capping_stats_all_folds.json").read_text())
+    our_stats = json.loads((our2 / "capping_stats_all_folds.json").read_text())
+    assert our_stats == ref_stats
+    ref_cfg = json.loads((ref2 / "capping_config.json").read_text())
+    our_cfg = json.loads((our2 / "capping_config.json").read_text())
+    assert our_cfg == ref_cfg
+
+
+def test_extract_patient_id():
+    assert S.extract_patient_id("/d/Healthy/H01/x.wav") == "H01"
+    assert S.extract_patient_id("/d/Idle/Z03/clip.wav") == "Z03"
+    assert S.extract_patient_id("/d/other/x.wav") == "UNKNOWN"

@@ -1,0 +1,77 @@
+"""Dataset-path configuration via .env (reference utils/config.py:9-58).
+
+Same environment-variable contract: DATASET_ROOT, RAW_DATA_DIR,
+SHORT_AUDIO_DIR, LONG_AUDIO_DIR (+ LONG_AUDIO_ROOT used by the batch
+drivers, .env.example:8). No python-dotenv dependency — the tiny .env
+parser below handles the KEY=VALUE (+ ${VAR} interpolation) subset the
+reference uses.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+
+_DEFAULTS = {
+    "DATASET_ROOT": "/path/to/your/datasets/New_SwallowSet",
+    "RAW_DATA_DIR": "/path/to/your/datasets/New_SwallowSet/Raw",
+    "SHORT_AUDIO_DIR": "/path/to/your/datasets/New_SwallowSet/Test",
+    "LONG_AUDIO_DIR": "/path/to/your/datasets/New_SwallowSet/Long",
+}
+
+_VAR_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def parse_env_file(path: str | Path) -> dict[str, str]:
+    """Parse KEY=VALUE lines with ${VAR} interpolation against earlier keys
+    and the process environment."""
+    out: dict[str, str] = {}
+    text = Path(path).read_text()
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        key, value = key.strip(), value.strip().strip('"').strip("'")
+        value = _VAR_RE.sub(
+            lambda m: out.get(m.group(1), os.environ.get(m.group(1), "")), value)
+        out[key] = value
+    return out
+
+
+def load_dataset_config(project_root: str | Path | None = None) -> dict[str, str]:
+    root = Path(project_root) if project_root else Path.cwd()
+    env_path = root / ".env"
+    file_vars: dict[str, str] = {}
+    if env_path.exists():
+        file_vars = parse_env_file(env_path)
+
+    def get(key: str) -> str:
+        return os.environ.get(key) or file_vars.get(key) or _DEFAULTS[key]
+
+    return {
+        "dataset_root": get("DATASET_ROOT"),
+        "raw_data_dir": get("RAW_DATA_DIR"),
+        "short_audio_dir": get("SHORT_AUDIO_DIR"),
+        "long_audio_dir": get("LONG_AUDIO_DIR"),
+        "long_audio_root": os.environ.get("LONG_AUDIO_ROOT")
+        or file_vars.get("LONG_AUDIO_ROOT")
+        or get("LONG_AUDIO_DIR"),
+    }
+
+
+def get_dataset_root(**kw) -> str:
+    return load_dataset_config(**kw)["dataset_root"]
+
+
+def get_raw_data_dir(**kw) -> str:
+    return load_dataset_config(**kw)["raw_data_dir"]
+
+
+def get_short_audio_dir(**kw) -> str:
+    return load_dataset_config(**kw)["short_audio_dir"]
+
+
+def get_long_audio_dir(**kw) -> str:
+    return load_dataset_config(**kw)["long_audio_dir"]

@@ -1,0 +1,130 @@
+"""Per-fold AST feature normalization statistics.
+
+Re-implements utils/compute_ast_normalization_stats.py: mean/std of the
+*unnormalized* padded AST features over each fold's train split
+(do_normalize=False, :64-66), float64 running sum/sq-sum (:68-80), unbiased
+sample variance (:85-94), and the pooled aggregate via weighted mean +
+variance combination (aggregate_stats :98-113). Output contract:
+stats_per_fold.json, stats_aggregate.json, stats_all.npz (:148-152).
+
+TPU note: the padded rows of the (1024, 128) feature matrix are exactly 0
+when unnormalized, so the per-file contribution is just the sum over the
+file's real log-mel frames while the element count is always 1024*128 —
+no padding is materialized. Accumulation happens in float64 on host from
+f32 device frames.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..audio import io as aio
+from ..ops import fbank as F
+
+NUM_FOLDS = 5
+SAMPLING_RATE = 16000
+
+
+def file_feature_sums(audio: np.ndarray,
+                      max_length: int = F.MAX_FRAMES) -> tuple[float, float, int]:
+    """(sum, sq_sum, count) of one file's unnormalized padded AST features."""
+    import jax.numpy as jnp
+
+    n = F.num_frames(len(audio))
+    if n <= 0:
+        feats = np.zeros((0, F.NUM_MEL_BINS), np.float64)
+    else:
+        feats = np.asarray(
+            F.logmel_frames(jnp.asarray(audio, jnp.float32), n),
+            dtype=np.float64)[:max_length]
+    count = max_length * F.NUM_MEL_BINS  # zero pad rows count toward N
+    return float(feats.sum()), float((feats ** 2).sum()), count
+
+
+def compute_fold_stats(data_dir: str, fold: int) -> dict:
+    train_x_path = os.path.join(data_dir, f"train_x_fold{fold}.npy")
+    if not os.path.exists(train_x_path):
+        raise FileNotFoundError(
+            f"Missing fold {fold} train data. Expected {train_x_path}")
+    train_x = np.load(train_x_path, allow_pickle=True).tolist()
+    if not train_x:
+        return {"fold": fold, "mean": 0.0, "std": 0.0, "count": 0}
+
+    running_sum = running_sq = 0.0
+    total = 0
+    for path in train_x:
+        audio = aio.load_audio(str(path), SAMPLING_RATE)
+        s, sq, c = file_feature_sums(audio)
+        running_sum += s
+        running_sq += sq
+        total += c
+
+    if total == 0:
+        return {"fold": fold, "mean": 0.0, "std": 0.0, "count": 0}
+    mean = running_sum / total
+    var_pop = max(running_sq / total - mean * mean, 0.0)
+    var = var_pop * (total / (total - 1)) if total > 1 else 0.0
+    return {"fold": fold, "mean": float(mean), "std": float(var ** 0.5),
+            "count": total}
+
+
+def aggregate_stats(per_fold: list[dict]) -> dict:
+    total = sum(d["count"] for d in per_fold)
+    if total == 0:
+        return {"mean": 0.0, "std": 0.0, "total_count": 0}
+    weighted_mean = sum(d["mean"] * d["count"] for d in per_fold) / total
+    numerator = 0.0
+    for d in per_fold:
+        n = d["count"]
+        if n < 2:
+            continue
+        numerator += (n - 1) * d["std"] ** 2 + n * (d["mean"] - weighted_mean) ** 2
+    var = numerator / (total - 1) if total > 1 else 0.0
+    return {"mean": float(weighted_mean), "std": float(var ** 0.5),
+            "total_count": total}
+
+
+def compute_all_stats(data_dir: str, output_dir: str | None = None,
+                      num_folds: int = NUM_FOLDS) -> tuple[list[dict], dict]:
+    output_dir = output_dir or data_dir
+    per_fold = []
+    for fold in range(1, num_folds + 1):
+        stats = compute_fold_stats(data_dir, fold)
+        print(f"  Fold {fold}: mean={stats['mean']:.6f} "
+              f"std={stats['std']:.6f} (count={stats['count']})")
+        per_fold.append(stats)
+    aggregate = aggregate_stats(per_fold)
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "stats_per_fold.json"), "w") as f:
+        json.dump(per_fold, f, indent=2)
+    with open(os.path.join(output_dir, "stats_aggregate.json"), "w") as f:
+        json.dump(aggregate, f, indent=2)
+    np.savez(os.path.join(output_dir, "stats_all.npz"),
+             per_fold=per_fold, aggregate=aggregate)
+    return per_fold, aggregate
+
+
+def load_fold_normalization(data_dir: str, fold: int,
+                            default_mean: float = F.DATASET_FALLBACK_MEAN,
+                            default_std: float = F.DATASET_FALLBACK_STD,
+                            ) -> tuple[float, float, str]:
+    """3-level resolution: per-fold -> aggregate -> default, as the trainers
+    do (src/train_ast_stage1_cross_validation.py:235-282). Returns
+    (mean, std, source)."""
+    per_fold_path = os.path.join(data_dir, "stats_per_fold.json")
+    if os.path.exists(per_fold_path):
+        with open(per_fold_path) as f:
+            entries = json.load(f)
+        for d in entries:
+            if d.get("fold") == fold and d.get("count", 0) > 0:
+                return float(d["mean"]), float(d["std"]), "per_fold"
+    agg_path = os.path.join(data_dir, "stats_aggregate.json")
+    if os.path.exists(agg_path):
+        with open(agg_path) as f:
+            agg = json.load(f)
+        if agg.get("total_count", 0) > 0:
+            return float(agg["mean"]), float(agg["std"]), "aggregate"
+    return default_mean, default_std, "default"
