@@ -25,6 +25,7 @@ predictions — src/test_long_audio_windows_2stage.py:312-317 vs :150-153).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Sequence
 
 import jax
@@ -60,6 +61,9 @@ class CascadeConfig:
     stage1_forward_min_prob: float | None = None
     stage2_argmax: bool = False
     dtype: Any = jnp.bfloat16
+    # raw-frame cache (infer/cache.py); None disables caching
+    cache_dir: str | None = None
+    refresh_cache: bool = False
 
 
 def window_starts(num_samples: int, window_sec: float, hop_sec: float,
@@ -168,11 +172,13 @@ class TwoStageEngine:
 
     # ---------------- host orchestration ----------------
 
-    def window_probs(self, audio: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def window_probs(self, audio: np.ndarray,
+                     path: str | None = None) -> tuple[np.ndarray, np.ndarray]:
         """All-window probabilities for one recording.
 
         Returns (stage1_probs (W, 2), stage2_probs (W, 2)) — stage2 is
         evaluated for every window; gating decides which entries are used.
+        `path` enables the raw-frame cache when config.cache_dir is set.
         """
         audio = np.asarray(audio, dtype=np.float32)
         starts = window_starts(len(audio), self.config.window_sec,
@@ -183,15 +189,12 @@ class TwoStageEngine:
         if self._frame_reuse and len(audio) >= self._win:
             # Bucket the padded file length (pow2 frames) to bound recompiles.
             needed = int(starts[-1]) + self._win
-            n_frames_padded = _next_pow2(F.num_frames(needed))
+            n_true_frames = F.num_frames(needed)
+            n_frames_padded = _next_pow2(n_true_frames)
             padded_len = (n_frames_padded - 1) * F.HOP_LENGTH + F.FRAME_LENGTH
-            buf = np.zeros(padded_len, np.float32)
-            m = min(len(audio), padded_len)
-            buf[:m] = audio[:m]
 
-            if padded_len not in self._frames_fn_cache:
-                self._frames_fn_cache[padded_len] = self._make_frames_fn(padded_len)
-            frames = self._frames_fn_cache[padded_len](jnp.asarray(buf))
+            frames = self._cached_or_computed_frames(
+                audio, path, padded_len, n_true_frames, n_frames_padded)
 
             key = n_frames_padded
             if key not in self._chunk_fn_cache:
@@ -216,6 +219,35 @@ class TwoStageEngine:
                                       jnp.asarray(buf), starts.astype(np.int32),
                                       W, C)
         return p1, p2
+
+    def _cached_or_computed_frames(self, audio, path, padded_len,
+                                   n_true_frames, n_frames_padded):
+        """File-level raw log-mel frames, via the cache when enabled."""
+        from . import cache as fcache
+
+        cfg = self.config
+        use_cache = (cfg.cache_dir is not None and path is not None
+                     and os.path.exists(path))
+        if use_cache and not cfg.refresh_cache:
+            hit = fcache.load_frames(path, cfg.window_sec, cfg.hop_sec,
+                                     SAMPLING_RATE, cfg.cache_dir)
+            if hit is not None and hit.shape[0] >= n_true_frames:
+                print(f"[cache] hit for {os.path.basename(path)}")
+                padded = np.zeros((n_frames_padded, F.NUM_MEL_BINS), np.float32)
+                padded[:n_true_frames] = hit[:n_true_frames]
+                return jnp.asarray(padded)
+
+        buf = np.zeros(padded_len, np.float32)
+        m = min(len(audio), padded_len)
+        buf[:m] = audio[:m]
+        if padded_len not in self._frames_fn_cache:
+            self._frames_fn_cache[padded_len] = self._make_frames_fn(padded_len)
+        frames = self._frames_fn_cache[padded_len](jnp.asarray(buf))
+        if use_cache:
+            fcache.save_frames(path, np.asarray(frames[:n_true_frames]),
+                               cfg.window_sec, cfg.hop_sec, SAMPLING_RATE,
+                               cfg.cache_dir)
+        return frames
 
     @staticmethod
     def _run_chunks(fn, params1, params2, device_buf, starts: np.ndarray,
@@ -266,7 +298,7 @@ class TwoStageEngine:
         return summary, s1_preds, stage2_results, aligned_classes
 
     def infer_file(self, audio: np.ndarray, path: str = "") -> dict:
-        s1_probs, s2_probs = self.window_probs(audio)
+        s1_probs, s2_probs = self.window_probs(audio, path or None)
         summary, s1_preds, stage2_results, aligned = self.gate_and_summarize(
             s1_probs, s2_probs)
         return {

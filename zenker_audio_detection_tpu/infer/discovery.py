@@ -1,0 +1,57 @@
+"""Patient audio-file discovery (reference discover_two_files,
+src/test_long_audio_windows_2stage.py:119-142): recursive walk matching the
+patient id as a dirpath substring, glob pattern on filenames, keep the 2
+longest recordings when more than 2 match, and error unless exactly 2
+remain. File length read from the WAV header (no torchaudio.info)."""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+import struct
+
+
+def wav_num_frames(path: str) -> int:
+    """Sample count from the RIFF header (cheap torchaudio.info stand-in)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+            if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+                return 0
+            block_align = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    return 0
+                chunk_id, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+                if chunk_id == b"fmt ":
+                    fmt = f.read(size + (size & 1))
+                    block_align = struct.unpack_from("<H", fmt, 12)[0]
+                elif chunk_id == b"data":
+                    return size // block_align if block_align else 0
+                else:
+                    f.seek(size + (size & 1), 1)
+    except Exception:
+        return 0
+
+
+def discover_two_files(root: str, patient_id: str,
+                       pattern: str = "*.wav") -> list[str]:
+    base = os.path.abspath(root)
+    matches = []
+    for dirpath, _, filenames in os.walk(base):
+        if patient_id not in dirpath:
+            continue
+        for fn in filenames:
+            if fnmatch.fnmatch(fn, pattern):
+                matches.append(os.path.join(dirpath, fn))
+    matches = sorted(matches)
+    if len(matches) > 2:
+        lengths = [(p, wav_num_frames(p)) for p in matches]
+        matches = [p for p, _ in sorted(lengths, key=lambda x: x[1],
+                                        reverse=True)[:2]]
+    if len(matches) != 2:
+        raise ValueError(
+            f"Expected exactly 2 files for patient {patient_id}, "
+            f"found {len(matches)}: {matches}")
+    return matches

@@ -1,0 +1,453 @@
+"""Fine-tuning loop: the HF-Trainer-equivalent for this framework.
+
+Replicates the training behavior of the reference's per-fold pipeline
+(src/train_ast_stage1_cross_validation.py:417-645 and the stage-2 twin):
+
+  run-dir backup -> per-fold normalization -> pretrained load + 2-class head
+  re-init -> eager dataset featurization (augment train split once, like the
+  reference's `datasets.map`) -> epoch loop (batch 16, eval+checkpoint per
+  epoch, best-on-F1, early stop patience 2 / threshold 0.001 when a val
+  split exists) -> export `fold{k}/best/` as an HF model dir (+ feature
+  extractor config so the deployed mean/std travels with the model) ->
+  val/test confusion matrices -> cross-fold mean/std aggregation
+  (cv_metrics.npy/.txt).
+
+TPU structure: featurization runs batched on device via the fbank op; the
+train step is one jitted fwd+bwd+AdamW update with the batch axis sharded
+over the data mesh when more than one device is present.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+from datetime import datetime
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import io as aio
+from ..data import augment as aug
+from ..data import stats as stats_mod
+from ..models import ast as ast_mod
+from ..models import convert
+from ..ops import fbank as F
+from . import losses, metrics as metrics_mod, optim, steps
+
+SAMPLING_RATE = 16000
+NUM_EPOCHS = 10
+SEED = 42
+
+STAGE_LABELS = {
+    "stage1": ["Idle", "Swallow"],
+    "stage2": ["Healthy", "Zenker"],
+}
+
+
+@dataclasses.dataclass
+class TrainFoldConfig:
+    stage: str = "stage1"
+    data_dir: str = "data_ast_stage1"
+    output_root: str = "runs/ast_classifier_stage1"
+    pretrained_model_dir: str | None = None  # HF dir; None -> random init
+    num_epochs: int = NUM_EPOCHS
+    batch_size: int = 16
+    eval_batch_size: int = 8
+    learning_rate: float = 5e-5
+    weight_decay: float = 0.01
+    warmup_ratio: float = 0.1
+    adam_beta2: float = 0.98
+    focal_gamma: float = 0.0
+    label_smoothing: float = 0.0
+    # stage2 extras (ImprovedWeightedTrainer)
+    use_class_weights: bool = False
+    focal_alpha: float | None = 0.25
+    use_focal_loss: bool = True
+    enable_early_stopping: bool = True
+    early_stopping_patience: int = 2
+    early_stopping_threshold: float = 0.001
+    augment: bool = True
+    dry_run: bool = False
+    seed: int = SEED
+    dtype: Any = jnp.bfloat16
+
+
+def backup_existing_run_dir(path: str) -> str | None:
+    """Timestamped copy of a non-empty run dir before overwrite
+    (src/train_ast_stage1_cross_validation.py:188-232)."""
+    if not os.path.isdir(path) or not any(os.scandir(path)):
+        return None
+    try:
+        ts = datetime.fromtimestamp(os.stat(path).st_mtime)
+    except OSError:
+        ts = datetime.now()
+    base = f"{os.path.normpath(path)}_{ts.strftime('%Y%m%d_%H%M%S')}"
+    backup = base
+    counter = 1
+    while os.path.exists(backup):
+        backup = f"{base}_{counter}"
+        counter += 1
+    print(f"[RunBackup] Existing run dir detected; copying '{path}' -> '{backup}'")
+    shutil.copytree(path, backup)
+    return backup
+
+
+# ---------------------------------------------------------------------------
+# Featurization (device-batched replacement for the eager datasets.map)
+# ---------------------------------------------------------------------------
+
+
+def featurize_paths(paths, mean: float, std: float,
+                    augment_rng: np.random.Generator | None = None,
+                    batch: int = 32) -> np.ndarray:
+    """Decode -> (augment) -> fbank+normalize, device-batched by length."""
+    waves = []
+    for p in paths:
+        w = aio.load_audio(str(p), SAMPLING_RATE)
+        if augment_rng is not None:
+            w = aug.augment_waveform(w, augment_rng)
+        waves.append(w)
+    out = np.empty((len(waves), F.MAX_FRAMES, F.NUM_MEL_BINS), np.float32)
+    denom = 2.0 * std
+    pad_value = (0.0 - mean) / denom  # HF pads raw fbank, then normalizes
+    out[:] = pad_value
+
+    by_len: dict[int, list[int]] = {}
+    for i, w in enumerate(waves):
+        by_len.setdefault(len(w), []).append(i)
+    for length, idxs in by_len.items():
+        n_frames = min(F.num_frames(length), F.MAX_FRAMES)
+        if n_frames <= 0:  # sub-frame clip: all-pad features
+            continue
+        for s in range(0, len(idxs), batch):
+            chunk = idxs[s: s + batch]
+            stackw = np.stack([waves[i] for i in chunk])
+            raw = np.asarray(_jit_logmel(jnp.asarray(stackw)))
+            out[chunk, :n_frames] = (raw[:, :n_frames] - mean) / denom
+    return out
+
+
+# jit caches one executable per input shape; shape determines frame count
+_jit_logmel = jax.jit(lambda w: F.logmel_frames(w, F.num_frames(w.shape[-1])))
+
+
+def _load_split(data_dir, split, fold):
+    x_path = os.path.join(data_dir, f"{split}_x_fold{fold}.npy")
+    y_path = os.path.join(data_dir, f"{split}_y_fold{fold}.npy")
+    if not (os.path.exists(x_path) and os.path.exists(y_path)):
+        return None, None
+    x = np.load(x_path, allow_pickle=True).tolist()
+    y = np.asarray(np.load(y_path, allow_pickle=True), dtype=np.int32)
+    return x, y
+
+
+def save_feature_extractor_config(path: str, mean: float, std: float) -> None:
+    """preprocessor_config.json compatible with ASTFeatureExtractor."""
+    with open(os.path.join(path, "preprocessor_config.json"), "w") as f:
+        json.dump({
+            "feature_extractor_type": "ASTFeatureExtractor",
+            "feature_size": 1,
+            "sampling_rate": SAMPLING_RATE,
+            "num_mel_bins": F.NUM_MEL_BINS,
+            "max_length": F.MAX_FRAMES,
+            "padding_side": "right",
+            "padding_value": 0.0,
+            "return_attention_mask": False,
+            "do_normalize": True,
+            "mean": float(mean),
+            "std": float(std),
+        }, f, indent=2)
+
+
+def load_feature_extractor_config(model_dir: str) -> tuple[float, float]:
+    p = os.path.join(model_dir, "preprocessor_config.json")
+    with open(p) as f:
+        d = json.load(f)
+    return float(d["mean"]), float(d["std"])
+
+
+# ---------------------------------------------------------------------------
+# The fold trainer
+# ---------------------------------------------------------------------------
+
+
+def _make_loss(cfg: TrainFoldConfig, class_weights):
+    if cfg.stage == "stage1":
+        def loss(logits, labels):
+            return losses.stage1_loss(logits, labels, cfg.focal_gamma,
+                                      cfg.label_smoothing)
+    elif cfg.use_focal_loss:
+        def loss(logits, labels):
+            return losses.stage2_focal_loss(
+                logits, labels, class_weights, cfg.focal_alpha,
+                cfg.focal_gamma, cfg.label_smoothing)
+    else:
+        def loss(logits, labels):
+            return losses.stage2_weighted_ce(logits, labels, class_weights,
+                                             cfg.label_smoothing)
+    return loss
+
+
+def _predict(eval_step, params, feats, batch: int) -> np.ndarray:
+    outs = []
+    n = len(feats)
+    for s in range(0, n, batch):
+        chunk = feats[s: s + batch]
+        pad = batch - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
+                                                    chunk.dtype)])
+        logits = np.asarray(eval_step(params, jnp.asarray(chunk)))
+        outs.append(logits[: batch - pad])
+    return np.concatenate(outs) if outs else np.zeros((0, 2))
+
+
+def train_fold(fold: int, cfg: TrainFoldConfig) -> dict[str, float]:
+    print(f"\n===== {cfg.stage} Fold {fold} =====")
+    fold_dir = os.path.join(cfg.output_root, f"fold{fold}")
+    if backup_existing_run_dir(fold_dir):
+        shutil.rmtree(fold_dir)
+        print(f"[RunBackup] Cleared original run dir '{fold_dir}' after backup.")
+    os.makedirs(fold_dir, exist_ok=True)
+
+    mean, std, src = stats_mod.load_fold_normalization(cfg.data_dir, fold)
+    print(f"[Normalization] fold {fold}: mean={mean:.6f} std={std:.6f} ({src})")
+
+    # model init: pretrained + fresh 2-class head (the reference's
+    # ignore_mismatched_sizes + init_weights dance)
+    rng_key = jax.random.PRNGKey(cfg.seed)
+    if cfg.pretrained_model_dir:
+        params, model_cfg = convert.load_hf_model_dir(cfg.pretrained_model_dir)
+        if model_cfg.num_labels != 2:
+            model_cfg = dataclasses.replace(model_cfg, num_labels=2)
+        params = ast_mod.reinit_head(rng_key, params, model_cfg, 2)
+    else:
+        print("[WARN] no pretrained model dir; random init")
+        model_cfg = ast_mod.ASTConfig(num_labels=2)
+        params = ast_mod.init_params(rng_key, model_cfg)
+
+    # datasets
+    train_x, train_y = _load_split(cfg.data_dir, "train", fold)
+    test_x, test_y = _load_split(cfg.data_dir, "test", fold)
+    val_x, val_y = _load_split(cfg.data_dir, "val", fold)
+    if train_x is None or test_x is None:
+        raise FileNotFoundError(
+            f"missing train/test npy files for fold {fold} in {cfg.data_dir}")
+    if cfg.dry_run:
+        train_x, train_y = train_x[:32], train_y[:32]
+        test_x, test_y = test_x[:32], test_y[:32]
+        if val_x is not None:
+            val_x, val_y = val_x[:32], val_y[:32]
+    for name, arr in [("train_y", train_y), ("test_y", test_y)] + (
+            [("val_y", val_y)] if val_x is not None else []):
+        uniq = sorted(set(arr.tolist()))
+        if any(v not in (0, 1) for v in uniq):
+            raise ValueError(f"Unexpected labels in {name} fold {fold}: {uniq}")
+        if len(uniq) < 2:
+            print(f"[WARN] Fold {fold} {name} single class: {uniq}")
+
+    aug_rng = np.random.default_rng(cfg.seed) if cfg.augment else None
+    train_feats = featurize_paths(train_x, mean, std, aug_rng)
+    test_feats = featurize_paths(test_x, mean, std)
+    val_feats = featurize_paths(val_x, mean, std) if val_x is not None else None
+    has_val = val_feats is not None
+
+    class_weights = None
+    if cfg.stage == "stage2" and cfg.use_class_weights:
+        class_weights = losses.inverse_frequency_weights(train_y)
+        print(f"[ClassWeights] {class_weights}")
+
+    n = len(train_feats)
+    num_epochs = 1 if cfg.dry_run else cfg.num_epochs
+    steps_per_epoch = -(-n // cfg.batch_size)
+    total_steps = num_epochs * steps_per_epoch
+    tx = optim.make_optimizer(cfg.learning_rate, total_steps,
+                              cfg.warmup_ratio, cfg.weight_decay,
+                              beta2=cfg.adam_beta2)
+    opt_state = tx.init(params)
+    loss_fn = _make_loss(cfg, class_weights)
+    train_step = steps.make_train_step(tx, model_cfg, loss_fn, dtype=cfg.dtype)
+    eval_step = steps.make_eval_step(model_cfg, dtype=cfg.dtype)
+
+    checkpoint_limit = 1 if cfg.dry_run else max(2, (cfg.num_epochs + 1) // 2)
+    epoch_rng = np.random.default_rng(cfg.seed)
+    eval_feats = val_feats if has_val else test_feats
+    eval_y = val_y if has_val else test_y
+
+    best_f1 = -1.0
+    best_params = None
+    best_epoch = -1
+    patience_left = cfg.early_stopping_patience
+    history = []
+    checkpoints: list[str] = []
+
+    for epoch in range(1, num_epochs + 1):
+        order = epoch_rng.permutation(n)
+        epoch_loss = 0.0
+        for s in range(0, n, cfg.batch_size):
+            idx = order[s: s + cfg.batch_size]
+            feats = jnp.asarray(train_feats[idx])
+            labels = jnp.asarray(train_y[idx])
+            params, opt_state, loss_val, _ = train_step(
+                params, opt_state, feats, labels)
+            epoch_loss += float(loss_val) * len(idx)
+        epoch_loss /= n
+
+        logits = _predict(eval_step, params, eval_feats, cfg.eval_batch_size)
+        m = metrics_mod.compute_metrics_from_logits(logits, eval_y)
+        m["loss"] = epoch_loss
+        history.append({"epoch": epoch, **m})
+        print(f"[Epoch {epoch}/{num_epochs}] loss={epoch_loss:.4f} "
+              f"eval_f1={m['f1']:.4f} acc={m['accuracy']:.4f}")
+
+        # checkpoint per epoch with save_total_limit
+        ck = os.path.join(fold_dir, f"checkpoint-{epoch * steps_per_epoch}")
+        os.makedirs(ck, exist_ok=True)
+        convert.write_safetensors(
+            {k: np.asarray(v, np.float32)
+             for k, v in _flatten(params).items()},
+            os.path.join(ck, "params.safetensors"))
+        checkpoints.append(ck)
+        while len(checkpoints) > checkpoint_limit:
+            shutil.rmtree(checkpoints.pop(0), ignore_errors=True)
+
+        if m["f1"] > best_f1 + (cfg.early_stopping_threshold
+                                if best_f1 >= 0 else 0):
+            best_f1 = m["f1"]
+            best_params = jax.tree.map(np.asarray, params)
+            best_epoch = epoch
+            patience_left = cfg.early_stopping_patience
+        else:
+            if m["f1"] > best_f1:
+                best_f1 = m["f1"]
+                best_params = jax.tree.map(np.asarray, params)
+                best_epoch = epoch
+            patience_left -= 1
+            if has_val and cfg.enable_early_stopping and patience_left <= 0:
+                print(f"[EarlyStop] no f1 improvement > "
+                      f"{cfg.early_stopping_threshold} for "
+                      f"{cfg.early_stopping_patience} epochs")
+                break
+
+    if best_params is None:
+        best_params = jax.tree.map(np.asarray, params)
+    print(f"[Best] epoch {best_epoch} eval_f1={best_f1:.4f}")
+
+    # export best as HF dir + fx config (the reference's fold{k}/best/)
+    best_dir = os.path.join(fold_dir, "best")
+    labels_map = {i: name for i, name in enumerate(STAGE_LABELS[cfg.stage])}
+    convert.save_hf_model_dir(best_params, model_cfg, best_dir, labels_map)
+    save_feature_extractor_config(best_dir, mean, std)
+
+    metrics: dict[str, float] = {}
+    prefix = "val" if has_val else "test_during_train"
+    logits = _predict(eval_step, best_params, eval_feats, cfg.eval_batch_size)
+    for k, v in metrics_mod.compute_metrics_from_logits(logits, eval_y).items():
+        metrics[f"fold{fold}_{prefix}_{k}"] = v
+    test_logits = _predict(eval_step, best_params, test_feats,
+                           cfg.eval_batch_size)
+    for k, v in metrics_mod.compute_metrics_from_logits(
+            test_logits, test_y).items():
+        metrics[f"fold{fold}_test_{k}"] = v
+
+    if not cfg.dry_run:
+        splits = [("test", test_logits, test_y)]
+        if has_val:
+            splits.append(("val", logits, eval_y))
+        for split_name, lg, yy in splits:
+            cm, report = metrics_mod.confusion_and_report(
+                yy, lg.argmax(1), STAGE_LABELS[cfg.stage])
+            eval_dir = os.path.join(best_dir, f"evaluation_{split_name}")
+            os.makedirs(eval_dir, exist_ok=True)
+            np.save(os.path.join(eval_dir, "confusion_matrix.npy"), cm)
+            with open(os.path.join(eval_dir, "classification_report.txt"),
+                      "w") as f:
+                f.write(report)
+
+    with open(os.path.join(fold_dir, "history.json"), "w") as f:
+        json.dump(history, f, indent=2)
+    return metrics
+
+
+def _flatten(tree, prefix="") -> dict[str, Any]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def run_cross_validation(folds, cfg: TrainFoldConfig,
+                         run_config_extra: dict | None = None) -> dict:
+    """Train the given folds and write cv_metrics.npy/.txt + run-config
+    snapshot (reference :772-784, :887-910)."""
+    os.makedirs(cfg.output_root, exist_ok=True)
+    run_started = datetime.now()
+    run_config = {
+        "run_id": run_started.strftime("%Y%m%d_%H%M%S"),
+        "timestamp": run_started.isoformat(),
+        "stage": cfg.stage,
+        "seed": cfg.seed,
+        "num_epochs": 1 if cfg.dry_run else cfg.num_epochs,
+        "per_device_train_batch_size": cfg.batch_size,
+        "learning_rate": cfg.learning_rate,
+        "optimizer": {
+            "name": "optax.adamw",
+            "weight_decay": cfg.weight_decay,
+            "warmup_ratio": cfg.warmup_ratio,
+            "adam_beta2": cfg.adam_beta2,
+        },
+        "loss": {
+            "focal_gamma": cfg.focal_gamma,
+            "label_smoothing": cfg.label_smoothing,
+        },
+        "dry_run": cfg.dry_run,
+        "target_folds": list(folds),
+        "early_stopping": {
+            "enabled": cfg.enable_early_stopping,
+            "patience": cfg.early_stopping_patience,
+        },
+        "paths": {"data_dir": cfg.data_dir, "output_root": cfg.output_root},
+        **(run_config_extra or {}),
+    }
+    config_path = os.path.join(
+        cfg.output_root, f"run_config_{run_config['run_id']}.json")
+    with open(config_path, "w") as f:
+        json.dump(run_config, f, indent=2)
+
+    all_metrics = []
+    for fold in folds:
+        m = train_fold(fold, cfg)
+        shutil.copy2(config_path,
+                     os.path.join(cfg.output_root, f"fold{fold}",
+                                  "run_config.json"))
+        all_metrics.append(m)
+
+    aggregate: dict[str, float] = {}
+    names = {k.split("_test_", 1)[1] for d in all_metrics
+             for k in d if "_test_" in k}
+    for name in names:
+        vals = [d[k] for d in all_metrics for k in d
+                if k.endswith(f"_test_{name}")]
+        if vals:
+            aggregate[f"{name}_mean"] = float(np.mean(vals))
+            aggregate[f"{name}_std"] = float(np.std(vals))
+
+    np.save(os.path.join(cfg.output_root, "cv_metrics.npy"),
+            {"per_fold": all_metrics, "aggregate": aggregate})
+    with open(os.path.join(cfg.output_root, "cv_metrics.txt"), "w") as f:
+        f.write("Per-fold metrics:\n")
+        for m in all_metrics:
+            f.write(str(m) + "\n")
+        f.write("\nAggregate metrics:\n")
+        f.write(str(aggregate) + "\n")
+    for k, v in sorted(aggregate.items()):
+        print(f"  {k}: {v:.4f}")
+    return {"per_fold": all_metrics, "aggregate": aggregate}
