@@ -1,0 +1,187 @@
+"""End-to-end workflow test through the CLI surface, on synthetic data and
+tiny models: the full reference pipeline (SURVEY §3) driven through this
+framework's entry points, fold 1 only.
+
+  prepare_training_data -> prepare_two_stage(+val) -> compute_stats ->
+  train_stage1 + train_stage2 -> test_stage1 --all(1 fold) ->
+  analyze_roc_pr(val) -> extract_thresholds -> run_batch_2stage ->
+  aggregate_results -> plot_confusion_matrices
+"""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from zenker_audio_detection_tpu.audio import io as aio
+from zenker_audio_detection_tpu.models import ast as ast_mod, convert
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wf")
+    os.chdir(root)  # CLIs use relative default paths like the reference
+    return root
+
+
+@pytest.fixture(scope="module")
+def dataset(workdir):
+    """Class/<patient>/*.wav short-clip tree + long recordings.
+    Healthy patients = quiet clips, Zenker = loud clips (separable)."""
+    rng = np.random.default_rng(0)
+    short = workdir / "Short"
+    long_dir = workdir / "Long"
+    for cls, n_pat, amp in [("Healthy", 6, 0.01), ("Zenker", 6, 0.4)]:
+        for i in range(n_pat):
+            pid = f"{cls[0]}{i:02d}"
+            d = short / cls / pid
+            d.mkdir(parents=True)
+            for k in range(4):
+                aio.write_wav(str(d / f"c{k}.wav"),
+                              (rng.standard_normal(16000) * amp
+                               ).astype(np.float32), 16000, dtype="float32")
+            ld = long_dir / cls / pid
+            ld.mkdir(parents=True)
+            for fn in ("recA.wav", "recB.wav"):
+                # 3 s: 1 s quiet, 2 s at class amplitude (some swallows)
+                quiet = rng.standard_normal(16000) * 0.003
+                active = rng.standard_normal(32000) * max(amp, 0.2)
+                aio.write_wav(str(ld / fn),
+                              np.concatenate([quiet, active]
+                                             ).astype(np.float32),
+                              16000, dtype="float32")
+    # Idle clips for some patients
+    for pid in ["H00", "H01", "Z00", "Z01"]:
+        cls = "Healthy" if pid[0] == "H" else "Zenker"
+        d = short / "Idle" / pid
+        d.mkdir(parents=True)
+        for k in range(2):
+            aio.write_wav(str(d / f"i{k}.wav"),
+                          (rng.standard_normal(16000) * 0.003
+                           ).astype(np.float32), 16000, dtype="float32")
+    return short, long_dir
+
+
+@pytest.fixture(scope="module")
+def pretrained(workdir):
+    import jax
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            num_labels=527)
+    params = ast_mod.init_params(jax.random.PRNGKey(3), cfg)
+    d = workdir / "pretrained"
+    convert.save_hf_model_dir(params, cfg, str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def prepared(workdir, dataset):
+    from zenker_audio_detection_tpu.cli import (compute_stats,
+                                                prepare_training_data,
+                                                prepare_two_stage)
+
+    short, _ = dataset
+    prepare_training_data.main(["--dataset-root", str(short)])
+    prepare_two_stage.main(["--val-ratio", "0.25"])
+    compute_stats.main(["--stage", "stage1", "--folds", "1"])
+    compute_stats.main(["--stage", "stage2", "--folds", "1"])
+    return workdir
+
+
+@pytest.fixture(scope="module")
+def trained(prepared, pretrained):
+    from zenker_audio_detection_tpu.cli import train_stage1, train_stage2
+
+    common = ["--fold", "1", "--num-epochs", "3", "--batch-size", "8",
+              "--learning-rate", "1e-3", "--no-augment", "--f32",
+              "--no-early-stopping", "--pretrained-model-dir", pretrained]
+    train_stage1.main(common)
+    train_stage2.main(common)
+    return prepared
+
+
+def test_prepared_artifacts(prepared):
+    assert (prepared / "data_ast_cv" / "class_mapping.json").exists()
+    assert (prepared / "data_ast_stage1" / "val_x_fold1.npy").exists()
+    assert (prepared / "data_ast_stage2" / "stats_per_fold.json").exists()
+    meta = json.loads((prepared / "data_ast_stage2"
+                       / "fold1_2stage_meta.json").read_text())
+    assert meta["val_ratio"] == 0.25
+
+
+def test_train_and_eval(trained):
+    from zenker_audio_detection_tpu.cli import test_stage1, test_stage2
+
+    best1 = trained / "runs/ast_classifier_stage1/fold1/best"
+    assert (best1 / "model.safetensors").exists()
+    test_stage1.main(["--fold", "1", "--f32"])
+    test_stage2.main(["--fold", "1", "--f32"])
+    assert (best1 / "evaluation" / "confusion_matrix.npy").exists()
+    assert (trained / "results/stage1/fold1_classification_report.txt").exists()
+
+
+def test_roc_pr_and_thresholds(trained):
+    from zenker_audio_detection_tpu.cli import (analyze_roc_pr,
+                                                extract_thresholds)
+
+    analyze_roc_pr.main(["--stage", "stage2", "--fold", "1", "--f32",
+                         "--output-json", "rocpr/stage2_val.json"])
+    payload = json.loads((trained / "rocpr/stage2_val.json").read_text())
+    assert payload["fold_reports"][0]["fold"] == 1
+    assert "best_f1_threshold" in payload["fold_reports"][0]
+    assert 0 <= payload["fold_reports"][0]["roc_auc"] <= 1
+
+    extract_thresholds.main(["--stage2-metrics", "rocpr/stage2_val.json",
+                             "--output-config", "thr.json"])
+    cfg = json.loads((trained / "thr.json").read_text())
+    assert "1" in cfg["folds"] and "stage2" in cfg["folds"]["1"]
+
+
+def test_batch_inference_and_aggregate(trained, dataset):
+    from zenker_audio_detection_tpu.cli import (aggregate_results,
+                                                run_batch_2stage)
+
+    _, long_dir = dataset
+    run_batch_2stage.main([
+        "--fold", "1", "--long-audio-root", str(long_dir),
+        "--output-dir", "outputs", "--threshold-config", "thr.json",
+        "--f32", "--batch-size", "16"])
+    out_jsons = list((trained / "outputs").glob("*_2stage.json"))
+    assert out_jsons, "no per-patient JSONs produced"
+    data = json.loads(out_jsons[0].read_text())
+    assert set(data) == {"config", "per_file", "aggregate"}
+    # 3 s file, 1 s window, 0.5 s hop -> 5 windows per file
+    assert data["per_file"]["file_0"]["num_windows"] == 5
+
+    aggregate_results.main(["--outputs-dir", "outputs", "--store-output"])
+    summary = json.loads((trained / "outputs"
+                          / "aggregate_summary.json").read_text())
+    assert summary["summary"]["num_patient_results"] == len(out_jsons)
+    assert (trained / "outputs" / "per_patient_results.csv").exists()
+
+
+def test_plot_confusion_matrices(trained):
+    from zenker_audio_detection_tpu.cli import plot_confusion_matrices
+
+    plot_confusion_matrices.main(["--model-root", "runs"])
+    assert (trained / "runs/results/stage1_confusion_matrix_clean.png").exists()
+    assert (trained / "runs/results/stage2_confusion_matrix_clean.pdf").exists()
+
+
+def test_infer_long_audio_single_patient(trained, dataset):
+    from zenker_audio_detection_tpu.cli import infer_long_audio
+
+    _, long_dir = dataset
+    infer_long_audio.main([
+        "--fold", "1", "--patient-id", "Z00",
+        "--long-audio-root", str(long_dir),
+        "--output-json", "outputs/manual_Z00.json",
+        "--plot", "--plot-dir", "plots", "--f32"])
+    data = json.loads((trained / "outputs/manual_Z00.json").read_text())
+    assert len(data["config"]["files"]) == 2
+    assert list(trained.glob("plots/*_2stage_plot.png"))

@@ -1,0 +1,44 @@
+"""Shared argparse surface for the stage trainers (reference CLI flags at
+src/train_ast_stage1_cross_validation.py:651-758 and the stage-2 twin)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
+    s1 = stage == "stage1"
+    ap.add_argument("--fold", type=int, default=None,
+                    help="1-based fold; omit to run all folds")
+    ap.add_argument("--num-folds", type=int, default=5)
+    ap.add_argument("--data-dir", default=f"data_ast_{stage}")
+    ap.add_argument("--output-root", default=f"runs/ast_classifier_{stage}")
+    ap.add_argument("--pretrained-model-dir", default=None,
+                    help="HF model dir of MIT/ast-finetuned-audioset-10-10-0.4593 "
+                         "(no hub download in this framework); omit for random init")
+    ap.add_argument("--num-epochs", type=int, default=10)
+    ap.add_argument("--batch-size", type=int, default=16)
+    # reference defaults: stage1 :688-727, stage2 :777-784
+    ap.add_argument("--learning-rate", type=float, default=5e-5)
+    ap.add_argument("--weight-decay", type=float, default=0.01)
+    ap.add_argument("--warmup-ratio", type=float, default=0.1)
+    ap.add_argument("--adam-beta2", type=float, default=0.98)
+    ap.add_argument("--focal-gamma", type=float, default=0.0 if s1 else 2.0)
+    ap.add_argument("--label-smoothing", type=float, default=0.0 if s1 else 0.1)
+    ap.add_argument("--dry-run", action="store_true",
+                    help="32 samples, 1 epoch, checkpoint limit 1, skip CMs")
+    ap.add_argument("--no-early-stopping", action="store_true")
+    ap.add_argument("--no-augment", action="store_true")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--f32", action="store_true",
+                    help="train in float32 instead of bfloat16")
+
+
+def validate_train_args(args) -> list[int]:
+    if args.fold is not None and not (1 <= args.fold <= args.num_folds):
+        raise SystemExit(f"--fold must be in [1, {args.num_folds}]")
+    if not (0 <= args.label_smoothing < 1):
+        raise SystemExit("--label-smoothing must be in [0, 1)")
+    if args.focal_gamma < 0:
+        raise SystemExit("--focal-gamma must be >= 0")
+    return [args.fold] if args.fold else list(range(1, args.num_folds + 1))

@@ -1,0 +1,76 @@
+"""All-folds batch driver (reference src/run_all_folds_simple_batch.sh):
+loops folds 1..N through run_batch_2stage, sourcing LONG_AUDIO_ROOT from
+.env, auto-detecting optimal_thresholds_per_fold_both_stages.json, and
+writing per-fold outputs under <model-dir>/results/patient_inference."""
+
+import argparse
+import os
+
+from . import run_batch_2stage
+from ..data import config as env_config
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Run two-stage batch inference for all folds.")
+    ap.add_argument("model_dir", nargs="?", default="runs",
+                    help="runs root containing ast_classifier_stage{1,2}/")
+    ap.add_argument("--long-audio-root",
+                    help="default: LONG_AUDIO_ROOT from .env")
+    ap.add_argument("--ids-root", default="data_ast_stage2")
+    ap.add_argument("--num-folds", type=int, default=5)
+    ap.add_argument("--output-dir", default=None,
+                    help="default: <model_dir>/results/patient_inference")
+    ap.add_argument("--no-threshold-config", action="store_true")
+    ap.add_argument("--threshold-config", default=None)
+    ap.add_argument("--stage1-forward-min-prob", type=float, default=None)
+    ap.add_argument("--stage2-argmax", action="store_true")
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--f32", action="store_true")
+    args = ap.parse_args(argv)
+
+    long_root = args.long_audio_root or \
+        env_config.load_dataset_config()["long_audio_root"]
+    out_dir = args.output_dir or os.path.join(args.model_dir, "results",
+                                              "patient_inference")
+
+    threshold_config = args.threshold_config
+    if threshold_config is None and not args.no_threshold_config:
+        candidate = os.path.join(
+            args.model_dir, "optimal_thresholds_per_fold_both_stages.json")
+        if os.path.exists(candidate):
+            threshold_config = candidate
+            print(f"[Thresholds] auto-using {candidate}")
+
+    for fold in range(1, args.num_folds + 1):
+        print(f"\n===== Fold {fold}/{args.num_folds} =====")
+        sub = ["--fold", str(fold),
+               "--ids-root", args.ids_root,
+               "--long-audio-root", long_root,
+               "--output-dir", out_dir,
+               "--model-root", args.model_dir,
+               "--stage1-model-root",
+               os.path.join(args.model_dir, "ast_classifier_stage1",
+                            f"fold{fold}", "best"),
+               "--stage2-model-root",
+               os.path.join(args.model_dir, "ast_classifier_stage2",
+                            f"fold{fold}", "best")]
+        if threshold_config:
+            sub += ["--threshold-config", threshold_config]
+        if args.stage1_forward_min_prob is not None:
+            sub += ["--stage1-forward-min-prob",
+                    str(args.stage1_forward_min_prob)]
+        if args.stage2_argmax:
+            sub.append("--stage2-argmax")
+        if args.force:
+            sub.append("--force")
+        if args.dry_run:
+            sub.append("--dry-run")
+        if args.f32:
+            sub.append("--f32")
+        run_batch_2stage.main(sub)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Stage-1 (Idle vs Swallow) cross-validation trainer CLI
+(reference src/train_ast_stage1_cross_validation.py)."""
+
+import argparse
+
+from . import _train_common
+from ..train import loop as train_loop
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Fine-tune AST for Stage 1 (Idle vs Swallow) per fold.")
+    _train_common.add_common_train_args(ap, "stage1")
+    args = ap.parse_args(argv)
+    folds = _train_common.validate_train_args(args)
+
+    import jax.numpy as jnp
+
+    cfg = train_loop.TrainFoldConfig(
+        stage="stage1",
+        data_dir=args.data_dir,
+        output_root=args.output_root,
+        pretrained_model_dir=args.pretrained_model_dir,
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        warmup_ratio=args.warmup_ratio,
+        adam_beta2=args.adam_beta2,
+        focal_gamma=args.focal_gamma,
+        label_smoothing=args.label_smoothing,
+        enable_early_stopping=not args.no_early_stopping,
+        augment=not args.no_augment,
+        dry_run=args.dry_run,
+        seed=args.seed,
+        dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+    )
+    train_loop.run_cross_validation(folds, cfg)
+
+
+if __name__ == "__main__":
+    main()
