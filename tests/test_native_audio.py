@@ -1,0 +1,66 @@
+"""Parity tests: native C++ audio loader vs the pure-Python oracle."""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from zenker_audio_detection_tpu.audio import io as aio
+from zenker_audio_detection_tpu.audio import native
+from zenker_audio_detection_tpu.ops import resample as R
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not native.available():
+        subprocess.run(["make", "-C", str(REPO / "native")], check=True,
+                       capture_output=True)
+        native._TRIED = False  # re-probe
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+
+def test_read_mono_parity_int16_stereo(tmp_path, rng):
+    x = np.clip(rng.standard_normal((2, 12000)) * 0.3, -0.9, 0.9).astype(np.float32)
+    p = str(tmp_path / "st.wav")
+    aio.write_wav(p, x, 44100)
+    got = native.read_mono(p)
+    assert got is not None
+    mono, sr = got
+    assert sr == 44100
+    ref_wav, ref_sr = aio.read_wav(p)
+    np.testing.assert_allclose(mono, ref_wav.mean(axis=0), atol=1e-7)
+
+
+def test_read_mono_parity_float32(tmp_path, rng):
+    x = (rng.standard_normal(8000) * 0.5).astype(np.float32)
+    p = str(tmp_path / "f32.wav")
+    aio.write_wav(p, x, 48000, dtype="float32")
+    mono, sr = native.read_mono(p)
+    np.testing.assert_allclose(mono, x, atol=0)
+    assert sr == 48000
+
+
+@pytest.mark.parametrize("orig,new", [(48000, 16000), (44100, 16000),
+                                      (16000, 16000)])
+def test_resample_parity(rng, orig, new):
+    x = rng.standard_normal(orig).astype(np.float32)
+    got = native.resample(x, orig, new)
+    ref = R.resample(x, orig, new)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_load_audio_native_matches_python(tmp_path, rng):
+    x = np.clip(rng.standard_normal((2, 44100)) * 0.2, -0.9, 0.9).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    aio.write_wav(p, x, 44100, dtype="float32")
+    nat = native.load_audio(p, 16000)
+    # python oracle path
+    wav, sr = aio.read_wav(p)
+    ref = R.resample(wav.mean(axis=0), sr, 16000)
+    np.testing.assert_allclose(nat, ref, atol=2e-6)
+    assert len(nat) == 16000

@@ -117,7 +117,17 @@ def write_wav(path: str, wav: np.ndarray, sr: int, *,
 
 def load_audio(path: str, target_sr: int = SAMPLING_RATE) -> np.ndarray:
     """Reference-equivalent loader (src/test_long_audio_windows_2stage.py:53-59):
-    decode -> mono channel-mean -> resample to target_sr -> 1-D float32."""
+    decode -> mono channel-mean -> resample to target_sr -> 1-D float32.
+
+    Uses the native C++ loader (audio/native.py) when built; the pure-Python
+    path below is the fallback and the numerics oracle."""
+    from . import native
+
+    if native.available():
+        out = native.load_audio(path, target_sr)
+        if out is not None:
+            return out
+
     from ..ops import resample as R
 
     wav, sr = read_wav(path)

@@ -1,0 +1,48 @@
+"""Local sweep-agent CLI (replaces `wandb agent` over the reference's
+wandb_sweeps/*.yaml; same YAML format, see tune/sweep.py)."""
+
+import argparse
+
+from ..train import loop as train_loop
+from ..tune import sweep as sweep_mod
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Run a local random-search hyperparameter sweep.")
+    ap.add_argument("sweep_config", help="W&B-format sweep YAML")
+    ap.add_argument("--stage", choices=["stage1", "stage2"], required=True)
+    ap.add_argument("--count", type=int, default=10,
+                    help="number of trials")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--pretrained-model-dir", default=None)
+    ap.add_argument("--num-epochs", type=int, default=10)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--output-dir", default="sweep_results")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-augment", action="store_true")
+    ap.add_argument("--f32", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    base = train_loop.TrainFoldConfig(
+        stage=args.stage,
+        data_dir=args.data_dir or f"data_ast_{args.stage}",
+        output_root=args.output_dir,
+        pretrained_model_dir=args.pretrained_model_dir,
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        use_class_weights=args.stage == "stage2",
+        augment=not args.no_augment,
+        dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+    )
+    out = sweep_mod.run_sweep(args.sweep_config, base, count=args.count,
+                              seed=args.seed, output_dir=args.output_dir)
+    best = out["best"]
+    print(f"\nBest trial {best['trial']}: value={best['value']:.4f} "
+          f"params={best['params']}")
+
+
+if __name__ == "__main__":
+    main()

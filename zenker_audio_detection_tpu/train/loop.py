@@ -74,6 +74,9 @@ class TrainFoldConfig:
     dry_run: bool = False
     seed: int = SEED
     dtype: Any = jnp.bfloat16
+    # optional hook: on_epoch_end(epoch, metrics_dict) -> True to stop early
+    # (used by the sweep agent's Hyperband-style early termination)
+    on_epoch_end: Any = None
 
 
 def backup_existing_run_dir(path: str) -> str | None:
@@ -333,6 +336,10 @@ def train_fold(fold: int, cfg: TrainFoldConfig) -> dict[str, float]:
                       f"{cfg.early_stopping_patience} epochs")
                 break
 
+        if cfg.on_epoch_end is not None and cfg.on_epoch_end(epoch, m):
+            print(f"[Sweep] externally terminated after epoch {epoch}")
+            break
+
     if best_params is None:
         best_params = jax.tree.map(np.asarray, params)
     print(f"[Best] epoch {best_epoch} eval_f1={best_f1:.4f}")
@@ -422,6 +429,12 @@ def run_cross_validation(folds, cfg: TrainFoldConfig,
     with open(config_path, "w") as f:
         json.dump(run_config, f, indent=2)
 
+    from ..utils import tracking
+
+    run = tracking.Run(project=f"zenker-ast-{cfg.stage}",
+                       name=run_config["run_id"], config=run_config,
+                       dir=os.path.join(cfg.output_root, "tracking"))
+
     all_metrics = []
     for fold in folds:
         m = train_fold(fold, cfg)
@@ -429,6 +442,7 @@ def run_cross_validation(folds, cfg: TrainFoldConfig,
                      os.path.join(cfg.output_root, f"fold{fold}",
                                   "run_config.json"))
         all_metrics.append(m)
+        run.log(m)
 
     aggregate: dict[str, float] = {}
     names = {k.split("_test_", 1)[1] for d in all_metrics
@@ -448,6 +462,8 @@ def run_cross_validation(folds, cfg: TrainFoldConfig,
             f.write(str(m) + "\n")
         f.write("\nAggregate metrics:\n")
         f.write(str(aggregate) + "\n")
+    run.summary(**aggregate)
+    run.finish()
     for k, v in sorted(aggregate.items()):
         print(f"  {k}: {v:.4f}")
     return {"per_fold": all_metrics, "aggregate": aggregate}

@@ -1,0 +1,158 @@
+"""Hyperparameter sweeps: a local agent for W&B-format sweep configs.
+
+The reference optimizes with W&B random-search sweeps over fold 3
+(wandb_sweeps/sweep_stage{1,2}_comprehensive.yaml: label-smoothing U(0,0.15),
+focal-gamma U(0,3), lr logU(1e-5,1e-4), weight-decay logU(1e-3,0.1),
+warmup U(0.05,0.25), beta2 U(0.95,0.999); stage 2 adds Hyperband
+early-termination min_iter=3, eta=2, s=2). This module reads the SAME YAML
+format, samples identically-distributed configs, runs trials through the
+framework's trainer, and applies a local Hyperband-style rung cut
+(terminate a trial whose metric is below the median of completed trials at
+that rung) — no W&B server required. Results land in sweep_results.jsonl +
+best_config.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+# sweep parameter name (reference YAML) -> TrainFoldConfig field
+_PARAM_MAP = {
+    "label-smoothing": "label_smoothing",
+    "focal-gamma": "focal_gamma",
+    "learning-rate": "learning_rate",
+    "weight-decay": "weight_decay",
+    "warmup-ratio": "warmup_ratio",
+    "adam-beta2": "adam_beta2",
+    "fold": "fold",
+    "num-epochs": "num_epochs",
+    "batch-size": "batch_size",
+}
+_IGNORED = {"wandb-group", "optim"}  # wandb plumbing / torch optimizer name
+
+
+def load_sweep_config(path: str) -> dict:
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def sample_parameters(parameters: dict, rng: np.random.Generator) -> dict:
+    """One sample from a W&B-format parameter-space dict."""
+    out: dict[str, Any] = {}
+    for name, spec in parameters.items():
+        if name in _IGNORED:
+            continue
+        if "values" in spec:
+            out[name] = spec["values"][int(rng.integers(len(spec["values"])))]
+        elif spec.get("distribution") == "uniform":
+            out[name] = float(rng.uniform(spec["min"], spec["max"]))
+        elif spec.get("distribution") in ("log_uniform_values",
+                                          "log_uniform"):
+            lo, hi = np.log(float(spec["min"])), np.log(float(spec["max"]))
+            out[name] = float(np.exp(rng.uniform(lo, hi)))
+        else:
+            raise ValueError(f"unsupported distribution for {name}: {spec}")
+    return out
+
+
+def hyperband_rungs(early_terminate: dict | None, max_epochs: int) -> list[int]:
+    """Rung epochs for W&B hyperband (min_iter, eta, s)."""
+    if not early_terminate or early_terminate.get("type") != "hyperband":
+        return []
+    min_iter = int(early_terminate.get("min_iter", 3))
+    eta = int(early_terminate.get("eta", 2))
+    s = int(early_terminate.get("s", 2))
+    return [min_iter * eta ** k for k in range(s + 1)
+            if min_iter * eta ** k < max_epochs]
+
+
+class HyperbandCut:
+    """Median-based rung termination across trials."""
+
+    def __init__(self, rungs: list[int], goal: str = "maximize"):
+        self.rungs = rungs
+        self.goal = goal
+        self.history: dict[int, list[float]] = {r: [] for r in rungs}
+
+    def callback(self):
+        """Per-trial on_epoch_end(epoch, metrics) -> stop?"""
+        recorded: dict[int, float] = {}
+
+        def on_epoch_end(epoch: int, metrics: dict) -> bool:
+            if epoch not in self.rungs:
+                return False
+            value = metrics["f1"]
+            prior = self.history[epoch]
+            recorded[epoch] = value
+            self.history[epoch].append(value)
+            if len(prior) >= 2:
+                med = float(np.median(prior))
+                worse = value < med if self.goal == "maximize" else value > med
+                if worse:
+                    print(f"[Hyperband] cut at rung {epoch}: "
+                          f"{value:.4f} vs median {med:.4f}")
+                    return True
+            return False
+
+        return on_epoch_end
+
+
+def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
+              seed: int = 0, output_dir: str = "sweep_results") -> dict:
+    """Random-search agent: `count` trials of train_fold with sampled
+    hyperparameters. `base_cfg` is a TrainFoldConfig providing everything
+    the sweep doesn't set."""
+    from ..train import loop as train_loop
+
+    sweep = load_sweep_config(sweep_config_path)
+    if sweep.get("method", "random") != "random":
+        raise ValueError(f"unsupported sweep method {sweep.get('method')}")
+    metric = sweep.get("metric", {}).get("name", "eval_f1")
+    goal = sweep.get("metric", {}).get("goal", "maximize")
+    rungs = hyperband_rungs(sweep.get("early_terminate"),
+                            base_cfg.num_epochs)
+    cutter = HyperbandCut(rungs, goal) if rungs else None
+
+    os.makedirs(output_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    results = []
+    best = None
+
+    for trial in range(count):
+        sampled = sample_parameters(sweep["parameters"], rng)
+        fold = int(sampled.pop("fold", 3))
+        overrides = {_PARAM_MAP[k]: v for k, v in sampled.items()
+                     if k in _PARAM_MAP}
+        cfg = dataclasses.replace(
+            base_cfg, **overrides,
+            output_root=os.path.join(output_dir, f"trial{trial}"),
+            on_epoch_end=cutter.callback() if cutter else None)
+        print(f"\n[Sweep trial {trial}] fold={fold} {overrides}")
+        metrics = train_loop.train_fold(fold, cfg)
+        # the sweep objective: validation F1 (eval_f1 in the reference)
+        key = (f"fold{fold}_val_f1" if f"fold{fold}_val_f1" in metrics
+               else f"fold{fold}_test_during_train_f1")
+        value = metrics[key]
+        record = {"trial": trial, "fold": fold, "params": sampled,
+                  "objective": metric, "value": value, "metrics": metrics}
+        results.append(record)
+        with open(os.path.join(output_dir, "sweep_results.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+        better = (best is None or
+                  (value > best["value"] if goal == "maximize"
+                   else value < best["value"]))
+        if better:
+            best = record
+            with open(os.path.join(output_dir, "best_config.json"), "w") as f:
+                json.dump(record, f, indent=2)
+        print(f"[Sweep trial {trial}] {metric}={value:.4f} "
+              f"(best={best['value']:.4f})")
+
+    return {"results": results, "best": best}

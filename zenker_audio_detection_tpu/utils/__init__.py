@@ -1,0 +1,2 @@
+from . import profiling  # noqa: F401
+from . import tracking  # noqa: F401
