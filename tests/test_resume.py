@@ -1,0 +1,116 @@
+"""Checkpoint/resume: training N epochs with an interruption must equal
+training N epochs straight through (params, optimizer state, RNG stream,
+best-model tracking all restored)."""
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from zenker_audio_detection_tpu.models import ast as ast_mod, convert
+from zenker_audio_detection_tpu.train import loop as L
+
+from test_train_loop import make_dataset, tiny_pretrained_dir
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    import jax.numpy as jnp
+
+    tmp_path = tmp_path_factory.mktemp("resume")
+    rng = np.random.default_rng(1)
+    data_dir = make_dataset(tmp_path, rng, n_per_class=6)
+    base = L.TrainFoldConfig(
+        stage="stage1", data_dir=data_dir,
+        output_root="",  # set per test
+        pretrained_model_dir=tiny_pretrained_dir(tmp_path),
+        num_epochs=4, batch_size=4, learning_rate=5e-4,
+        enable_early_stopping=False, augment=False, dtype=jnp.float32)
+    return tmp_path, base
+
+
+def _best_logits(output_root, data_dir, tmp_path):
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.train import steps
+
+    params, cfg = convert.load_hf_model_dir(str(Path(output_root) /
+                                                "fold1/best"))
+    x = np.random.default_rng(9).standard_normal(
+        (2, cfg.max_length, cfg.num_mel_bins)).astype(np.float32)
+    return np.asarray(ast_mod.forward(params, x, cfg))
+
+
+def test_interrupted_equals_straight(env):
+    tmp_path, base = env
+
+    # straight 4-epoch run
+    straight = dataclasses.replace(
+        base, output_root=str(tmp_path / "straight"))
+    m_straight = L.train_fold(1, straight)
+
+    # interrupted: 2 epochs, then resume to 4
+    class StopAfter:
+        def __init__(self, at):
+            self.at = at
+
+        def __call__(self, epoch, metrics):
+            return epoch >= self.at
+
+    part1 = dataclasses.replace(
+        base, output_root=str(tmp_path / "resumed"),
+        on_epoch_end=StopAfter(2))
+    L.train_fold(1, part1)
+    part2 = dataclasses.replace(
+        base, output_root=str(tmp_path / "resumed"), resume=True)
+    m_resumed = L.train_fold(1, part2)
+
+    for k in m_straight:
+        assert m_straight[k] == pytest.approx(m_resumed[k], abs=1e-6), k
+    a = _best_logits(straight.output_root, base.data_dir, tmp_path)
+    b = _best_logits(part2.output_root, base.data_dir, tmp_path)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_resume_without_checkpoint_starts_fresh(env):
+    tmp_path, base = env
+    cfg = dataclasses.replace(base, output_root=str(tmp_path / "fresh"),
+                              resume=True, num_epochs=1)
+    m = L.train_fold(1, cfg)
+    assert any(k.endswith("_f1") for k in m)
+
+
+def test_checkpoint_roundtrip_primitives(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from zenker_audio_detection_tpu.train import optim
+
+    cfg = ast_mod.ASTConfig(hidden_size=8, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=16,
+                            num_mel_bins=16, max_length=32, patch_size=8,
+                            frequency_stride=4, time_stride=4)
+    params = ast_mod.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(1e-4, 10, 0.1, 0.01)
+    opt_state = tx.init(params)
+    # make opt state non-trivial
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+
+    ck = str(tmp_path / "ck")
+    state = {"epoch": 3, "best_f1": 0.5, "best_epoch": 2, "patience_left": 1,
+             "rng_state": np.random.default_rng(7).bit_generator.state,
+             "history": [{"epoch": 1, "f1": 0.4}]}
+    L.save_checkpoint(ck, params, opt_state, state)
+    p2, o2, s2 = L.load_checkpoint(ck, params, tx.init(params))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(a, b, atol=0)
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
+        if hasattr(a, "shape"):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32), atol=0)
+    assert s2["epoch"] == 3 and s2["best_epoch"] == 2
+    assert s2["rng_state"] == state["rng_state"]

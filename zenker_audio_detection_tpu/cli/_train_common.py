@@ -30,6 +30,8 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
     ap.add_argument("--no-early-stopping", action="store_true")
     ap.add_argument("--no-augment", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume each fold from its latest checkpoint")
     ap.add_argument("--f32", action="store_true",
                     help="train in float32 instead of bfloat16")
 

@@ -33,6 +33,7 @@ def main(argv=None):
         augment=not args.no_augment,
         dry_run=args.dry_run,
         seed=args.seed,
+        resume=args.resume,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
     )
     train_loop.run_cross_validation(folds, cfg)

@@ -89,10 +89,27 @@ class TwoStageEngine:
     src/run_batch_simple_2stage.py:282-284)."""
 
     def __init__(self, stage1: StageSpec, stage2: StageSpec,
-                 config: CascadeConfig = CascadeConfig()):
+                 config: CascadeConfig = CascadeConfig(),
+                 mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a "data" axis — windows in
+        each chunk are sharded across it (models replicated), the multi-chip
+        serving layout from SURVEY §2.4. Single-chip when None."""
         self.stage1 = stage1
         self.stage2 = stage2
         self.config = config
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            if config.batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"batch_size {config.batch_size} must divide across "
+                    f"{mesh.devices.size} devices")
+            self._shard_batch = lambda x: pmesh.shard_batch(x, mesh)
+            self._replicate = lambda x: pmesh.replicate(x, mesh)
+        else:
+            self._shard_batch = jnp.asarray
+            self._replicate = lambda x: x
         win = int(config.window_sec * SAMPLING_RATE)
         hop = int(config.hop_sec * SAMPLING_RATE)
         self._win = win
@@ -103,8 +120,8 @@ class TwoStageEngine:
         # Frame reuse is exact only when window starts land on the 10 ms
         # frame grid; otherwise fall back to per-window fbank.
         self._frame_reuse = (hop % F.HOP_LENGTH == 0)
-        self._params1 = jax.device_put(stage1.params)
-        self._params2 = jax.device_put(stage2.params)
+        self._params1 = self._replicate(stage1.params)
+        self._params2 = self._replicate(stage2.params)
         self._frames_fn_cache: dict[int, Any] = {}
         self._chunk_fn_cache: dict[int, Any] = {}
 
@@ -193,8 +210,8 @@ class TwoStageEngine:
             n_frames_padded = _next_pow2(n_true_frames)
             padded_len = (n_frames_padded - 1) * F.HOP_LENGTH + F.FRAME_LENGTH
 
-            frames = self._cached_or_computed_frames(
-                audio, path, padded_len, n_true_frames, n_frames_padded)
+            frames = self._replicate(self._cached_or_computed_frames(
+                audio, path, padded_len, n_true_frames, n_frames_padded))
 
             key = n_frames_padded
             if key not in self._chunk_fn_cache:
@@ -216,8 +233,8 @@ class TwoStageEngine:
             target = _next_pow2(padded_len, floor=self._win)
             buf = np.pad(buf, (0, target - padded_len))
             p1, p2 = self._run_chunks(window_fn, self._params1, self._params2,
-                                      jnp.asarray(buf), starts.astype(np.int32),
-                                      W, C)
+                                      self._replicate(jnp.asarray(buf)),
+                                      starts.astype(np.int32), W, C)
         return p1, p2
 
     def _cached_or_computed_frames(self, audio, path, padded_len,
@@ -249,18 +266,22 @@ class TwoStageEngine:
                                cfg.cache_dir)
         return frames
 
-    @staticmethod
-    def _run_chunks(fn, params1, params2, device_buf, starts: np.ndarray,
+    def _run_chunks(self, fn, params1, params2, device_buf, starts: np.ndarray,
                     W: int, C: int):
-        p1_all, p2_all = [], []
+        # Dispatch every chunk before fetching any result: jax queues the
+        # device work asynchronously, so transfers overlap compute instead of
+        # forcing a host sync per chunk.
+        pending = []
         for i in range(0, W, C):
             chunk = starts[i: i + C]
             n = len(chunk)
             if n < C:  # pad with start 0; rows discarded below
                 chunk = np.concatenate([chunk, np.zeros(C - n, chunk.dtype)])
-            p1, p2 = fn(params1, params2, device_buf, jnp.asarray(chunk))
-            p1_all.append(np.asarray(p1[:n], np.float64))
-            p2_all.append(np.asarray(p2[:n], np.float64))
+            p1, p2 = fn(params1, params2, device_buf,
+                        self._shard_batch(chunk))
+            pending.append((n, p1, p2))
+        p1_all = [np.asarray(p1)[:n].astype(np.float64) for n, p1, _ in pending]
+        p2_all = [np.asarray(p2)[:n].astype(np.float64) for n, _, p2 in pending]
         return np.concatenate(p1_all), np.concatenate(p2_all)
 
     # ---------------- reference-exact gating & summaries ----------------

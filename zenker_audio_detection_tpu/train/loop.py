@@ -74,6 +74,10 @@ class TrainFoldConfig:
     dry_run: bool = False
     seed: int = SEED
     dtype: Any = jnp.bfloat16
+    # resume from the latest checkpoint-* in the fold dir (params, optimizer
+    # state, RNG, best-model tracking all restored). The reference never
+    # exposed HF's resume_from_checkpoint (SURVEY §5.4); here it's first-class.
+    resume: bool = False
     # optional hook: on_epoch_end(epoch, metrics_dict) -> True to stop early
     # (used by the sweep agent's Hyperband-style early termination)
     on_epoch_end: Any = None
@@ -212,7 +216,7 @@ def _predict(eval_step, params, feats, batch: int) -> np.ndarray:
 def train_fold(fold: int, cfg: TrainFoldConfig) -> dict[str, float]:
     print(f"\n===== {cfg.stage} Fold {fold} =====")
     fold_dir = os.path.join(cfg.output_root, f"fold{fold}")
-    if backup_existing_run_dir(fold_dir):
+    if not cfg.resume and backup_existing_run_dir(fold_dir):
         shutil.rmtree(fold_dir)
         print(f"[RunBackup] Cleared original run dir '{fold_dir}' after backup.")
     os.makedirs(fold_dir, exist_ok=True)
@@ -287,8 +291,34 @@ def train_fold(fold: int, cfg: TrainFoldConfig) -> dict[str, float]:
     patience_left = cfg.early_stopping_patience
     history = []
     checkpoints: list[str] = []
+    start_epoch = 1
 
-    for epoch in range(1, num_epochs + 1):
+    if cfg.resume:
+        ck = latest_checkpoint(fold_dir)
+        if ck:
+            params, opt_state, st = load_checkpoint(ck, params, opt_state)
+            start_epoch = st["epoch"] + 1
+            best_f1 = st["best_f1"]
+            best_epoch = st["best_epoch"]
+            patience_left = st["patience_left"]
+            epoch_rng.bit_generator.state = st["rng_state"]
+            history = st.get("history", [])
+            bp = os.path.join(fold_dir, "best_params.safetensors")
+            if best_epoch > 0 and os.path.exists(bp):
+                flat = convert.read_safetensors(bp)
+                best_params = jax.tree.map(np.asarray, params)
+                for key, arr in flat.items():
+                    node = best_params
+                    ks = key.split(".")
+                    for k in ks[:-1]:
+                        node = node[k]
+                    node[ks[-1]] = arr
+            print(f"[Resume] from {ck}: next epoch {start_epoch}, "
+                  f"best_f1={best_f1:.4f} @ epoch {best_epoch}")
+        else:
+            print("[Resume] no checkpoint found; training from scratch")
+
+    for epoch in range(start_epoch, num_epochs + 1):
         order = epoch_rng.permutation(n)
         epoch_loss = 0.0
         for s in range(0, n, cfg.batch_size):
@@ -307,17 +337,6 @@ def train_fold(fold: int, cfg: TrainFoldConfig) -> dict[str, float]:
         print(f"[Epoch {epoch}/{num_epochs}] loss={epoch_loss:.4f} "
               f"eval_f1={m['f1']:.4f} acc={m['accuracy']:.4f}")
 
-        # checkpoint per epoch with save_total_limit
-        ck = os.path.join(fold_dir, f"checkpoint-{epoch * steps_per_epoch}")
-        os.makedirs(ck, exist_ok=True)
-        convert.write_safetensors(
-            {k: np.asarray(v, np.float32)
-             for k, v in _flatten(params).items()},
-            os.path.join(ck, "params.safetensors"))
-        checkpoints.append(ck)
-        while len(checkpoints) > checkpoint_limit:
-            shutil.rmtree(checkpoints.pop(0), ignore_errors=True)
-
         if m["f1"] > best_f1 + (cfg.early_stopping_threshold
                                 if best_f1 >= 0 else 0):
             best_f1 = m["f1"]
@@ -330,11 +349,30 @@ def train_fold(fold: int, cfg: TrainFoldConfig) -> dict[str, float]:
                 best_params = jax.tree.map(np.asarray, params)
                 best_epoch = epoch
             patience_left -= 1
-            if has_val and cfg.enable_early_stopping and patience_left <= 0:
-                print(f"[EarlyStop] no f1 improvement > "
-                      f"{cfg.early_stopping_threshold} for "
-                      f"{cfg.early_stopping_patience} epochs")
-                break
+
+        if best_epoch == epoch:  # persist best weights for resume
+            convert.write_safetensors(
+                {k: np.asarray(v, np.float32)
+                 for k, v in _flatten(best_params).items()},
+                os.path.join(fold_dir, "best_params.safetensors"))
+
+        # full checkpoint per epoch with save_total_limit
+        ck = os.path.join(fold_dir, f"checkpoint-{epoch * steps_per_epoch}")
+        save_checkpoint(ck, params, opt_state, {
+            "epoch": epoch, "best_f1": best_f1, "best_epoch": best_epoch,
+            "patience_left": patience_left,
+            "rng_state": epoch_rng.bit_generator.state,
+            "history": history,
+        })
+        checkpoints.append(ck)
+        while len(checkpoints) > checkpoint_limit:
+            shutil.rmtree(checkpoints.pop(0), ignore_errors=True)
+
+        if has_val and cfg.enable_early_stopping and patience_left <= 0:
+            print(f"[EarlyStop] no f1 improvement > "
+                  f"{cfg.early_stopping_threshold} for "
+                  f"{cfg.early_stopping_patience} epochs")
+            break
 
         if cfg.on_epoch_end is not None and cfg.on_epoch_end(epoch, m):
             print(f"[Sweep] externally terminated after epoch {epoch}")
@@ -389,6 +427,74 @@ def _flatten(tree, prefix="") -> dict[str, Any]:
         else:
             out[key] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint save/restore (params + optimizer state + loop state)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(ck_dir: str, params, opt_state, state: dict) -> None:
+    """Full training checkpoint: params + opt state (leaves in pytree order,
+    restored into a freshly tx.init'd structure) + json loop state."""
+    os.makedirs(ck_dir, exist_ok=True)
+    convert.write_safetensors(
+        {k: np.asarray(v, np.float32) for k, v in _flatten(params).items()},
+        os.path.join(ck_dir, "params.safetensors"))
+    leaves = jax.tree.leaves(opt_state)
+    convert.write_safetensors(
+        {f"leaf_{i:04d}": np.asarray(leaf)
+         for i, leaf in enumerate(leaves) if hasattr(leaf, "shape")},
+        os.path.join(ck_dir, "opt_state.safetensors"))
+    with open(os.path.join(ck_dir, "train_state.json"), "w") as f:
+        json.dump(state, f, indent=2, default=float)
+
+
+def load_checkpoint(ck_dir: str, params_template, opt_state_template):
+    """Inverse of save_checkpoint; templates give structure and dtypes."""
+    flat = convert.read_safetensors(os.path.join(ck_dir, "params.safetensors"))
+    params = jax.tree.map(lambda x: x, params_template)
+
+    def set_path(tree, keys, value):
+        for k in keys[:-1]:
+            tree = tree[k]
+        tree[keys[-1]] = value
+
+    for key, arr in flat.items():
+        set_path(params, key.split("."), jnp.asarray(arr))
+
+    opt_flat = convert.read_safetensors(
+        os.path.join(ck_dir, "opt_state.safetensors"))
+    leaves, treedef = jax.tree.flatten(opt_state_template)
+    new_leaves = []
+    array_idx = 0
+    for leaf in leaves:
+        if hasattr(leaf, "shape"):
+            arr = opt_flat[f"leaf_{array_idx:04d}"]
+            new_leaves.append(jnp.asarray(arr, getattr(leaf, "dtype", None)))
+            array_idx += 1
+        else:
+            new_leaves.append(leaf)
+    opt_state = jax.tree.unflatten(treedef, new_leaves)
+    with open(os.path.join(ck_dir, "train_state.json")) as f:
+        state = json.load(f)
+    return params, opt_state, state
+
+
+def latest_checkpoint(fold_dir: str) -> str | None:
+    cks = []
+    if not os.path.isdir(fold_dir):
+        return None
+    for name in os.listdir(fold_dir):
+        if name.startswith("checkpoint-"):
+            try:
+                cks.append((int(name.split("-", 1)[1]),
+                            os.path.join(fold_dir, name)))
+            except ValueError:
+                continue
+    if not cks:
+        return None
+    return max(cks)[1]
 
 
 def run_cross_validation(folds, cfg: TrainFoldConfig,
