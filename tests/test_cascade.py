@@ -92,11 +92,26 @@ def test_cascade_probs_and_summary_parity(engines, rng):
     r1 = ref_probs(m1, fx1, windows)
     r2_all = ref_probs(m2, fx2, windows)
 
-    eng = C.TwoStageEngine(s1, s2, C.CascadeConfig(dtype=jnp.float32))
+    eng = C.TwoStageEngine(s1, s2, C.CascadeConfig(dtype=jnp.float32,
+                                                   stage2_mode="all"))
     p1, p2 = eng.window_probs(audio)
     assert p1.shape == r1.shape and p2.shape == r2_all.shape
     np.testing.assert_allclose(p1, r1, atol=2e-4)
     np.testing.assert_allclose(p2, r2_all, atol=2e-4)
+
+    # gated mode: stage-2 evaluated only where the gate passes, identical
+    # values there and identical downstream summary
+    eng_gated = C.TwoStageEngine(s1, s2, C.CascadeConfig(dtype=jnp.float32,
+                                                         stage2_mode="gated"))
+    g1, g2 = eng_gated.window_probs(audio)
+    np.testing.assert_allclose(g1, p1, atol=1e-6)
+    gated_idx = eng_gated._gate_indices(g1)
+    np.testing.assert_allclose(g2[gated_idx], p2[gated_idx], atol=1e-6)
+    ungated = np.setdiff1d(np.arange(len(g1)), gated_idx)
+    assert np.all(g2[ungated] == 0.0)
+    sum_all = eng.gate_and_summarize(p1, p2)[0]
+    sum_gated = eng_gated.gate_and_summarize(g1, g2)[0]
+    assert sum_all == sum_gated
 
     # reference gating (src/test_long_audio_windows_2stage.py:310-345)
     p_swallow = r1[:, 1]

@@ -1,0 +1,77 @@
+"""Parity tests for the Pallas fused attention (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from zenker_audio_detection_tpu.ops import attention as A
+
+
+def _qkv(rng, b, s, nh, d, dtype):
+    import jax.numpy as jnp
+
+    def one():
+        return jnp.asarray(rng.standard_normal((b, s, nh, d)),
+                           dtype=dtype)
+
+    return one(), one(), one()
+
+
+@pytest.mark.parametrize("s", [64, 100, 128])
+def test_mha_parity_fp32(rng, s):
+    import jax.numpy as jnp
+
+    q, k, v = _qkv(rng, 2, s, 4, 32, jnp.float32)
+    ours = np.asarray(A.mha(q, k, v, interpret=True))
+    ref = np.asarray(A.reference_mha(q, k, v))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_mha_parity_bf16(rng):
+    import jax.numpy as jnp
+
+    q, k, v = _qkv(rng, 1, 70, 2, 64, jnp.bfloat16)
+    ours = np.asarray(A.mha(q, k, v, interpret=True), np.float32)
+    ref = np.asarray(A.reference_mha(q, k, v), np.float32)
+    np.testing.assert_allclose(ours, ref, atol=0.02)
+
+
+def test_mask_excludes_padded_keys(rng):
+    """Changing values beyond S (the pad region) must not affect output —
+    i.e. padded keys truly get -inf logits."""
+    import jax.numpy as jnp
+
+    q, k, v = _qkv(rng, 1, 65, 2, 32, jnp.float32)  # padded to 128
+    out1 = np.asarray(A.mha(q, k, v, interpret=True))
+    # pad region is created inside mha from zeros; equivalence with the
+    # reference (no padding at all) already proves exclusion:
+    ref = np.asarray(A.reference_mha(q, k, v))
+    np.testing.assert_allclose(out1, ref, atol=2e-5)
+
+
+def test_full_model_with_pallas_attention(rng):
+    """encode(attention_impl='pallas') matches the XLA path on a tiny AST."""
+    import jax
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.models import ast as ast_mod
+    from zenker_audio_detection_tpu.ops import attention as attn_ops
+
+    # interpret mode on CPU: patch mha to interpret=True for the test
+    orig = attn_ops.mha
+    attn_ops_mha_interp = lambda q, k, v, **kw: orig(q, k, v, interpret=True)
+    attn_ops.mha, saved = attn_ops_mha_interp, orig
+    try:
+        cfg = ast_mod.ASTConfig(hidden_size=32, num_hidden_layers=2,
+                                num_attention_heads=4, intermediate_size=64,
+                                patch_size=8, frequency_stride=4,
+                                time_stride=4, num_mel_bins=16, max_length=64,
+                                num_labels=2)
+        params = ast_mod.init_params(jax.random.PRNGKey(0), cfg)
+        x = rng.standard_normal((2, 64, 16)).astype(np.float32)
+        ref = np.asarray(ast_mod.forward(params, x, cfg))
+        ours = np.asarray(ast_mod.forward(params, x, cfg,
+                                          attention_impl="pallas"))
+        np.testing.assert_allclose(ours, ref, atol=5e-5)
+    finally:
+        attn_ops.mha = saved

@@ -160,3 +160,76 @@ def analyze(data_dir: str, model_root_template: str, *,
             json.dump(payload, f, indent=2)
         print(f"Saved analysis JSON to {output_json}")
     return payload
+
+
+# ---------------------------------------------------------------------------
+# Plotting (reference :387-497: combined/individual ROC + PR figures with
+# dpi/format options)
+# ---------------------------------------------------------------------------
+
+
+def _save_fig(fig, base_path: str, dpi: int, fmt: str):
+    base = os.path.splitext(base_path)[0]
+    if fmt in ("png", "both"):
+        fig.savefig(base + ".png", dpi=dpi, bbox_inches="tight")
+        print(f"Saved plot to {base}.png")
+    if fmt in ("pdf", "both"):
+        fig.savefig(base + ".pdf", format="pdf", bbox_inches="tight")
+        print(f"Saved plot to {base}.pdf")
+
+
+def plot_payload(payload: dict, plot_dir: str, *, stage: str = "stage1",
+                 combined: bool = True, individual: bool = False,
+                 dpi: int = 150, fmt: str = "png") -> None:
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(plot_dir, exist_ok=True)
+    reports = payload["fold_reports"]
+    agg = payload["aggregate"]
+
+    def roc_ax(ax, rep, label):
+        rc = rep["roc_curve"]
+        ax.plot(rc["fpr"], rc["tpr"],
+                label=f"{label} (AUC={rep['roc_auc']:.3f})")
+
+    def pr_ax(ax, rep, label):
+        pc = rep["pr_curve"]
+        ax.plot(pc["recall"], pc["precision"],
+                label=f"{label} (AP={rep['pr_auc']:.3f})")
+
+    if combined and len(reports) > 1:
+        for kind, draw, xl, yl in (("roc", roc_ax, "False positive rate",
+                                    "True positive rate"),
+                                   ("pr", pr_ax, "Recall", "Precision")):
+            fig, ax = plt.subplots(figsize=(6, 5))
+            for rep in reports:
+                draw(ax, rep, f"fold {rep['fold']}")
+            draw(ax, agg, "pooled")
+            if kind == "roc":
+                ax.plot([0, 1], [0, 1], "k--", linewidth=0.8)
+            ax.set_xlabel(xl)
+            ax.set_ylabel(yl)
+            ax.set_title(f"{stage} {kind.upper()} ({payload['fold_reports'][0]['split']})")
+            ax.legend(fontsize=8)
+            _save_fig(fig, os.path.join(plot_dir, f"{stage}_{kind}_combined"),
+                      dpi, fmt)
+            plt.close(fig)
+
+    if individual:
+        for rep in reports:
+            fig, axes = plt.subplots(1, 2, figsize=(11, 4.5))
+            roc_ax(axes[0], rep, f"fold {rep['fold']}")
+            axes[0].plot([0, 1], [0, 1], "k--", linewidth=0.8)
+            axes[0].set_xlabel("False positive rate")
+            axes[0].set_ylabel("True positive rate")
+            axes[0].legend()
+            pr_ax(axes[1], rep, f"fold {rep['fold']}")
+            axes[1].set_xlabel("Recall")
+            axes[1].set_ylabel("Precision")
+            axes[1].legend()
+            fig.suptitle(f"{stage} fold {rep['fold']}")
+            _save_fig(fig, os.path.join(
+                plot_dir, f"{stage}_fold{rep['fold']}"), dpi, fmt)
+            plt.close(fig)

@@ -24,6 +24,14 @@ def main(argv=None):
     ap.add_argument("--decision-thresholds", type=float, nargs="+",
                     default=[0.5])
     ap.add_argument("--output-json")
+    ap.add_argument("--plot", action="store_true",
+                    help="Save ROC/PR plots")
+    ap.add_argument("--plot-dir", default="analysis_plots")
+    ap.add_argument("--plot-combined", action="store_true")
+    ap.add_argument("--plot-individual", action="store_true")
+    ap.add_argument("--plot-dpi", type=int, default=150)
+    ap.add_argument("--plot-format", choices=["png", "pdf", "both"],
+                    default="png")
     ap.add_argument("--f32", action="store_true")
     args = ap.parse_args(argv)
 
@@ -33,12 +41,19 @@ def main(argv=None):
     template = args.model_root_template or \
         f"runs/ast_classifier_{args.stage}/fold{{fold}}/best"
     folds = [args.fold] if args.fold else list(range(1, args.num_folds + 1))
-    roc_pr.analyze(
+    payload = roc_pr.analyze(
         data_dir, template, stage=args.stage, split=args.split, folds=folds,
         batch_size=args.batch_size,
         decision_thresholds=tuple(args.decision_thresholds),
         output_json=args.output_json,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16)
+    if args.plot:
+        combined = args.plot_combined or (not args.plot_individual
+                                          and not args.plot_combined)
+        roc_pr.plot_payload(payload, args.plot_dir, stage=args.stage,
+                            combined=combined,
+                            individual=args.plot_individual,
+                            dpi=args.plot_dpi, fmt=args.plot_format)
 
 
 if __name__ == "__main__":

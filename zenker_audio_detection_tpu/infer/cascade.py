@@ -64,6 +64,14 @@ class CascadeConfig:
     # raw-frame cache (infer/cache.py); None disables caching
     cache_dir: str | None = None
     refresh_cache: bool = False
+    # "gated": Stage 2 runs only on windows that pass the Stage-1 gate
+    # (compacted + bucket-padded; one host sync for the mask) — the
+    # reference's own semantics, ~1.5x faster at typical swallow ratios.
+    # "all": Stage 2 on every window, fully async, no host sync.
+    stage2_mode: str = "gated"
+    # "xla" | "pallas": attention implementation (ops/attention.py); pallas
+    # keeps scores VMEM-resident (inference only — no custom VJP yet)
+    attention_impl: str = "xla"
 
 
 def window_starts(num_samples: int, window_sec: float, hop_sec: float,
@@ -145,47 +153,64 @@ class TwoStageEngine:
 
         return frames_fn
 
-    def _make_chunk_fn(self, n_frames_padded: int):
+    def _make_stage_fn(self, kind: str, config: ast_mod.ASTConfig):
+        """One windows->probs program, shared by BOTH stages.
+
+        kind "frames": gather fpw-frame blocks from file-level log-mel;
+        kind "samples": gather raw windows and fbank them (non-grid hops).
+        Params and the normalization (mean, 2*std) are explicit jit
+        arguments, NOT closure captures: captured device arrays get embedded
+        in the HLO as constants (bloating the program by the full ~340 MB of
+        weights and breaking remote compile), and baked-in mean/std would
+        make stage-1 and stage-2 distinct programs — as arguments, one
+        compiled executable serves both stages."""
         fpw = self._frames_per_window
+        win = self._win
+        max_len = F.MAX_FRAMES
         dtype = self.config.dtype
-        s1, s2 = self.stage1, self.stage2
-
-        # Params are explicit jit arguments, NOT closure captures: captured
-        # device arrays get embedded in the HLO as constants, bloating the
-        # program by the full ~340 MB of weights (breaks remote compile and
-        # defeats donation/sharding).
-        @jax.jit
-        def chunk_fn(params1, params2, file_frames, frame_starts):
-            offs = jnp.arange(fpw, dtype=jnp.int32)[None, :]
-            idx = frame_starts[:, None] + offs
-            raw = file_frames[idx]  # (C, fpw, 128)
-            feats1 = self._normalize_pad(raw, s1)
-            feats2 = self._normalize_pad(raw, s2)
-            logits1 = ast_mod.forward(params1, feats1, s1.config, dtype=dtype)
-            logits2 = ast_mod.forward(params2, feats2, s2.config, dtype=dtype)
-            return jax.nn.softmax(logits1, -1), jax.nn.softmax(logits2, -1)
-
-        return chunk_fn
-
-    def _make_window_fn(self):
-        """Fallback: fbank per window from raw samples (non-grid-aligned hops)."""
-        dtype = self.config.dtype
-        s1, s2 = self.stage1, self.stage2
-        win, fpw = self._win, self._frames_per_window
 
         @jax.jit
-        def window_fn(params1, params2, padded_audio, sample_starts):
-            offs = jnp.arange(win, dtype=jnp.int32)[None, :]
-            idx = sample_starts[:, None] + offs
-            wavs = padded_audio[idx]  # (C, win)
-            raw = F.logmel_frames(wavs, fpw)
-            feats1 = self._normalize_pad(raw, s1)
-            feats2 = self._normalize_pad(raw, s2)
-            logits1 = ast_mod.forward(params1, feats1, s1.config, dtype=dtype)
-            logits2 = ast_mod.forward(params2, feats2, s2.config, dtype=dtype)
-            return jax.nn.softmax(logits1, -1), jax.nn.softmax(logits2, -1)
+        def stage_fn(params, mean, denom, device_buf, starts):
+            if kind == "frames":
+                offs = jnp.arange(fpw, dtype=jnp.int32)[None, :]
+                raw = device_buf[starts[:, None] + offs]  # (C, fpw, 128)
+            else:
+                offs = jnp.arange(win, dtype=jnp.int32)[None, :]
+                wavs = device_buf[starts[:, None] + offs]  # (C, win)
+                raw = F.logmel_frames(wavs, fpw)
+            # pad-then-normalize (HF order): pad rows become (0-mean)/denom
+            pad = [(0, 0)] * (raw.ndim - 2) + [(0, max_len - raw.shape[-2]),
+                                               (0, 0)]
+            feats = (jnp.pad(raw, pad) - mean) / denom
+            logits = ast_mod.forward(params, feats, config, dtype=dtype,
+                                     attention_impl=self.config.attention_impl)
+            return jax.nn.softmax(logits, -1)
 
-        return window_fn
+        return stage_fn
+
+    def _stage_fn(self, kind: str, stage: int):
+        spec = self.stage1 if stage == 1 else self.stage2
+        key = (kind, spec.config)  # identical configs share one executable
+        if key not in self._chunk_fn_cache:
+            self._chunk_fn_cache[key] = self._make_stage_fn(kind, spec.config)
+        fn = self._chunk_fn_cache[key]
+        mean = jnp.float32(spec.mean)
+        denom = jnp.float32(2.0 * spec.std)
+        return lambda params, buf, starts: fn(params, mean, denom, buf, starts)
+
+    def _gate_indices(self, s1_probs: np.ndarray) -> np.ndarray:
+        """Window indices forwarded to Stage 2 — the reference's gate
+        (argmax==Swallow AND p_swallow >= threshold, then the optional
+        --stage1-forward-min-prob second gate,
+        src/test_long_audio_windows_2stage_cache.py:463-478)."""
+        cfg = self.config
+        p_swallow = s1_probs[:, 1]
+        preds = s1_probs.argmax(axis=1)
+        preds = np.where((preds == 1) & (p_swallow >= cfg.stage1_threshold), 1, 0)
+        idx = np.where(preds == 1)[0]
+        if cfg.stage1_forward_min_prob is not None and len(idx):
+            idx = idx[p_swallow[idx] >= cfg.stage1_forward_min_prob]
+        return idx
 
     # ---------------- host orchestration ----------------
 
@@ -193,15 +218,16 @@ class TwoStageEngine:
                      path: str | None = None) -> tuple[np.ndarray, np.ndarray]:
         """All-window probabilities for one recording.
 
-        Returns (stage1_probs (W, 2), stage2_probs (W, 2)) — stage2 is
-        evaluated for every window; gating decides which entries are used.
-        `path` enables the raw-frame cache when config.cache_dir is set.
+        Returns (stage1_probs (W, 2), stage2_probs (W, 2)). In "gated" mode
+        stage2 rows are only evaluated for windows passing the Stage-1 gate
+        (other rows are zero — exactly the rows the reference never
+        computes); in "all" mode every row is evaluated. `path` enables the
+        raw-frame cache when config.cache_dir is set.
         """
         audio = np.asarray(audio, dtype=np.float32)
         starts = window_starts(len(audio), self.config.window_sec,
                                self.config.hop_sec)
         W = len(starts)
-        C = self.config.batch_size
 
         if self._frame_reuse and len(audio) >= self._win:
             # Bucket the padded file length (pow2 frames) to bound recompiles.
@@ -209,32 +235,32 @@ class TwoStageEngine:
             n_true_frames = F.num_frames(needed)
             n_frames_padded = _next_pow2(n_true_frames)
             padded_len = (n_frames_padded - 1) * F.HOP_LENGTH + F.FRAME_LENGTH
-
-            frames = self._replicate(self._cached_or_computed_frames(
+            device_buf = self._replicate(self._cached_or_computed_frames(
                 audio, path, padded_len, n_true_frames, n_frames_padded))
-
-            key = n_frames_padded
-            if key not in self._chunk_fn_cache:
-                self._chunk_fn_cache[key] = self._make_chunk_fn(n_frames_padded)
-            chunk_fn = self._chunk_fn_cache[key]
-
-            frame_starts = (starts // F.HOP_LENGTH).astype(np.int32)
-            p1, p2 = self._run_chunks(chunk_fn, self._params1, self._params2,
-                                      frames, frame_starts, W, C)
+            kind = "frames"
+            stage_starts = (starts // F.HOP_LENGTH).astype(np.int32)
         else:
-            # generic path: zero-pad so every gathered window is in-bounds
+            # generic path: zero-pad so every gathered window is in-bounds;
+            # bucket to pow2 samples to bound recompiles
             padded_len = int(starts[-1]) + self._win
-            buf = np.zeros(padded_len, np.float32)
+            buf = np.zeros(_next_pow2(padded_len, floor=self._win), np.float32)
             buf[: len(audio)] = audio
-            if "window" not in self._chunk_fn_cache:
-                self._chunk_fn_cache["window"] = self._make_window_fn()
-            window_fn = self._chunk_fn_cache["window"]
-            # window_fn recompiles per padded_len; bucket to pow2 samples
-            target = _next_pow2(padded_len, floor=self._win)
-            buf = np.pad(buf, (0, target - padded_len))
-            p1, p2 = self._run_chunks(window_fn, self._params1, self._params2,
-                                      self._replicate(jnp.asarray(buf)),
-                                      starts.astype(np.int32), W, C)
+            device_buf = self._replicate(jnp.asarray(buf))
+            kind = "samples"
+            stage_starts = starts.astype(np.int32)
+
+        p1 = self._run_stage(self._stage_fn(kind, 1), self._params1,
+                             device_buf, stage_starts, W)
+        if self.config.stage2_mode == "all":
+            p2 = self._run_stage(self._stage_fn(kind, 2), self._params2,
+                                 device_buf, stage_starts, W)
+        else:
+            p2 = np.zeros((W, 2), np.float64)
+            gated = self._gate_indices(p1)
+            if len(gated):
+                p2[gated] = self._run_stage(
+                    self._stage_fn(kind, 2), self._params2, device_buf,
+                    stage_starts[gated], len(gated))
         return p1, p2
 
     def _cached_or_computed_frames(self, audio, path, padded_len,
@@ -266,23 +292,30 @@ class TwoStageEngine:
                                cfg.cache_dir)
         return frames
 
-    def _run_chunks(self, fn, params1, params2, device_buf, starts: np.ndarray,
-                    W: int, C: int):
-        # Dispatch every chunk before fetching any result: jax queues the
-        # device work asynchronously, so transfers overlap compute instead of
-        # forcing a host sync per chunk.
+    def _run_stage(self, fn, params, device_buf, starts: np.ndarray,
+                   W: int) -> np.ndarray:
+        """Run one stage over W windows in fixed-shape chunks.
+
+        Every chunk is dispatched before any result is fetched: jax queues
+        device work asynchronously, so transfers overlap compute instead of
+        forcing a host sync per chunk. Tail chunks are padded up to pow2
+        buckets (start index 0; rows discarded) to bound compile count."""
+        C = self.config.batch_size
+        floor = self.mesh.devices.size if self.mesh is not None else 8
         pending = []
-        for i in range(0, W, C):
-            chunk = starts[i: i + C]
-            n = len(chunk)
-            if n < C:  # pad with start 0; rows discarded below
-                chunk = np.concatenate([chunk, np.zeros(C - n, chunk.dtype)])
-            p1, p2 = fn(params1, params2, device_buf,
-                        self._shard_batch(chunk))
-            pending.append((n, p1, p2))
-        p1_all = [np.asarray(p1)[:n].astype(np.float64) for n, p1, _ in pending]
-        p2_all = [np.asarray(p2)[:n].astype(np.float64) for n, _, p2 in pending]
-        return np.concatenate(p1_all), np.concatenate(p2_all)
+        i = 0
+        while i < W:
+            n = min(C, W - i)
+            bucket = C if n == C else min(C, _next_pow2(n, floor=floor))
+            chunk = starts[i: i + n]
+            if n < bucket:
+                chunk = np.concatenate([chunk, np.zeros(bucket - n,
+                                                        chunk.dtype)])
+            probs = fn(params, device_buf, self._shard_batch(chunk))
+            pending.append((n, probs))
+            i += n
+        return np.concatenate(
+            [np.asarray(p)[:n].astype(np.float64) for n, p in pending])
 
     # ---------------- reference-exact gating & summaries ----------------
 
@@ -297,11 +330,8 @@ class TwoStageEngine:
         s1_preds = s1_probs.argmax(axis=1)
         s1_preds = np.where((s1_preds == 1) & (p_swallow >= cfg.stage1_threshold), 1, 0)
 
-        swallow_indices = np.where(s1_preds == 1)[0]
-        if cfg.stage1_forward_min_prob is not None and len(swallow_indices):
-            keep = p_swallow[swallow_indices] >= cfg.stage1_forward_min_prob
-            swallow_indices = swallow_indices[keep]
-
+        # same gate that selected the stage-2 evaluations in window_probs
+        swallow_indices = self._gate_indices(s1_probs)
         stage2_results = [(int(g), s2_probs[g]) for g in swallow_indices]
 
         aligned_classes = np.full(len(s1_preds), -1, dtype=int)

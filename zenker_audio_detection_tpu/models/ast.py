@@ -167,13 +167,12 @@ def _dense(x, p):
         + p["bias"].astype(x.dtype)
 
 
-def _attention(x, lp, config: ASTConfig):
+def _attention(x, lp, config: ASTConfig, impl: str = "xla"):
     """Multi-head self-attention over the (fixed 1214) token axis.
 
-    Plain XLA einsum formulation; at seq=1214 / head_dim=64 the S^2 score
-    matrix is ~1.5 M elements/head — comfortably VMEM-resident after XLA
-    fusion, so flash-style tiling buys little here. A Pallas fused kernel
-    (ops/attention.py) can be swapped in via `attention_impl`.
+    impl "xla": einsum formulation, softmax in fp32 like the HF eager path.
+    impl "pallas": fused VMEM-resident kernel (ops/attention.py) that never
+    streams the (B, 12, 1214, 1214) score tensor through HBM.
     """
     B, S, H = x.shape
     nh, hd = config.num_attention_heads, config.head_dim
@@ -182,22 +181,27 @@ def _attention(x, lp, config: ASTConfig):
     k = _dense(x, lp["k"]).reshape(B, S, nh, hd)
     v = _dense(x, lp["v"]).reshape(B, S, nh, hd)
 
-    scores = jnp.einsum("bqnh,bknh->bnqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores * (1.0 / np.sqrt(hd))
-    # Softmax in fp32, like the HF eager path (softmax dtype=float32).
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bnqk,bknh->bqnh", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if impl == "pallas":
+        from ..ops import attention as attn_ops
+
+        ctx = attn_ops.mha(q, k, v)
+    else:
+        scores = jnp.einsum("bqnh,bknh->bnqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / np.sqrt(hd))
+        probs = jax.nn.softmax(scores.astype(jnp.float32),
+                               axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bnqk,bknh->bqnh", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     ctx = ctx.reshape(B, S, H)
     return _dense(ctx, lp["attn_out"])
 
 
-def _block(x, lp, config: ASTConfig):
+def _block(x, lp, config: ASTConfig, attention_impl: str = "xla"):
     """One pre-LN ViT block (modeling_audio_spectrogram_transformer.py:264-292)."""
     eps = config.layer_norm_eps
     h = _layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps)
-    x = x + _attention(h, lp, config)
+    x = x + _attention(h, lp, config, attention_impl)
     h = _layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], eps)
     h = _dense(h, lp["fc1"])
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(x.dtype)
@@ -230,7 +234,8 @@ def patch_embed(params: Params, input_values: jnp.ndarray,
 
 
 def encode(params: Params, input_values: jnp.ndarray, config: ASTConfig,
-           *, dtype=jnp.float32, remat: bool = False) -> jnp.ndarray:
+           *, dtype=jnp.float32, remat: bool = False,
+           attention_impl: str = "xla") -> jnp.ndarray:
     """Full trunk: features -> final-LN'd hidden states (B, S, H)."""
     x = patch_embed(params, input_values, config, dtype)
     B = x.shape[0]
@@ -241,7 +246,7 @@ def encode(params: Params, input_values: jnp.ndarray, config: ASTConfig,
     x = jnp.concatenate([cls, dist, x], axis=1)
     x = x + params["pos_embed"].astype(dtype)
 
-    block = partial(_block, config=config)
+    block = partial(_block, config=config, attention_impl=attention_impl)
     if remat:
         block = jax.checkpoint(block)
 
@@ -269,10 +274,12 @@ def classify(params: Params, pooled: jnp.ndarray, config: ASTConfig) -> jnp.ndar
 
 
 def forward(params: Params, input_values: jnp.ndarray, config: ASTConfig,
-            *, dtype=jnp.float32, remat: bool = False) -> jnp.ndarray:
+            *, dtype=jnp.float32, remat: bool = False,
+            attention_impl: str = "xla") -> jnp.ndarray:
     """(B, max_length, num_mel_bins) normalized features -> (B, num_labels)
     fp32 logits.  Equivalent to `ASTForAudioClassification.forward(...).logits`."""
-    hidden = encode(params, input_values, config, dtype=dtype, remat=remat)
+    hidden = encode(params, input_values, config, dtype=dtype, remat=remat,
+                    attention_impl=attention_impl)
     return classify(params, pool(hidden), config)
 
 
