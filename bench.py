@@ -32,18 +32,19 @@ def build_engine():
     return C.TwoStageEngine(s1, s2, C.CascadeConfig(dtype=jnp.bfloat16))
 
 
-def bench_tpu(engine, seconds_of_audio=120.0, repeats=3):
+def bench_tpu(engine, seconds_of_audio=120.0, repeats=5):
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(int(16000 * seconds_of_audio)) * 0.1
              ).astype(np.float32)
     # warmup / compile
     p1, _ = engine.window_probs(audio)
     n_windows = len(p1)
-    t0 = time.perf_counter()
+    times = []
     for _ in range(repeats):
+        t0 = time.perf_counter()
         engine.window_probs(audio)
-    dt = (time.perf_counter() - t0) / repeats
-    return n_windows / dt, n_windows
+        times.append(time.perf_counter() - t0)
+    return n_windows / float(np.median(times)), n_windows
 
 
 def bench_cpu_reference(n_windows_sample=8):

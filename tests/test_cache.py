@@ -1,0 +1,76 @@
+"""Feature-cache integrity tests (reference cache contract:
+src/test_long_audio_windows_2stage_cache.py:84-192 — metadata-verified,
+recompute on mismatch)."""
+
+import numpy as np
+import pytest
+
+from zenker_audio_detection_tpu.audio import io as aio
+from zenker_audio_detection_tpu.infer import cache as FC
+
+
+@pytest.fixture
+def wav(tmp_path, rng):
+    p = str(tmp_path / "a.wav")
+    aio.write_wav(p, (rng.standard_normal(32000) * 0.1).astype(np.float32),
+                  16000, dtype="float32")
+    return p
+
+
+def test_roundtrip(tmp_path, wav, rng):
+    frames = rng.standard_normal((198, 128)).astype(np.float32)
+    cache_dir = str(tmp_path / "cache")
+    FC.save_frames(wav, frames, 1.0, 0.5, 16000, cache_dir)
+    got = FC.load_frames(wav, 1.0, 0.5, 16000, cache_dir)
+    np.testing.assert_array_equal(got, frames)
+
+
+def test_miss_on_absent(tmp_path, wav):
+    assert FC.load_frames(wav, 1.0, 0.5, 16000, str(tmp_path / "c")) is None
+
+
+def test_key_changes_with_params(wav):
+    k1 = FC.cache_key(wav, 1.0, 0.5, 16000)
+    k2 = FC.cache_key(wav, 1.0, 0.25, 16000)
+    k3 = FC.cache_key(wav, 2.0, 0.5, 16000)
+    assert len({k1, k2, k3}) == 3
+
+
+def test_stale_on_file_change(tmp_path, wav, rng):
+    cache_dir = str(tmp_path / "cache")
+    frames = rng.standard_normal((198, 128)).astype(np.float32)
+    FC.save_frames(wav, frames, 1.0, 0.5, 16000, cache_dir)
+    # rewrite the audio -> size/mtime metadata mismatch -> miss
+    aio.write_wav(wav, (rng.standard_normal(16000) * 0.2).astype(np.float32),
+                  16000, dtype="float32")
+    assert FC.load_frames(wav, 1.0, 0.5, 16000, cache_dir) is None
+
+
+def test_engine_cache_hit_identical_probs(tmp_path, rng):
+    """Second engine call served from cache must reproduce probabilities."""
+    import jax
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.infer import cascade as C
+    from zenker_audio_detection_tpu.models import ast as ast_mod
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            num_labels=2)
+    s1 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(0), cfg), cfg,
+                     -1.15, 3.53, ("Idle", "Swallow"))
+    s2 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(1), cfg), cfg,
+                     -0.9, 2.8, ("Healthy", "Zenker"))
+    eng = C.TwoStageEngine(s1, s2, C.CascadeConfig(
+        dtype=jnp.float32, cache_dir=str(tmp_path / "cache"), batch_size=16))
+
+    wavpath = str(tmp_path / "rec.wav")
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    aio.write_wav(wavpath, audio, 16000, dtype="float32")
+
+    p1a, p2a = eng.window_probs(audio, wavpath)  # miss -> compute + save
+    p1b, p2b = eng.window_probs(audio, wavpath)  # hit
+    np.testing.assert_allclose(p1b, p1a, atol=1e-6)
+    np.testing.assert_allclose(p2b, p2a, atol=1e-6)
+    import glob
+    assert glob.glob(str(tmp_path / "cache" / "*.npz"))

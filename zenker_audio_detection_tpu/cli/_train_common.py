@@ -34,6 +34,17 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
                     help="resume each fold from its latest checkpoint")
     ap.add_argument("--f32", action="store_true",
                     help="train in float32 instead of bfloat16")
+    # observability (reference W&B surface; local tracking always on)
+    ap.add_argument("--no-wandb", action="store_true",
+                    help="disable the wandb mirror (local tracking remains)")
+    ap.add_argument("--wandb-project", default=None)
+    ap.add_argument("--wandb-group", default=None)
+    ap.add_argument("--wandb-offline", action="store_true")
+
+
+def tracking_opts(args) -> dict:
+    return {"enabled": not args.no_wandb, "project": args.wandb_project,
+            "group": args.wandb_group, "offline": args.wandb_offline}
 
 
 def validate_train_args(args) -> list[int]:

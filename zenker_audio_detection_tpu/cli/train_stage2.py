@@ -45,7 +45,8 @@ def main(argv=None):
         resume=args.resume,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
     )
-    train_loop.run_cross_validation(folds, cfg)
+    train_loop.run_cross_validation(
+        folds, cfg, tracking_opts=_train_common.tracking_opts(args))
 
 
 if __name__ == "__main__":

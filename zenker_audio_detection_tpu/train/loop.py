@@ -108,13 +108,42 @@ def backup_existing_run_dir(path: str) -> str | None:
 # ---------------------------------------------------------------------------
 
 
+def to_waveform(entry) -> np.ndarray:
+    """Audio payload -> 16 kHz float32 waveform. Accepts a path, an ndarray
+    (assumed 16 kHz), or a dict {"array"/"audio"/"values", "sampling_rate"}
+    — the reference analyzer's payload contract
+    (utils/analyze_ROC_PR_stage1.py:132-155)."""
+    if isinstance(entry, np.ndarray):
+        return entry.astype(np.float32)
+    if isinstance(entry, dict):
+        arr = entry.get("array")
+        if arr is None:
+            arr = entry.get("audio")
+        if arr is None:
+            arr = entry.get("values")
+        if arr is None:
+            raise ValueError("Unsupported dict payload for audio sample.")
+        arr = np.asarray(arr, dtype=np.float32)
+        sr = (entry.get("sampling_rate") or entry.get("sampling_rate_hz")
+              or SAMPLING_RATE)
+        if sr != SAMPLING_RATE:
+            from ..ops import resample as R
+
+            arr = R.resample(arr, int(sr), SAMPLING_RATE)
+        return arr
+    if isinstance(entry, (str, os.PathLike)):
+        return aio.load_audio(str(entry), SAMPLING_RATE)
+    raise TypeError(f"Unsupported audio payload type: {type(entry)}")
+
+
 def featurize_paths(paths, mean: float, std: float,
                     augment_rng: np.random.Generator | None = None,
                     batch: int = 32) -> np.ndarray:
-    """Decode -> (augment) -> fbank+normalize, device-batched by length."""
+    """Decode -> (augment) -> fbank+normalize, device-batched by length.
+    Entries may be paths, ndarrays, or dict payloads (see to_waveform)."""
     waves = []
     for p in paths:
-        w = aio.load_audio(str(p), SAMPLING_RATE)
+        w = to_waveform(p)
         if augment_rng is not None:
             w = aug.augment_waveform(w, augment_rng)
         waves.append(w)
@@ -498,9 +527,13 @@ def latest_checkpoint(fold_dir: str) -> str | None:
 
 
 def run_cross_validation(folds, cfg: TrainFoldConfig,
-                         run_config_extra: dict | None = None) -> dict:
+                         run_config_extra: dict | None = None,
+                         tracking_opts: dict | None = None) -> dict:
     """Train the given folds and write cv_metrics.npy/.txt + run-config
-    snapshot (reference :772-784, :887-910)."""
+    snapshot (reference :772-784, :887-910).
+
+    tracking_opts maps the reference's W&B surface onto utils/tracking.Run:
+    {"enabled": bool, "project": str, "group": str, "offline": bool}."""
     os.makedirs(cfg.output_root, exist_ok=True)
     run_started = datetime.now()
     run_config = {
@@ -537,9 +570,13 @@ def run_cross_validation(folds, cfg: TrainFoldConfig,
 
     from ..utils import tracking
 
-    run = tracking.Run(project=f"zenker-ast-{cfg.stage}",
+    topts = tracking_opts or {}
+    run = tracking.Run(project=topts.get("project") or f"zenker-ast-{cfg.stage}",
                        name=run_config["run_id"], config=run_config,
-                       dir=os.path.join(cfg.output_root, "tracking"))
+                       group=topts.get("group"),
+                       dir=os.path.join(cfg.output_root, "tracking"),
+                       use_wandb=topts.get("enabled", True),
+                       offline=topts.get("offline", False))
 
     all_metrics = []
     for fold in folds:
