@@ -138,15 +138,35 @@ def to_waveform(entry) -> np.ndarray:
 
 def featurize_paths(paths, mean: float, std: float,
                     augment_rng: np.random.Generator | None = None,
-                    batch: int = 32) -> np.ndarray:
+                    batch: int = 32, workers: int | None = None) -> np.ndarray:
     """Decode -> (augment) -> fbank+normalize, device-batched by length.
-    Entries may be paths, ndarrays, or dict payloads (see to_waveform)."""
-    waves = []
-    for p in paths:
-        w = to_waveform(p)
-        if augment_rng is not None:
-            w = aug.augment_waveform(w, augment_rng)
-        waves.append(w)
+    Entries may be paths, ndarrays, or dict payloads (see to_waveform).
+
+    Decode+augment run on a host thread pool (the reference's CPU hot loops
+    #1/#2, SURVEY §3.1, parallelized). Augmentation randomness is
+    deterministic per example: independent generators spawned from the
+    caller's rng via SeedSequence, so results don't depend on worker
+    scheduling (and differ from a serial shared-rng draw order by design)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if augment_rng is not None:
+        seeds = augment_rng.bit_generator.seed_seq.spawn(len(paths))
+        ex_rngs = [np.random.default_rng(s) for s in seeds]
+    else:
+        ex_rngs = [None] * len(paths)
+
+    def prepare(i):
+        w = to_waveform(paths[i])
+        if ex_rngs[i] is not None:
+            w = aug.augment_waveform(w, ex_rngs[i])
+        return w
+
+    workers = workers or min(16, os.cpu_count() or 4)
+    if len(paths) > 1 and workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            waves = list(pool.map(prepare, range(len(paths))))
+    else:
+        waves = [prepare(i) for i in range(len(paths))]
     out = np.empty((len(waves), F.MAX_FRAMES, F.NUM_MEL_BINS), np.float32)
     denom = 2.0 * std
     pad_value = (0.0 - mean) / denom  # HF pads raw fbank, then normalizes
