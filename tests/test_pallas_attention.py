@@ -49,6 +49,28 @@ def test_mask_excludes_padded_keys(rng):
     np.testing.assert_allclose(out1, ref, atol=2e-5)
 
 
+@pytest.mark.parametrize("s", [64, 100])
+def test_mha_batched_heads_parity(rng, s):
+    import jax.numpy as jnp
+
+    q, k, v = _qkv(rng, 2, s, 4, 32, jnp.float32)
+    ours = np.asarray(A.mha_batched_heads(q, k, v, interpret=True))
+    ref = np.asarray(A.reference_mha(q, k, v))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("s,bq", [(64, 64), (300, 128), (100, 256)])
+def test_mha_qblock_and_fused_parity(rng, s, bq):
+    import jax.numpy as jnp
+
+    q, k, v = _qkv(rng, 2, s, 4, 32, jnp.float32)
+    ref = np.asarray(A.reference_mha(q, k, v))
+    got_q = np.asarray(A.mha_qblock(q, k, v, block_q=bq, interpret=True))
+    np.testing.assert_allclose(got_q, ref, atol=2e-5)
+    got_f = np.asarray(A.mha_fused(q, k, v, block_q=bq, interpret=True))
+    np.testing.assert_allclose(got_f, ref, atol=2e-5)
+
+
 def test_full_model_with_pallas_attention(rng):
     """encode(attention_impl='pallas') matches the XLA path on a tiny AST."""
     import jax
@@ -57,10 +79,10 @@ def test_full_model_with_pallas_attention(rng):
     from zenker_audio_detection_tpu.models import ast as ast_mod
     from zenker_audio_detection_tpu.ops import attention as attn_ops
 
-    # interpret mode on CPU: patch mha to interpret=True for the test
-    orig = attn_ops.mha
-    attn_ops_mha_interp = lambda q, k, v, **kw: orig(q, k, v, interpret=True)
-    attn_ops.mha, saved = attn_ops_mha_interp, orig
+    # interpret mode on CPU: patch mha_fused (the model's pallas entry)
+    orig = attn_ops.mha_fused
+    patched = lambda q, k, v, **kw: orig(q, k, v, interpret=True)
+    attn_ops.mha_fused, saved = patched, orig
     try:
         cfg = ast_mod.ASTConfig(hidden_size=32, num_hidden_layers=2,
                                 num_attention_heads=4, intermediate_size=64,
@@ -74,4 +96,4 @@ def test_full_model_with_pallas_attention(rng):
                                           attention_impl="pallas"))
         np.testing.assert_allclose(ours, ref, atol=5e-5)
     finally:
-        attn_ops.mha = saved
+        attn_ops.mha_fused = saved

@@ -10,10 +10,23 @@ grid step entirely on-chip:
     p = softmax(s)               VPU, f32, cast to bf16
     o = p @ v                    MXU, f32 accumulation
 
-which never materializes scores in HBM (the XLA fallback in models/ast.py
-streams a (B, 12, 1214, 1214) f32 tensor through HBM per layer). No online
-(flash) accumulation is needed at this sequence length — a single-pass
-softmax over a VMEM-resident tile is both simpler and faster.
+which never materializes scores in HBM. No online (flash) accumulation is
+needed at this sequence length — a single-pass softmax over a VMEM-resident
+tile is both simpler and faster.
+
+Measured on v5e (B=128, S=1214, 12 heads, D=64, scalar-output timing):
+
+  isolated attention op:   XLA 50.2 ms | `mha` 25.2 ms | `mha_qblock` 26.7 ms
+  full 12-layer AST fwd:   XLA 353 ms  | pallas 530 ms
+
+i.e. the kernels beat XLA's *standalone* attention 2x, but wiring them into
+the encoder adds (B, S, NH, D) -> (B*NH, S, D) transposes/relayouts around
+each custom call that cost more than the win — XLA's in-model fused
+attention runs ~12.5 ms/layer. `mha_fused` below is the layout-preserving
+design that would fix this, but Mosaic currently cannot lower its per-head
+middle-axis vector reshapes (kept interpret-mode-only as the round-2
+starting point). The production default therefore remains the XLA path
+(`attention_impl="xla"`); `"pallas"` is opt-in.
 
 Use via `mha(q, k, v)` with (B, S, NH, D) inputs; pad/mask handled here.
 """
@@ -88,6 +101,180 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     out = out[:, :S, :].reshape(B, NH, S, D)
     return jnp.swapaxes(out, 1, 2)
+
+
+def _attn_kernel_batched(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                         s_valid: int, nh: int):
+    """All heads of one batch element per program: 12x fewer grid steps than
+    the per-(batch,head) kernel, amortizing per-step DMA latency."""
+    s_pad = q_ref.shape[2]
+
+    def head(h, _):
+        q = q_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k_ref[0, h], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if s_valid < s_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+            s = jnp.where(col < s_valid, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        o_ref[0, h] = jax.lax.dot_general(
+            p, v_ref[0, h], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(q.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nh, head, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mha_batched_heads(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      *, interpret: bool = False) -> jnp.ndarray:
+    """Same contract as `mha`, one grid program per batch element."""
+    B, S, NH, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    s_pad = _round_up(S, LANE)
+
+    def to_b(x):
+        x = jnp.swapaxes(x, 1, 2)  # (B, NH, S, D)
+        if s_pad != S:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
+        return x
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_batched, scale=scale, s_valid=S,
+                          nh=NH),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, NH, s_pad, D), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((1, NH, s_pad, D), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, NH, s_pad, D), q.dtype),
+        interpret=interpret,
+    )(to_b(q), to_b(k), to_b(v))
+
+    return jnp.swapaxes(out[:, :, :S, :], 1, 2)
+
+
+def _attn_kernel_qblock(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        s_valid: int):
+    q = q_ref[0]  # (BQ, D)
+    s = jax.lax.dot_general(
+        q, k_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (BQ, S_pad)
+    s_pad = k_ref.shape[1]
+    if s_valid < s_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < s_valid, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p, v_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def mha_qblock(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               *, block_q: int = 256, interpret: bool = False) -> jnp.ndarray:
+    """Same contract as `mha`, with the query axis blocked: small score
+    tiles (block_q x S_pad) pipeline across grid steps, and K/V blocks are
+    reused across consecutive q blocks of the same (batch, head) (their
+    index map is constant in the q dimension, so Pallas skips the re-fetch).
+    """
+    B, S, NH, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    s_pad = _round_up(S, max(LANE, block_q))
+    n_qb = s_pad // block_q
+
+    def to_bh(x):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * NH, S, D)
+        return jnp.pad(x, ((0, 0), (0, s_pad - S), (0, 0))) if s_pad != S else x
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_qblock, scale=scale, s_valid=S),
+        grid=(B * NH, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, D), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, D), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * NH, s_pad, D), q.dtype),
+        interpret=interpret,
+    )(to_bh(q), to_bh(k), to_bh(v))
+
+    out = out[:, :S, :].reshape(B, NH, S, D)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def _attn_kernel_fused(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                       s_valid: int, nh: int):
+    """(1, BQ, NH, D) q block vs (1, S_pad, NH, D) k/v; heads unrolled.
+
+    Operates directly on the model's natural layout — `reshape(B, S, NH, D)`
+    splits the contiguous hidden dim for free, so wiring this kernel into
+    the encoder adds NO transposes/relayouts (which is what made the
+    (B*NH, S, D) kernels slower end-to-end than XLA despite winning in
+    isolation)."""
+    s_pad = k_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], s_pad), 1)
+    outs = []
+    for h in range(nh):
+        q = q_ref[0, :, h, :]  # (BQ, D)
+        s = jax.lax.dot_general(
+            q, k_ref[0, :, h, :], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if s_valid < s_pad:
+            s = jnp.where(col < s_valid, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v_ref[0, :, h, :], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(q.dtype))
+    # single store; Mosaic handles the leading-1 reshape but not per-head
+    # middle-axis stores
+    o_ref[0] = jnp.stack(outs, axis=1)  # (BQ, NH, D)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def mha_fused(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              *, block_q: int = 256, interpret: bool = False) -> jnp.ndarray:
+    """Layout-preserving fused attention: (B, S, NH, D) -> (B, S, NH, D).
+
+    INTERPRET-MODE ONLY for now: Mosaic cannot lower the per-head
+    middle-axis vector reshapes this layout needs (tpu.reshape
+    (BQ,D)->(1,BQ,1,D) / broadcast_in_dim from jnp.stack). Kept as the
+    correctness-verified starting point for a round-2 kernel that avoids
+    the transposes which make `mha`/`mha_qblock` slower than XLA end-to-end.
+    """
+    B, S, NH, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    s_pad = _round_up(S, max(LANE, block_q))
+    n_qb = s_pad // block_q
+
+    def padded(x):
+        return jnp.pad(x, ((0, 0), (0, s_pad - S), (0, 0), (0, 0))) \
+            if s_pad != S else x
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_fused, scale=scale, s_valid=S, nh=NH),
+        grid=(B, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, block_q, NH, D), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, NH, D), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, NH, D), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, NH, D), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, s_pad, NH, D), q.dtype),
+        interpret=interpret,
+    )(padded(q), padded(k), padded(v))
+
+    return out[:, :S]
 
 
 def reference_mha(q, k, v):
