@@ -80,8 +80,18 @@ def bench_cpu_reference(n_windows_sample=8):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace-dir", default=None,
+                    help="capture a jax.profiler trace of the timed runs")
+    args = ap.parse_args()
+
+    from zenker_audio_detection_tpu.utils import profiling
+
     engine = build_engine()
-    tpu_wps, n_windows = bench_tpu(engine)
+    with profiling.trace(args.trace_dir):
+        tpu_wps, n_windows = bench_tpu(engine)
     cpu_wps = bench_cpu_reference()
     print(json.dumps({
         "metric": "e2e_2stage_windows_per_sec_per_chip",

@@ -62,7 +62,7 @@ def positive_scores(model_dir: str, paths, batch_size: int = 16,
     """softmax[:, 1] over a list of clip paths using a saved model dir."""
     import jax.numpy as jnp
 
-    from ..models import ast as ast_mod, convert
+    from ..models import convert
     from ..train import loop as train_loop, steps
 
     if dtype is None:

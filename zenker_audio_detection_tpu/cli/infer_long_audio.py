@@ -11,7 +11,6 @@ import argparse
 import json
 import os
 
-import numpy as np
 
 from ..audio import io as aio
 from ..infer import cascade as C
@@ -52,6 +51,11 @@ def build_arg_parser():
     ap.add_argument("--disable-cache", action="store_true")
     ap.add_argument("--refresh-cache", action="store_true")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--stage2-mode", choices=["gated", "all"], default="gated")
+    ap.add_argument("--attention-impl", choices=["xla", "pallas"],
+                    default="xla")
+    ap.add_argument("--trace-dir", default=None,
+                    help="capture a jax.profiler trace of the inference")
     return ap
 
 
@@ -90,6 +94,8 @@ def build_engine(args) -> tuple[C.TwoStageEngine, str, str]:
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         cache_dir=None if args.disable_cache else args.cache_dir,
         refresh_cache=args.refresh_cache,
+        stage2_mode=getattr(args, "stage2_mode", "gated"),
+        attention_impl=getattr(args, "attention_impl", "xla"),
     )
     return (C.TwoStageEngine(spec1, spec2, config),
             args.stage1_model_root, args.stage2_model_root)
@@ -190,7 +196,11 @@ def main(argv=None):
     files = resolve_files(args)
     print(f"Using files:\n  A: {files[0]}\n  B: {files[1]}")
     engine, s1_root, s2_root = build_engine(args)
-    run_patient(engine, files, args, s1_root, s2_root)
+
+    from ..utils import profiling
+
+    with profiling.trace(getattr(args, "trace_dir", None)):
+        run_patient(engine, files, args, s1_root, s2_root)
 
 
 if __name__ == "__main__":

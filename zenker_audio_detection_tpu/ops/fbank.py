@@ -31,9 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

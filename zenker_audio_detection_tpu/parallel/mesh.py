@@ -18,7 +18,6 @@ intentionally out of scope (documented decision, SURVEY §2.4); the mesh is
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
