@@ -103,35 +103,51 @@ def main(argv=None):
         long_audio_root=args.long_audio_root,
         output_json=None, patient_id=None, file_a=None, file_b=None)
 
-    engine = None
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..infer import discovery
+
+    todo = []
     done = failed = skipped = 0
     for pid in patients:
         expected = os.path.join(args.output_dir, f"{pid}_2stage.json")
         if os.path.exists(expected) and not args.force:
             print(f"[SKIP] {pid} (exists: {expected})")
             skipped += 1
-            continue
-        if args.dry_run:
+        elif args.dry_run:
             print(f"[DRY-RUN] would infer patient {pid} -> {expected}")
-            continue
-        if engine is None:
-            engine, s1_root, s2_root = infer_long_audio.build_engine(infer_args)
-        print(f"[RUN] {pid}")
-        try:
-            from ..infer import discovery
+        else:
+            todo.append((pid, expected))
 
-            files = discovery.discover_two_files(args.long_audio_root, pid,
-                                                 args.pattern)
-            infer_args.patient_id = pid
-            infer_args.output_json = expected
-            infer_long_audio.run_patient(engine, files, infer_args,
-                                         s1_root, s2_root)
-            done += 1
-            print(f"[DONE] {pid}")
-        except Exception as exc:
-            failed += 1
-            print(f"[FAIL] {pid}: {exc}")
-            traceback.print_exc()
+    def discover(pid):
+        return discovery.discover_two_files(args.long_audio_root, pid,
+                                            args.pattern)
+
+    engine = None
+    # prefetch: discover the next patient's files while the current one
+    # runs on-device (decode itself happens inside run_patient)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futures = {pid: pool.submit(discover, pid) for pid, _ in todo[:2]}
+        for i, (pid, expected) in enumerate(todo):
+            if i + 2 < len(todo):
+                nxt = todo[i + 2][0]
+                futures[nxt] = pool.submit(discover, nxt)
+            if engine is None:
+                engine, s1_root, s2_root = \
+                    infer_long_audio.build_engine(infer_args)
+            print(f"[RUN] {pid}")
+            try:
+                files = futures.pop(pid).result()
+                infer_args.patient_id = pid
+                infer_args.output_json = expected
+                infer_long_audio.run_patient(engine, files, infer_args,
+                                             s1_root, s2_root)
+                done += 1
+                print(f"[DONE] {pid}")
+            except Exception as exc:
+                failed += 1
+                print(f"[FAIL] {pid}: {exc}")
+                traceback.print_exc()
     print(f"[Fold {args.fold}] done={done} failed={failed} skipped={skipped}")
 
 
