@@ -235,8 +235,18 @@ def patch_embed(params: Params, input_values: jnp.ndarray,
 
 def encode(params: Params, input_values: jnp.ndarray, config: ASTConfig,
            *, dtype=jnp.float32, remat: bool = False,
+           remat_policy: str = "full",
            attention_impl: str = "xla") -> jnp.ndarray:
-    """Full trunk: features -> final-LN'd hidden states (B, S, H)."""
+    """Full trunk: features -> final-LN'd hidden states (B, S, H).
+
+    remat_policy (when remat=True):
+      "full": save nothing per block, recompute everything in backward —
+        required baseline; WITHOUT remat the scanned residuals include the
+        per-layer f32 score tensors (37 GB at batch 16 — OOM on v5e).
+      "dots_no_batch": save outputs of batch-dim-free dots (projections,
+        MLP matmuls) and recompute only the attention internals — the score
+        tensors are the only residuals that don't fit.
+    """
     x = patch_embed(params, input_values, config, dtype)
     B = x.shape[0]
     cls = jnp.broadcast_to(params["cls_token"].astype(dtype),
@@ -248,7 +258,9 @@ def encode(params: Params, input_values: jnp.ndarray, config: ASTConfig,
 
     block = partial(_block, config=config, attention_impl=attention_impl)
     if remat:
-        block = jax.checkpoint(block)
+        policy = (jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+                  if remat_policy == "dots_no_batch" else None)
+        block = jax.checkpoint(block, policy=policy)
 
     def scan_body(carry, lp):
         return block(carry, lp), None
@@ -275,11 +287,12 @@ def classify(params: Params, pooled: jnp.ndarray, config: ASTConfig) -> jnp.ndar
 
 def forward(params: Params, input_values: jnp.ndarray, config: ASTConfig,
             *, dtype=jnp.float32, remat: bool = False,
+            remat_policy: str = "full",
             attention_impl: str = "xla") -> jnp.ndarray:
     """(B, max_length, num_mel_bins) normalized features -> (B, num_labels)
     fp32 logits.  Equivalent to `ASTForAudioClassification.forward(...).logits`."""
     hidden = encode(params, input_values, config, dtype=dtype, remat=remat,
-                    attention_impl=attention_impl)
+                    remat_policy=remat_policy, attention_impl=attention_impl)
     return classify(params, pool(hidden), config)
 
 

@@ -27,11 +27,13 @@ class TrainState:
 
 
 def make_loss_fn(config: ast_mod.ASTConfig, loss: Callable,
-                 dtype=jnp.bfloat16, remat: bool = True):
+                 dtype=jnp.bfloat16, remat: bool = True,
+                 remat_policy: str = "full"):
     """loss(logits, labels) -> scalar, lifted to a params-first objective."""
 
     def loss_fn(params, feats, labels):
-        logits = ast_mod.forward(params, feats, config, dtype=dtype, remat=remat)
+        logits = ast_mod.forward(params, feats, config, dtype=dtype,
+                                 remat=remat, remat_policy=remat_policy)
         return loss(logits, labels), logits
 
     return loss_fn
@@ -39,8 +41,9 @@ def make_loss_fn(config: ast_mod.ASTConfig, loss: Callable,
 
 def make_train_step(tx: optax.GradientTransformation,
                     config: ast_mod.ASTConfig, loss: Callable,
-                    dtype=jnp.bfloat16, remat: bool = True):
-    loss_fn = make_loss_fn(config, loss, dtype, remat)
+                    dtype=jnp.bfloat16, remat: bool = True,
+                    remat_policy: str = "full"):
+    loss_fn = make_loss_fn(config, loss, dtype, remat, remat_policy)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, feats, labels):
