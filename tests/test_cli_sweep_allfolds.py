@@ -1,0 +1,78 @@
+"""End-to-end tests for the sweep CLI and the all-folds batch driver."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from test_train_loop import make_dataset, tiny_pretrained_dir
+
+pytestmark = pytest.mark.slow
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_sweep_cli_two_trials(tmp_path, monkeypatch, rng):
+    from zenker_audio_detection_tpu.cli import sweep as sweep_cli
+
+    data_dir = make_dataset(tmp_path, rng, n_per_class=4, val=True)
+    pretrained = tiny_pretrained_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    # sweep yaml pinned to fold 1 (the tiny dataset has one fold)
+    cfg = (REPO / "sweeps" / "sweep_stage1_comprehensive.yaml").read_text()
+    (tmp_path / "sweep.yaml").write_text(cfg.replace("values: [3]",
+                                                     "values: [1]"))
+    sweep_cli.main([
+        str(tmp_path / "sweep.yaml"), "--stage", "stage1", "--count", "2",
+        "--data-dir", data_dir, "--pretrained-model-dir", pretrained,
+        "--num-epochs", "1", "--batch-size", "8", "--no-augment", "--f32",
+        "--output-dir", str(tmp_path / "sw")])
+
+    lines = (tmp_path / "sw" / "sweep_results.jsonl").read_text().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert rec["fold"] == 1 and "learning-rate" in rec["params"]
+    best = json.loads((tmp_path / "sw" / "best_config.json").read_text())
+    assert best["value"] == max(json.loads(ln)["value"] for ln in lines)
+
+
+def test_run_all_folds_dry_run(tmp_path, monkeypatch, capsys):
+    from zenker_audio_detection_tpu.cli import run_all_folds
+
+    monkeypatch.chdir(tmp_path)
+    ids_root = tmp_path / "data_ast_stage2"
+    ids_root.mkdir()
+    for fold in (1, 2):
+        (ids_root / f"test_ids_fold{fold}.txt").write_text(
+            f"Zenker/Z0{fold}\nHealthy/H0{fold}\n")
+    (tmp_path / "Long").mkdir()
+
+    run_all_folds.main(["runs", "--long-audio-root", str(tmp_path / "Long"),
+                        "--ids-root", str(ids_root), "--num-folds", "2",
+                        "--dry-run", "--no-threshold-config"])
+    out = capsys.readouterr().out
+    assert out.count("[DRY-RUN]") == 4  # 2 folds x 2 patients
+    assert "Fold 1" in out and "Fold 2" in out
+
+
+def test_run_all_folds_auto_threshold_detection(tmp_path, monkeypatch, capsys):
+    from zenker_audio_detection_tpu.cli import run_all_folds
+
+    monkeypatch.chdir(tmp_path)
+    ids_root = tmp_path / "data_ast_stage2"
+    ids_root.mkdir()
+    (ids_root / "test_ids_fold1.txt").write_text("Zenker/Z01\n")
+    model_dir = tmp_path / "runs"
+    model_dir.mkdir()
+    (model_dir / "optimal_thresholds_per_fold_both_stages.json").write_text(
+        json.dumps({"folds": {"1": {"stage2": {"threshold": 0.42},
+                                    "stage1": {"threshold": 0.61}}}}))
+    run_all_folds.main([str(model_dir), "--long-audio-root", "Long",
+                        "--ids-root", str(ids_root), "--num-folds", "1",
+                        "--dry-run"])
+    out = capsys.readouterr().out
+    assert "auto-using" in out
+    assert "stage2 <- 0.42" in out and "stage1 <- 0.61" in out
