@@ -29,10 +29,12 @@ def build_engine():
     params2 = ast_mod.init_params(jax.random.PRNGKey(1), cfg)
     s1 = C.StageSpec(params1, cfg, -1.1509622, 3.5340312, ("Idle", "Swallow"))
     s2 = C.StageSpec(params2, cfg, -1.1509622, 3.5340312, ("Healthy", "Zenker"))
-    return C.TwoStageEngine(s1, s2, C.CascadeConfig(dtype=jnp.bfloat16))
+    # 256-window chunks amortize per-call overhead on long recordings
+    return C.TwoStageEngine(s1, s2, C.CascadeConfig(dtype=jnp.bfloat16,
+                                                    batch_size=256))
 
 
-def bench_tpu(engine, seconds_of_audio=120.0, repeats=5):
+def bench_tpu(engine, seconds_of_audio=600.0, repeats=5):
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(int(16000 * seconds_of_audio)) * 0.1
              ).astype(np.float32)
@@ -104,4 +106,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # one retry: the remote-compile tunnel occasionally drops a request
+    try:
+        main()
+    except Exception as exc:
+        print(f"# bench attempt 1 failed ({type(exc).__name__}: {exc}); "
+              f"retrying", file=sys.stderr)
+        time.sleep(5)
+        main()
