@@ -1,0 +1,73 @@
+"""Edge-case tests for the cascade engine chunking/bucketing."""
+
+import numpy as np
+import pytest
+
+from zenker_audio_detection_tpu.infer import cascade as C
+from zenker_audio_detection_tpu.models import ast as ast_mod
+
+
+@pytest.fixture(scope="module")
+def engine():
+    import jax
+    import jax.numpy as jnp
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            num_labels=2)
+    s1 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(0), cfg), cfg,
+                     -1.15, 3.53, ("Idle", "Swallow"))
+    s2 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(1), cfg), cfg,
+                     -0.9, 2.8, ("Healthy", "Zenker"))
+    return C.TwoStageEngine(s1, s2,
+                            C.CascadeConfig(batch_size=16,
+                                            dtype=jnp.float32))
+
+
+def test_subframe_audio(engine, rng):
+    """Audio shorter than one fbank frame still yields one (padded) window."""
+    p1, p2 = engine.window_probs((rng.standard_normal(100) * 0.1
+                                  ).astype(np.float32))
+    assert p1.shape == (1, 2)
+    assert np.isfinite(p1).all()
+
+
+def test_silence_hits_log_floor(engine):
+    """All-zero audio exercises the Kaldi mel floor; probs stay finite."""
+    p1, p2 = engine.window_probs(np.zeros(32000, np.float32))
+    assert np.isfinite(p1).all()
+    np.testing.assert_allclose(p1.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_exact_multiple_window_counts(engine, rng):
+    """len==window yields 1 window; len==window+hop yields 2; the chunk
+    bucketing handles counts below, at, and above batch_size."""
+    for n_samples, expect in ((16000, 1), (24000, 2), (16000 + 8000 * 16, 17)):
+        audio = (rng.standard_normal(n_samples) * 0.1).astype(np.float32)
+        p1, _ = engine.window_probs(audio)
+        assert len(p1) == expect, (n_samples, len(p1), expect)
+
+
+def test_nonstandard_hop_uses_sample_path(rng):
+    """A hop off the 10 ms frame grid falls back to per-window fbank and
+    matches per-window featurization."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            num_labels=2)
+    s1 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(0), cfg), cfg,
+                     -1.15, 3.53, ("Idle", "Swallow"))
+    s2 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(1), cfg), cfg,
+                     -0.9, 2.8, ("Healthy", "Zenker"))
+    eng = C.TwoStageEngine(
+        s1, s2, C.CascadeConfig(batch_size=8, hop_sec=0.331,
+                                dtype=jnp.float32))
+    assert not eng._frame_reuse
+    audio = (np.random.default_rng(0).standard_normal(48000) * 0.1
+             ).astype(np.float32)
+    p1, _ = eng.window_probs(audio)
+    starts = C.window_starts(len(audio), 1.0, 0.331)
+    assert len(p1) == len(starts)
+    np.testing.assert_allclose(p1.sum(axis=1), 1.0, atol=1e-5)

@@ -119,10 +119,14 @@ def run_patient(engine: C.TwoStageEngine, files, args,
         print("[WARN] hop-sec larger than window-sec; windows will be "
               "disjoint with gaps.")
 
+    from concurrent.futures import ThreadPoolExecutor
+
     per_file = {}
     plot_assets = []
-    for idx, path in enumerate(files):
-        audio = aio.load_audio(path)
+    # decode both recordings in parallel (native loader releases the GIL)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        audios = list(pool.map(aio.load_audio, files))
+    for idx, (path, audio) in enumerate(zip(files, audios)):
         res = engine.infer_file(audio, path)
         n = res["num_windows"]
         print(f"File {idx}: {n} windows of {args.window_sec}s")
