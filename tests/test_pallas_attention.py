@@ -79,10 +79,11 @@ def test_full_model_with_pallas_attention(rng):
     from zenker_audio_detection_tpu.models import ast as ast_mod
     from zenker_audio_detection_tpu.ops import attention as attn_ops
 
-    # interpret mode on CPU: patch mha (the model's pallas entry)
-    orig = attn_ops.mha
-    patched = lambda q, k, v, **kw: orig(q, k, v, interpret=True)
-    attn_ops.mha, saved = patched, orig
+    # interpret mode on CPU: patch mha_packed (the model's pallas entry)
+    orig = attn_ops.mha_packed
+    patched = lambda q, k, v, **kw: orig(q, k, v,
+                                         **{**kw, "interpret": True})
+    attn_ops.mha_packed, saved = patched, orig
     try:
         cfg = ast_mod.ASTConfig(hidden_size=32, num_hidden_layers=2,
                                 num_attention_heads=4, intermediate_size=64,
@@ -96,4 +97,4 @@ def test_full_model_with_pallas_attention(rng):
                                           attention_impl="pallas"))
         np.testing.assert_allclose(ours, ref, atol=5e-5)
     finally:
-        attn_ops.mha = saved
+        attn_ops.mha_packed = saved

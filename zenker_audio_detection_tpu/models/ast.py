@@ -177,15 +177,17 @@ def _attention(x, lp, config: ASTConfig, impl: str = "xla"):
     B, S, H = x.shape
     nh, hd = config.num_attention_heads, config.head_dim
 
-    q = _dense(x, lp["q"]).reshape(B, S, nh, hd)
-    k = _dense(x, lp["k"]).reshape(B, S, nh, hd)
-    v = _dense(x, lp["v"]).reshape(B, S, nh, hd)
-
     if impl == "pallas":
+        # layout-preserving kernel: operates on the packed (B, S, H) dense
+        # outputs directly — no head transposes around the custom call
         from ..ops import attention as attn_ops
 
-        ctx = attn_ops.mha(q, k, v)
+        ctx = attn_ops.mha_packed(_dense(x, lp["q"]), _dense(x, lp["k"]),
+                                  _dense(x, lp["v"]), num_heads=nh)
     else:
+        q = _dense(x, lp["q"]).reshape(B, S, nh, hd)
+        k = _dense(x, lp["k"]).reshape(B, S, nh, hd)
+        v = _dense(x, lp["v"]).reshape(B, S, nh, hd)
         scores = jnp.einsum("bqnh,bknh->bnqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores * (1.0 / np.sqrt(hd))
@@ -193,7 +195,7 @@ def _attention(x, lp, config: ASTConfig, impl: str = "xla"):
                                axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bnqk,bknh->bqnh", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-    ctx = ctx.reshape(B, S, H)
+        ctx = ctx.reshape(B, S, H)
     return _dense(ctx, lp["attn_out"])
 
 

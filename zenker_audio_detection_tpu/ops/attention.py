@@ -16,17 +16,20 @@ tile is both simpler and faster.
 
 Measured on v5e (B=128, S=1214, 12 heads, D=64, scalar-output timing):
 
-  isolated attention op:   XLA 50.2 ms | `mha` 25.2 ms | `mha_qblock` 26.7 ms
-  full 12-layer AST fwd:   XLA 353 ms  | pallas 530 ms
+  isolated attention op:  XLA 50.2 ms | `mha` 25.2 | `mha_qblock` 26.7 |
+                          `mha_packed` 20.9 ms
+  full 12-layer AST fwd:  XLA 352 ms | pallas(`mha`) 530 | pallas
+                          (`mha_packed`) 390 ms
 
-i.e. the kernels beat XLA's *standalone* attention 2x, but wiring them into
-the encoder adds (B, S, NH, D) -> (B*NH, S, D) transposes/relayouts around
-each custom call that cost more than the win — XLA's in-model fused
-attention runs ~12.5 ms/layer. `mha_fused` below is the layout-preserving
-design that would fix this, but Mosaic currently cannot lower its per-head
-middle-axis vector reshapes (kept interpret-mode-only as the round-2
-starting point). The production default therefore remains the XLA path
-(`attention_impl="xla"`); `"pallas"` is opt-in.
+Evolution: `mha`/`mha_qblock` beat XLA's *standalone* attention 2x but the
+(B, S, NH, D) -> (B*NH, S, D) transposes/relayouts around the custom call
+cost more than the win. `mha_packed` removes every transpose by operating
+on the packed (B, S, H) dense outputs with per-head lane slices — it is the
+fastest kernel and brings the in-model gap to ~10%. XLA's in-model fused
+attention is still slightly ahead, so the production default remains
+`attention_impl="xla"`; `"pallas"` (-> mha_packed) is opt-in. `mha_fused`
+(per-head middle-axis 4D blocks) is blocked on Mosaic lowering and kept
+interpret-mode-only.
 
 Use via `mha(q, k, v)` with (B, S, NH, D) inputs; pad/mask handled here.
 """
@@ -270,6 +273,67 @@ def mha_fused(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_specs=pl.BlockSpec((1, block_q, NH, D), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, s_pad, NH, D), q.dtype),
+        interpret=interpret,
+    )(padded(q), padded(k), padded(v))
+
+    return out[:, :S]
+
+
+def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        s_valid: int, nh: int, d: int):
+    """(1, BQ, H) q block vs (1, S_pad, H) k/v with H = NH*D contiguous —
+    per-head work via 64-wide lane slices; output rebuilt by lane concat."""
+    s_pad = k_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], s_pad), 1)
+    outs = []
+    for h in range(nh):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl]  # (BQ, D)
+        s = jax.lax.dot_general(
+            q, k_ref[0, :, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if s_valid < s_pad:
+            s = jnp.where(col < s_valid, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v_ref[0, :, sl], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(q.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)  # (BQ, H)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_q",
+                                             "interpret"))
+def mha_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               *, num_heads: int, block_q: int = 256,
+               interpret: bool = False) -> jnp.ndarray:
+    """Layout-preserving fused attention on packed (B, S, H) projections
+    (H = num_heads * head_dim, the dense-layer output layout) — NO
+    transposes in or out."""
+    B, S, H = q.shape
+    D = H // num_heads
+    scale = 1.0 / math.sqrt(D)
+    s_pad = _round_up(S, max(LANE, block_q))
+    n_qb = s_pad // block_q
+
+    def padded(x):
+        return jnp.pad(x, ((0, 0), (0, s_pad - S), (0, 0))) \
+            if s_pad != S else x
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_packed, scale=scale, s_valid=S,
+                          nh=num_heads, d=D),
+        grid=(B, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, block_q, H), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, H), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, H), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, H), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, s_pad, H), q.dtype),
         interpret=interpret,
     )(padded(q), padded(k), padded(v))
 
