@@ -17,19 +17,21 @@ tile is both simpler and faster.
 Measured on v5e (B=128, S=1214, 12 heads, D=64, scalar-output timing):
 
   isolated attention op:  XLA 50.2 ms | `mha` 25.2 | `mha_qblock` 26.7 |
-                          `mha_packed` 20.9 ms
-  full 12-layer AST fwd:  XLA 352 ms | pallas(`mha`) 530 | pallas
-                          (`mha_packed`) 390 ms
+                          `mha_packed` 18.3 ms
+  full 12-layer AST fwd:  XLA 350 ms | pallas(`mha`) 530 |
+                          pallas(`mha_packed`) 354 ms
 
 Evolution: `mha`/`mha_qblock` beat XLA's *standalone* attention 2x but the
 (B, S, NH, D) -> (B*NH, S, D) transposes/relayouts around the custom call
 cost more than the win. `mha_packed` removes every transpose by operating
-on the packed (B, S, H) dense outputs with per-head lane slices — it is the
-fastest kernel and brings the in-model gap to ~10%. XLA's in-model fused
-attention is still slightly ahead, so the production default remains
-`attention_impl="xla"`; `"pallas"` (-> mha_packed) is opt-in. `mha_fused`
-(per-head middle-axis 4D blocks) is blocked on Mosaic lowering and kept
-interpret-mode-only.
+on the packed (B, S, H) dense outputs with per-head lane slices, and avoids
+sequence padding entirely (K/V blocks span exactly S keys; out-of-bounds q
+grid blocks drop their stores) — 2.7x faster than XLA's standalone
+attention and at parity with XLA's in-model fusion for the full forward.
+Default stays `attention_impl="xla"` (equal speed, no custom-call in the
+autodiff path); `"pallas"` (-> mha_packed) is the validated alternative.
+`mha_fused` (per-head middle-axis 4D blocks) is blocked on Mosaic lowering
+and kept interpret-mode-only.
 
 Use via `mha(q, k, v)` with (B, S, NH, D) inputs; pad/mask handled here.
 """
@@ -280,24 +282,25 @@ def mha_fused(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                        s_valid: int, nh: int, d: int):
-    """(1, BQ, H) q block vs (1, S_pad, H) k/v with H = NH*D contiguous —
-    per-head work via 64-wide lane slices; output rebuilt by lane concat."""
-    s_pad = k_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], s_pad), 1)
+                        nh: int, d: int):
+    """(1, BQ, H) q block vs (1, S, H) k/v with H = NH*D contiguous —
+    per-head work via 64-wide lane slices; output rebuilt by lane concat.
+
+    No sequence padding or key masking: K/V blocks span exactly the S valid
+    keys (Mosaic handles the non-128-multiple lane extent internally), and
+    q blocks past S are out-of-bounds grid blocks whose stores are dropped.
+    """
     outs = []
     for h in range(nh):
         sl = slice(h * d, (h + 1) * d)
-        q = q_ref[0, :, sl]  # (BQ, D)
         s = jax.lax.dot_general(
-            q, k_ref[0, :, sl], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if s_valid < s_pad:
-            s = jnp.where(col < s_valid, s, -1e30)
-        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+            q_ref[0, :, sl], k_ref[0, :, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (BQ, S) f32
+        p = jax.nn.softmax(s, axis=-1).astype(q_ref.dtype)
         outs.append(jax.lax.dot_general(
             p, v_ref[0, :, sl], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(q.dtype))
+            preferred_element_type=jnp.float32).astype(q_ref.dtype))
     o_ref[0] = jnp.concatenate(outs, axis=-1)  # (BQ, H)
 
 
@@ -308,36 +311,28 @@ def mha_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                interpret: bool = False) -> jnp.ndarray:
     """Layout-preserving fused attention on packed (B, S, H) projections
     (H = num_heads * head_dim, the dense-layer output layout) — NO
-    transposes in or out."""
+    transposes, pads, or slices in or out."""
     B, S, H = q.shape
     D = H // num_heads
     scale = 1.0 / math.sqrt(D)
-    s_pad = _round_up(S, max(LANE, block_q))
-    n_qb = s_pad // block_q
 
-    def padded(x):
-        return jnp.pad(x, ((0, 0), (0, s_pad - S), (0, 0))) \
-            if s_pad != S else x
-
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel_packed, scale=scale, s_valid=S,
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_packed, scale=scale,
                           nh=num_heads, d=D),
-        grid=(B, n_qb),
+        grid=(B, pl.cdiv(S, block_q)),
         in_specs=[
             pl.BlockSpec((1, block_q, H), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, H), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, S, H), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, H), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, S, H), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, H), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, s_pad, H), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, S, H), q.dtype),
         interpret=interpret,
-    )(padded(q), padded(k), padded(v))
-
-    return out[:, :S]
+    )(q, k, v)
 
 
 def reference_mha(q, k, v):
