@@ -179,11 +179,12 @@ def _attention(x, lp, config: ASTConfig, impl: str = "xla"):
 
     if impl == "pallas":
         # layout-preserving kernel: operates on the packed (B, S, H) dense
-        # outputs directly — no head transposes around the custom call
+        # outputs directly — no head transposes around the custom call;
+        # custom VJP (XLA backward) makes it autodiff-safe
         from ..ops import attention as attn_ops
 
-        ctx = attn_ops.mha_packed(_dense(x, lp["q"]), _dense(x, lp["k"]),
-                                  _dense(x, lp["v"]), num_heads=nh)
+        ctx = attn_ops.mha_packed_trainable(
+            _dense(x, lp["q"]), _dense(x, lp["k"]), _dense(x, lp["v"]), nh)
     else:
         q = _dense(x, lp["q"]).reshape(B, S, nh, hd)
         k = _dense(x, lp["k"]).reshape(B, S, nh, hd)

@@ -335,6 +335,49 @@ def mha_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(q, k, v)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def mha_packed_trainable(q, k, v, num_heads: int):
+    """`mha_packed` with a custom VJP so attention_impl="pallas" works under
+    autodiff: forward runs the fused Pallas kernel, backward uses the
+    standard attention gradients in XLA (recomputing p — flash-style, no
+    score residuals)."""
+    return mha_packed(q, k, v, num_heads=num_heads)
+
+
+def _mha_packed_fwd(q, k, v, num_heads):
+    return mha_packed(q, k, v, num_heads=num_heads), (q, k, v)
+
+
+def _mha_packed_bwd(num_heads, res, g):
+    q, k, v = res
+    B, S, H = q.shape
+    D = H // num_heads
+    scale = 1.0 / math.sqrt(D)
+
+    def split(x):
+        return x.reshape(B, S, num_heads, D)
+
+    qh, kh, vh, gh = split(q), split(k), split(v), split(g)
+    s = jnp.einsum("bqnd,bknd->bnqk", qh, kh,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)  # f32
+    p_b = p.astype(q.dtype)
+    dv = jnp.einsum("bnqk,bqnd->bknd", p_b, gh,
+                    preferred_element_type=jnp.float32).astype(q.dtype)
+    dp = jnp.einsum("bqnd,bknd->bnqk", gh, vh,
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))  # softmax bwd, f32
+    ds = (ds * scale).astype(q.dtype)
+    dq = jnp.einsum("bnqk,bknd->bqnd", ds, kh,
+                    preferred_element_type=jnp.float32).astype(q.dtype)
+    dk = jnp.einsum("bnqk,bqnd->bknd", ds, qh,
+                    preferred_element_type=jnp.float32).astype(q.dtype)
+    return (dq.reshape(B, S, H), dk.reshape(B, S, H), dv.reshape(B, S, H))
+
+
+mha_packed_trainable.defvjp(_mha_packed_fwd, _mha_packed_bwd)
+
+
 def reference_mha(q, k, v):
     """The XLA formulation (models/ast.py semantics) for parity tests."""
     D = q.shape[-1]
