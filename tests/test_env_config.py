@@ -1,0 +1,57 @@
+"""Tests for the .env dataset-path configuration (reference utils/config.py
+contract incl. ${VAR} interpolation from .env.example)."""
+
+import os
+
+import pytest
+
+from zenker_audio_detection_tpu.data import config as C
+
+
+def test_parse_env_file_interpolation(tmp_path):
+    env = tmp_path / ".env"
+    env.write_text(
+        "# comment line\n"
+        "DATASET_ROOT=/data/SwallowSet\n"
+        "RAW_DATA_DIR=${DATASET_ROOT}/Raw\n"
+        "SHORT_AUDIO_DIR=${DATASET_ROOT}/Data\n"
+        "LONG_AUDIO_DIR=${DATASET_ROOT}/Long\n"
+        "LONG_AUDIO_ROOT=${LONG_AUDIO_DIR}\n")
+    vars_ = C.parse_env_file(env)
+    assert vars_["RAW_DATA_DIR"] == "/data/SwallowSet/Raw"
+    assert vars_["LONG_AUDIO_ROOT"] == "/data/SwallowSet/Long"
+
+
+def test_load_dataset_config_from_env_file(tmp_path, monkeypatch):
+    (tmp_path / ".env").write_text("DATASET_ROOT=/x\nSHORT_AUDIO_DIR=/x/S\n")
+    for k in ("DATASET_ROOT", "SHORT_AUDIO_DIR", "RAW_DATA_DIR",
+              "LONG_AUDIO_DIR", "LONG_AUDIO_ROOT"):
+        monkeypatch.delenv(k, raising=False)
+    cfg = C.load_dataset_config(tmp_path)
+    assert cfg["dataset_root"] == "/x"
+    assert cfg["short_audio_dir"] == "/x/S"
+    assert cfg["raw_data_dir"].startswith("/path/to/")  # default fallback
+
+
+def test_process_env_overrides_file(tmp_path, monkeypatch):
+    (tmp_path / ".env").write_text("DATASET_ROOT=/file\n")
+    monkeypatch.setenv("DATASET_ROOT", "/env")
+    cfg = C.load_dataset_config(tmp_path)
+    assert cfg["dataset_root"] == "/env"
+
+
+def test_long_audio_root_falls_back_to_long_dir(tmp_path, monkeypatch):
+    for k in ("LONG_AUDIO_ROOT", "LONG_AUDIO_DIR"):
+        monkeypatch.delenv(k, raising=False)
+    (tmp_path / ".env").write_text("LONG_AUDIO_DIR=/l\n")
+    cfg = C.load_dataset_config(tmp_path)
+    assert cfg["long_audio_root"] == "/l"
+
+
+def test_env_example_parses():
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    vars_ = C.parse_env_file(repo / ".env.example")
+    assert vars_["RAW_DATA_DIR"].endswith("/Raw")
+    assert vars_["LONG_AUDIO_ROOT"] == vars_["LONG_AUDIO_DIR"]
