@@ -1,0 +1,39 @@
+"""Import + argparse smoke for every CLI entry point (catches wiring
+regressions cheaply; each module maps to a reference script, see
+cli/__init__.py)."""
+
+import importlib
+
+import pytest
+
+CLI_MODULES = [
+    "prepare_dataset", "prepare_training_data", "prepare_two_stage",
+    "compute_stats", "train_stage1", "train_stage2", "test_stage1",
+    "test_stage2", "infer_long_audio", "run_batch_2stage", "run_all_folds",
+    "analyze_roc_pr", "extract_thresholds", "aggregate_results",
+    "plot_confusion_matrices", "sweep",
+]
+
+
+@pytest.mark.parametrize("name", CLI_MODULES)
+def test_cli_help(name, capsys):
+    mod = importlib.import_module(f"zenker_audio_detection_tpu.cli.{name}")
+    assert callable(mod.main)
+    with pytest.raises(SystemExit) as e:
+        mod.main(["--help"])
+    assert e.value.code == 0
+    assert "usage:" in capsys.readouterr().out
+
+
+def test_console_scripts_point_at_real_mains():
+    import tomllib
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    with open(repo / "pyproject.toml", "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert len(scripts) == len(CLI_MODULES)
+    for target in scripts.values():
+        mod_name, func = target.split(":")
+        mod = importlib.import_module(mod_name)
+        assert callable(getattr(mod, func))
