@@ -71,3 +71,29 @@ def test_nonstandard_hop_uses_sample_path(rng):
     starts = C.window_starts(len(audio), 1.0, 0.331)
     assert len(p1) == len(starts)
     np.testing.assert_allclose(p1.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_summary_quirk_argmax_counts_vs_thresholded_gate(engine):
+    """Reference quirk (src/test_long_audio_windows_2stage.py:150-153 vs
+    :312-317): summary swallow counts use RAW argmax, while Stage-2
+    selection uses the thresholded gate — with a high stage1 threshold,
+    fewer windows are evaluated than counted as swallow."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.infer import cascade as C
+
+    eng = C.TwoStageEngine(
+        engine.stage1, engine.stage2,
+        dataclasses.replace(engine.config, stage1_threshold=0.99))
+    s1 = np.array([[0.4, 0.6], [0.05, 0.95], [0.7, 0.3], [0.005, 0.995]])
+    s2 = np.tile([[0.3, 0.7]], (4, 1))
+    summary, preds, results, aligned = eng.gate_and_summarize(s1, s2)
+    # argmax says 3 swallows; the 0.99 gate only forwards 1 (p=0.995)
+    assert summary["stage1_swallow_windows"] == 3
+    assert summary["stage2_swallow_windows_evaluated"] == 1
+    assert [g for g, _ in results] == [3]
+    assert aligned[3] == 1 and all(aligned[i] == -1 for i in (0, 1, 2))
+    # zenker ratio denominators use the argmax count (reference :186-191)
+    assert summary["stage2_zenker_ratio_over_swallow"] == pytest.approx(1 / 3)
