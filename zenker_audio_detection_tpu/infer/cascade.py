@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 from typing import Any, Sequence
 
 import jax
@@ -70,7 +71,8 @@ class CascadeConfig:
     # "all": Stage 2 on every window, fully async, no host sync.
     stage2_mode: str = "gated"
     # "xla" | "pallas": attention implementation (ops/attention.py); pallas
-    # keeps scores VMEM-resident (inference only — no custom VJP yet)
+    # keeps scores VMEM-resident and is trainable (custom VJP,
+    # models/ast.py routes through mha_packed_trainable)
     attention_impl: str = "xla"
 
 
@@ -275,7 +277,10 @@ class TwoStageEngine:
             hit = fcache.load_frames(path, cfg.window_sec, cfg.hop_sec,
                                      SAMPLING_RATE, cfg.cache_dir)
             if hit is not None and hit.shape[0] >= n_true_frames:
-                print(f"[cache] hit for {os.path.basename(path)}")
+                # stderr: stdout is reserved for tool output contracts
+                # (bench.py's single JSON line; CLI JSON payloads)
+                print(f"[cache] hit for {os.path.basename(path)}",
+                      file=sys.stderr)
                 padded = np.zeros((n_frames_padded, F.NUM_MEL_BINS), np.float32)
                 padded[:n_true_frames] = hit[:n_true_frames]
                 return jnp.asarray(padded)
