@@ -1,0 +1,111 @@
+"""Generate the frozen golden vectors in tests/golden/.
+
+Run offline (`python tests/golden/generate_golden.py`) ONLY to regenerate;
+the .npz outputs are committed so the parity tests stop depending on the
+installed `transformers` version or on test-side formula re-derivation
+(round-1 VERDICT weak item 6).
+
+Provenance of each file:
+
+* fbank_golden.npz — outputs of `transformers.ASTFeatureExtractor`
+  (the normative numpy Kaldi-fbank path the reference uses through
+  torchaudio; transformers 4.57.6 at generation time) on seeded synthetic
+  waveforms: raw log-mel (do_normalize=False) and fully normalized padded
+  features.
+
+* resample_golden.npz — dense continuous-time evaluation of torchaudio's
+  `sinc_interp_hann` resampler definition:
+
+      out[j] = (base/down) * sum_m x[m] * sinc(pi*tau) * hann(tau),
+      tau = clip((m/down - j/up) * base, -W, W),  base = min(up,down)*rolloff
+
+  This is mathematically identical to `torchaudio.functional.resample`
+  (width=6, rolloff=0.99) but shares NO code structure with the repo's
+  polyphase implementation (ops/resample.py): no kernel table, no padding,
+  no phase decomposition, no stride tricks — so a transcription error in
+  the polyphase bookkeeping cannot cancel out here.
+"""
+
+import math
+import os
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def dense_sinc_resample(x: np.ndarray, orig: int, new: int,
+                        width: int = 6, rolloff: float = 0.99) -> np.ndarray:
+    g = math.gcd(orig, new)
+    down, up = orig // g, new // g
+    base = min(down, up) * rolloff
+    out_len = math.ceil(up * len(x) / down)
+    m = np.arange(len(x), dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    out = np.empty(out_len, dtype=np.float64)
+    for j in range(out_len):
+        tau = np.clip((m / down - j / up) * base, -width, width)
+        win = np.cos(tau * np.pi / (2 * width)) ** 2
+        tpi = tau * np.pi
+        snc = np.where(tpi == 0.0, 1.0,
+                       np.sin(tpi) / np.where(tpi == 0.0, 1.0, tpi))
+        out[j] = (x * snc * win).sum() * (base / down)
+    return out
+
+
+def gen_resample():
+    rng = np.random.default_rng(20260816)
+    cases = {}
+    for name, (orig, new, n) in {
+        "noise_48k_to_16k": (48000, 16000, 4000),
+        "noise_44k1_to_16k": (44100, 16000, 4410),
+        "tone_48k_to_16k": (48000, 16000, 4800),
+    }.items():
+        if name.startswith("tone"):
+            t = np.arange(n) / orig
+            x = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        else:
+            x = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        y = dense_sinc_resample(x, orig, new)
+        cases[f"{name}_in"] = x
+        cases[f"{name}_out"] = y.astype(np.float64)
+        cases[f"{name}_rates"] = np.array([orig, new], np.int64)
+    np.savez_compressed(os.path.join(HERE, "resample_golden.npz"), **cases)
+    print("wrote resample_golden.npz:", sorted(cases))
+
+
+def gen_fbank():
+    import transformers
+
+    fx_raw = transformers.ASTFeatureExtractor(do_normalize=False)
+    fx_norm = transformers.ASTFeatureExtractor()  # AudioSet mean/std
+    rng = np.random.default_rng(4242)
+    one_sec = (rng.standard_normal(16000) * 0.2).astype(np.float32)
+    half_sec = (rng.standard_normal(8000) * 0.4).astype(np.float32)
+    t = np.arange(16000) / 16000.0
+    tone = (0.3 * np.sin(2 * np.pi * 523.25 * t)).astype(np.float32)
+
+    def raw_frames(w):
+        out = fx_raw(w, sampling_rate=16000, return_tensors="np")
+        full = out["input_values"][0]
+        n = (len(w) - 400) // 160 + 1  # snip-edges frame count
+        return full[:n].astype(np.float32)
+
+    norm_full = fx_norm(one_sec, sampling_rate=16000,
+                        return_tensors="np")["input_values"][0]
+    np.savez_compressed(
+        os.path.join(HERE, "fbank_golden.npz"),
+        one_sec_in=one_sec, one_sec_raw=raw_frames(one_sec),
+        half_sec_in=half_sec, half_sec_raw=raw_frames(half_sec),
+        tone_in=tone, tone_raw=raw_frames(tone),
+        one_sec_normalized_full=norm_full.astype(np.float32),
+        norm_mean=np.float64(fx_norm.mean), norm_std=np.float64(fx_norm.std),
+        transformers_version=np.bytes_(transformers.__version__),
+    )
+    print("wrote fbank_golden.npz (transformers",
+          transformers.__version__ + ")")
+
+
+if __name__ == "__main__":
+    gen_resample()
+    gen_fbank()

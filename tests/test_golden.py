@@ -1,0 +1,81 @@
+"""Frozen golden-vector parity (tests/golden/*.npz, see generate_golden.py).
+
+These decouple parity from the installed `transformers` version and from
+test-side formula re-derivation: the resampler goldens come from a dense
+continuous-time evaluation of the torchaudio definition (no shared code
+structure with ops/resample.py), the fbank goldens from the HF numpy
+extractor at a pinned version."""
+
+import os
+
+import numpy as np
+import pytest
+
+from zenker_audio_detection_tpu.ops import fbank as F
+from zenker_audio_detection_tpu.ops import resample as R
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="module")
+def resample_golden():
+    return np.load(os.path.join(GOLDEN, "resample_golden.npz"))
+
+
+@pytest.fixture(scope="module")
+def fbank_golden():
+    return np.load(os.path.join(GOLDEN, "fbank_golden.npz"))
+
+
+CASES = ["noise_48k_to_16k", "noise_44k1_to_16k", "tone_48k_to_16k"]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_resample_host_matches_golden(resample_golden, case):
+    x = resample_golden[f"{case}_in"]
+    want = resample_golden[f"{case}_out"]
+    orig, new = resample_golden[f"{case}_rates"]
+    got = R.resample(x, int(orig), int(new))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_resample_jax_matches_golden(resample_golden, case):
+    x = resample_golden[f"{case}_in"]
+    want = resample_golden[f"{case}_out"]
+    orig, new = resample_golden[f"{case}_rates"]
+    got = np.asarray(R.resample_jax(x, int(orig), int(new)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("clip", ["one_sec", "half_sec", "tone"])
+def test_fbank_raw_matches_golden(fbank_golden, clip):
+    import jax.numpy as jnp
+
+    x = fbank_golden[f"{clip}_in"]
+    want = fbank_golden[f"{clip}_raw"]
+    got = np.asarray(F.logmel_frames(jnp.asarray(x), F.num_frames(len(x))))
+    assert got.shape == want.shape
+    # the pure tone has ~zero energy in most mel bins, so the log sits at the
+    # Kaldi floor (-15.94) where f32 rounding is magnified — hence the wider
+    # tolerance there; broadband clips stay within the usual 5e-4
+    np.testing.assert_allclose(got, want, atol=1e-3 if clip == "tone" else 5e-4)
+
+
+def test_fbank_normalized_matches_golden(fbank_golden):
+    import jax.numpy as jnp
+
+    x = fbank_golden["one_sec_in"]
+    want = fbank_golden["one_sec_normalized_full"]
+    mean = float(fbank_golden["norm_mean"])
+    std = float(fbank_golden["norm_std"])
+    raw = F.logmel_frames(jnp.asarray(x), F.num_frames(len(x)))
+    got = np.asarray(F.pad_and_normalize(raw[None],
+                                         F.FbankConfig(mean=mean, std=std)))[0]
+    assert got.shape == want.shape == (F.MAX_FRAMES, F.NUM_MEL_BINS)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    # pad rows are normalized zeros, not raw zeros (HF pad-then-normalize)
+    pad_value = (0.0 - mean) / (2.0 * std)
+    np.testing.assert_allclose(got[200:], pad_value, atol=1e-6)

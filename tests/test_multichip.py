@@ -94,3 +94,112 @@ def test_dp_train_step_psum_matches_single_device(rng):
     assert abs(loss_s - loss_m) < 1e-5
     for a, b in zip(jax.tree.leaves(params_s), jax.tree.leaves(params_m)):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Product-surface mesh wiring: train_fold(num_devices=...) and the CLI
+# --num-devices flag must match single-device results (VERDICT r1 item 2).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def product_tree(tmp_path_factory):
+    """Tiny data dir (npy splits over synthetic wavs), long-audio tree, and
+    exported HF model dirs for both stages."""
+    import jax
+
+    from zenker_audio_detection_tpu.audio import io as aio
+    from zenker_audio_detection_tpu.models import convert
+    from zenker_audio_detection_tpu.train import loop as L
+
+    root = tmp_path_factory.mktemp("mesh_product")
+    rng = np.random.default_rng(5)
+    data = root / "data"
+    data.mkdir()
+
+    def split(name, n_per_class):
+        xs, ys = [], []
+        for i in range(n_per_class):
+            for label in (0, 1):
+                amp = 0.004 if label == 0 else 0.5
+                d = root / "wavs" / ("Healthy" if label else "Idle") / f"P{label}{i}"
+                d.mkdir(parents=True, exist_ok=True)
+                fp = d / f"{name}{i}.wav"
+                aio.write_wav(str(fp),
+                              (rng.standard_normal(16000) * amp
+                               ).astype(np.float32), 16000, dtype="float32")
+                xs.append(str(fp))
+                ys.append(label)
+        np.save(data / f"{name}_x_fold1.npy", np.asarray(xs, object))
+        np.save(data / f"{name}_y_fold1.npy", np.asarray(ys))
+
+    split("train", 8)   # 16 clips -> batches of 8 divide over 8 devices
+    split("test", 4)
+    split("val", 4)
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            num_labels=2)
+    model_dirs = {}
+    for stage, seed, labels in [("stage1", 0, {0: "Idle", 1: "Swallow"}),
+                                ("stage2", 1, {0: "Healthy", 1: "Zenker"})]:
+        d = root / "runs" / f"ast_classifier_{stage}" / "fold1" / "best"
+        params = ast_mod.init_params(jax.random.PRNGKey(seed), cfg)
+        convert.save_hf_model_dir(params, cfg, str(d), labels)
+        L.save_feature_extractor_config(str(d), -1.15, 3.53)
+        model_dirs[stage] = str(d)
+
+    long_dir = root / "Long" / "Zenker" / "ZP0"
+    long_dir.mkdir(parents=True)
+    for fn in ("recA.wav", "recB.wav"):
+        aio.write_wav(str(long_dir / fn),
+                      (rng.standard_normal(16000 * 4) * 0.3
+                       ).astype(np.float32), 16000, dtype="float32")
+    return root
+
+
+def _train_metrics(product_tree, num_devices, tag):
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.train import loop as L
+
+    cfg = L.TrainFoldConfig(
+        stage="stage1", data_dir=str(product_tree / "data"),
+        output_root=str(product_tree / f"runs_train_{tag}"),
+        pretrained_model_dir=str(
+            product_tree / "runs/ast_classifier_stage1/fold1/best"),
+        num_epochs=2, batch_size=8, learning_rate=1e-3,
+        enable_early_stopping=False, augment=False,
+        dtype=jnp.float32, num_devices=num_devices)
+    return L.train_fold(1, cfg)
+
+
+@pytest.mark.slow
+def test_train_fold_mesh_matches_single_device(product_tree):
+    m_single = _train_metrics(product_tree, None, "single")
+    m_mesh = _train_metrics(product_tree, 8, "mesh8")
+    assert set(m_single) == set(m_mesh)
+    for k, v in m_single.items():
+        assert abs(v - m_mesh[k]) < 1e-5, (k, v, m_mesh[k])
+
+
+def test_infer_cli_num_devices_matches_single(product_tree):
+    import json
+
+    from zenker_audio_detection_tpu.cli import infer_long_audio
+
+    outs = {}
+    for tag, extra in [("single", []), ("mesh", ["--num-devices", "8"])]:
+        out = product_tree / f"out_{tag}.json"
+        infer_long_audio.main([
+            "--stage1-model-root",
+            str(product_tree / "runs/ast_classifier_stage1/fold1/best"),
+            "--stage2-model-root",
+            str(product_tree / "runs/ast_classifier_stage2/fold1/best"),
+            "--patient-id", "ZP0",
+            "--long-audio-root", str(product_tree / "Long"),
+            "--output-json", str(out), "--f32", "--disable-cache",
+            "--batch-size", "16", *extra])
+        outs[tag] = json.loads(out.read_text())
+    assert outs["single"]["aggregate"] == outs["mesh"]["aggregate"]
+    assert outs["single"]["per_file"] == outs["mesh"]["per_file"]

@@ -1,0 +1,109 @@
+"""Optimizer-update parity vs torch: the reference trains with HF Trainer's
+adamw_torch_fused + get_linear_schedule_with_warmup + max_grad_norm=1.0
+(src/train_ast_stage1_cross_validation.py:476-498,707). test_losses.py proves
+loss parity; this file proves the UPDATE RULE — decoupled weight decay scaled
+by the scheduled lr, global-norm grad clipping, linear warmup/decay schedule,
+and HF's decay-parameter exclusion (biases + LayerNorm) — by running the same
+gradient sequence through optax (train/optim.py) and torch.optim.AdamW."""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from zenker_audio_detection_tpu.train import optim
+
+LR, WD, BETA2, WARMUP, TOTAL = 3.7e-5, 0.013, 0.97, 0.2, 10
+
+
+def _tree(rng):
+    """Param tree exercising every decay-mask case: plain kernel (decays),
+    bias (excluded), LayerNorm scale+bias (excluded)."""
+    return {
+        "dense": {"kernel": rng.standard_normal((8, 8)).astype(np.float32),
+                  "bias": rng.standard_normal(8).astype(np.float32)},
+        "ln1": {"scale": rng.standard_normal(8).astype(np.float32),
+                "bias": rng.standard_normal(8).astype(np.float32)},
+    }
+
+
+def _hf_lr_lambda(step):
+    """transformers.get_linear_schedule_with_warmup's lr_lambda with
+    HF TrainingArguments.get_warmup_steps = ceil(ratio * total)."""
+    warmup_steps = math.ceil(WARMUP * TOTAL)
+    if step < warmup_steps:
+        return step / max(1, warmup_steps)
+    return max(0.0, (TOTAL - step) / max(1, TOTAL - warmup_steps))
+
+
+def _run_optax(tree, grad_seq):
+    import jax
+    import jax.numpy as jnp
+
+    tx = optim.make_optimizer(LR, TOTAL, WARMUP, WD, beta2=BETA2)
+    params = jax.tree.map(jnp.asarray, tree)
+    opt_state = tx.init(params)
+    import optax as ox
+
+    for g in grad_seq:
+        g = jax.tree.map(jnp.asarray, g)
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = ox.apply_updates(params, updates)
+    return jax.tree.map(np.asarray, params)
+
+
+def _run_torch(tree, grad_seq):
+    flat = {f"{a}.{b}": torch.tensor(v, requires_grad=True)
+            for a, sub in tree.items() for b, v in sub.items()}
+    # HF get_decay_parameter_names: exclude biases and LayerNorm params
+    decay = [v for k, v in flat.items()
+             if not (k.endswith(".bias") or k.startswith("ln"))]
+    no_decay = [v for k, v in flat.items()
+                if k.endswith(".bias") or k.startswith("ln")]
+    opt = torch.optim.AdamW(
+        [{"params": decay, "weight_decay": WD},
+         {"params": no_decay, "weight_decay": 0.0}],
+        lr=LR, betas=(0.9, BETA2), eps=1e-8)
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, _hf_lr_lambda)
+    for g in grad_seq:
+        for a, sub in g.items():
+            for b, gv in sub.items():
+                flat[f"{a}.{b}"].grad = torch.tensor(gv)
+        torch.nn.utils.clip_grad_norm_(list(flat.values()), 1.0)
+        opt.step()
+        sched.step()
+    return {a: {b: flat[f"{a}.{b}"].detach().numpy() for b in sub}
+            for a, sub in tree.items()}
+
+
+@pytest.mark.parametrize("n_steps", [1, 6])
+def test_adamw_update_parity_vs_torch(n_steps):
+    rng = np.random.default_rng(42)
+    tree = _tree(rng)
+    # large grads so global-norm clipping actually engages (norm >> 1),
+    # plus one small-grad step so the unclipped path is covered too
+    grad_seq = [
+        {a: {b: (rng.standard_normal(v.shape) * (0.01 if s == 0 else 10.0)
+                 ).astype(np.float32) for b, v in sub.items()}
+         for a, sub in tree.items()}
+        for s in range(n_steps)
+    ]
+    ours = _run_optax(tree, grad_seq)
+    ref = _run_torch(tree, grad_seq)
+    for a in tree:
+        for b in tree[a]:
+            np.testing.assert_allclose(
+                ours[a][b], ref[a][b], atol=1e-7,
+                err_msg=f"{a}.{b} diverges from torch AdamW after "
+                        f"{n_steps} steps")
+            if n_steps > 1:  # step 0 has lr=0 (warmup), params only move later
+                assert not np.allclose(ours[a][b], tree[a][b])
+
+
+def test_schedule_matches_hf_lambda():
+    sched = optim.linear_schedule(LR, TOTAL, WARMUP)
+    for step in range(TOTAL + 2):
+        np.testing.assert_allclose(float(sched(step)),
+                                   LR * _hf_lr_lambda(step), rtol=1e-6)

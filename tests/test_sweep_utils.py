@@ -100,3 +100,26 @@ def test_trace_noop():
     with profiling.trace(None):
         x = 1
     assert x == 1
+
+
+def test_tracking_media_table_artifact(tmp_path):
+    """The reference's non-scalar W&B channels (CM plots, report tables,
+    config artifacts; src/train_ast_stage1_cross_validation.py:163-185,
+    564-637) have local-first equivalents."""
+    import numpy as np
+
+    run = tracking.Run("proj", name="r2", dir=str(tmp_path), use_wandb=False)
+    png = tmp_path / "cm.png"
+    png.write_bytes(b"\x89PNG\r\n\x1a\nfake")
+    run.log_image("fold1_test_confusion_matrix", str(png))
+    run.log_table("fold1_report", ["class", "f1"], [["Idle", 0.9]])
+    cfgf = tmp_path / "run_config.json"
+    cfgf.write_text('{"lr": 1}')
+    run.log_artifact(str(cfgf))
+    run.finish()
+    d = tmp_path / "r2"
+    assert (d / "media" / "fold1_test_confusion_matrix.png").exists()
+    table = json.loads((d / "tables" / "fold1_report.json").read_text())
+    assert table["columns"] == ["class", "f1"]
+    assert table["rows"] == [["Idle", 0.9]]
+    assert (d / "artifacts" / "run_config.json").read_text() == '{"lr": 1}'

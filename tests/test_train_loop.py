@@ -167,3 +167,46 @@ def test_dry_run_fast(tmp_path):
     assert not (fold_dir / "best" / "evaluation_test").exists()
     cks = [p for p in fold_dir.iterdir() if p.name.startswith("checkpoint-")]
     assert len(cks) == 1
+
+
+def test_per_fold_tracking_runs(tmp_path):
+    """--wandb-per-fold equivalent: one tracking run per fold (grouped) +
+    a cv_summary run, with CM plots / report tables / config artifacts
+    (reference src/train_ast_stage1_cross_validation.py:824-864,922-941)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    data_dir = make_dataset(tmp_path, rng, n_per_class=4)
+    out = tmp_path / "runs_pf"
+    cfg = L.TrainFoldConfig(
+        stage="stage1", data_dir=data_dir, output_root=str(out),
+        pretrained_model_dir=tiny_pretrained_dir(tmp_path),
+        num_epochs=2, batch_size=4, learning_rate=1e-3,
+        enable_early_stopping=False, augment=False, dtype=jnp.float32)
+    L.run_cross_validation([1], cfg, tracking_opts={"enabled": False,
+                                                    "per_fold": True})
+    tracking_dir = out / "tracking"
+    run_dirs = sorted(p.name for p in tracking_dir.iterdir())
+    assert any(d.endswith("_fold1") for d in run_dirs), run_dirs
+    assert any(d.endswith("_cv_summary") for d in run_dirs), run_dirs
+    fold_run = next(p for p in tracking_dir.iterdir()
+                    if p.name.endswith("_fold1"))
+    # per-epoch scalars
+    lines = (fold_run / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) >= 2
+    assert json.loads(lines[0])["epoch"] == 1
+    # CM plot + report table + config artifact channels
+    media = list((fold_run / "media").glob("*confusion_matrix*"))
+    assert media, "no CM plot logged"
+    tables = list((fold_run / "tables").glob("*classification_report*"))
+    assert tables
+    table = json.loads(tables[0].read_text())
+    assert table["columns"][0] == "class"
+    assert {r[0] for r in table["rows"]} >= {"Idle", "Swallow"}
+    assert (fold_run / "artifacts").glob("run_config*")
+    # fold summary + cv summary
+    assert "fold1_test_f1" in json.loads(
+        (fold_run / "summary.json").read_text())
+    summary_run = next(p for p in tracking_dir.iterdir()
+                       if p.name.endswith("_cv_summary"))
+    assert "f1_mean" in json.loads((summary_run / "summary.json").read_text())

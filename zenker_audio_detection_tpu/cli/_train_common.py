@@ -34,17 +34,25 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
                     help="resume each fold from its latest checkpoint")
     ap.add_argument("--f32", action="store_true",
                     help="train in float32 instead of bfloat16")
+    ap.add_argument("--num-devices", type=int, default=None,
+                    help="data-parallel devices: params replicated, batch "
+                         "sharded over a 1-D mesh (default: single device)")
     # observability (reference W&B surface; local tracking always on)
     ap.add_argument("--no-wandb", action="store_true",
                     help="disable the wandb mirror (local tracking remains)")
     ap.add_argument("--wandb-project", default=None)
     ap.add_argument("--wandb-group", default=None)
     ap.add_argument("--wandb-offline", action="store_true")
+    ap.add_argument("--wandb-per-fold", action="store_true",
+                    help="one tracking run per fold (grouped) plus a "
+                         "cv_summary run, like the reference's "
+                         "--wandb-per-fold")
 
 
 def tracking_opts(args) -> dict:
     return {"enabled": not args.no_wandb, "project": args.wandb_project,
-            "group": args.wandb_group, "offline": args.wandb_offline}
+            "group": args.wandb_group, "offline": args.wandb_offline,
+            "per_fold": args.wandb_per_fold}
 
 
 def validate_train_args(args) -> list[int]:
@@ -54,4 +62,6 @@ def validate_train_args(args) -> list[int]:
         raise SystemExit("--label-smoothing must be in [0, 1)")
     if args.focal_gamma < 0:
         raise SystemExit("--focal-gamma must be >= 0")
+    if args.num_devices is not None and args.num_devices < 1:
+        raise SystemExit("--num-devices must be >= 1")
     return [args.fold] if args.fold else list(range(1, args.num_folds + 1))

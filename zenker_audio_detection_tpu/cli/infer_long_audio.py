@@ -54,6 +54,9 @@ def build_arg_parser():
     ap.add_argument("--stage2-mode", choices=["gated", "all"], default="gated")
     ap.add_argument("--attention-impl", choices=["xla", "pallas"],
                     default="xla")
+    ap.add_argument("--num-devices", type=int, default=None,
+                    help="shard each window chunk over this many devices "
+                         "(models replicated); default single device")
     ap.add_argument("--trace-dir", default=None,
                     help="capture a jax.profiler trace of the inference")
     return ap
@@ -97,7 +100,10 @@ def build_engine(args) -> tuple[C.TwoStageEngine, str, str]:
         stage2_mode=getattr(args, "stage2_mode", "gated"),
         attention_impl=getattr(args, "attention_impl", "xla"),
     )
-    return (C.TwoStageEngine(spec1, spec2, config),
+    from ..parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(getattr(args, "num_devices", None))
+    return (C.TwoStageEngine(spec1, spec2, config, mesh=mesh),
             args.stage1_model_root, args.stage2_model_root)
 
 

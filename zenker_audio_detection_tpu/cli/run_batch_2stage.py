@@ -69,6 +69,9 @@ def main(argv=None):
                     help="print planned patients without running")
     ap.add_argument("--disable-cache", action="store_true")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--num-devices", type=int, default=None,
+                    help="shard window chunks over this many devices "
+                         "(models replicated); default single device")
     args = ap.parse_args(argv)
 
     ids_path = os.path.join(args.ids_root, f"test_ids_fold{args.fold}.txt")
@@ -99,6 +102,7 @@ def main(argv=None):
         cache_dir=os.path.join(".cache", "ast_features"),
         disable_cache=args.disable_cache, refresh_cache=False,
         f32=args.f32, plot=args.plot, plot_dir=args.output_dir,
+        num_devices=args.num_devices,
         show_first_n=0, pattern=args.pattern,
         long_audio_root=args.long_audio_root,
         output_json=None, patient_id=None, file_a=None, file_b=None)

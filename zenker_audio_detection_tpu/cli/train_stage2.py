@@ -44,6 +44,7 @@ def main(argv=None):
         seed=args.seed,
         resume=args.resume,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        num_devices=args.num_devices,
     )
     train_loop.run_cross_validation(
         folds, cfg, tracking_opts=_train_common.tracking_opts(args))

@@ -30,6 +30,19 @@ def data_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (DATA_AXIS,))
 
 
+def make_mesh(num_devices: int | None) -> Mesh | None:
+    """Mesh over the first `num_devices` devices; None when <= 1 requested
+    (single-device mode). The CLI-facing constructor: validates availability
+    instead of silently shrinking."""
+    if not num_devices or num_devices <= 1:
+        return None
+    devices = jax.devices()
+    if len(devices) < num_devices:
+        raise ValueError(
+            f"requested {num_devices} devices, only {len(devices)} visible")
+    return data_mesh(devices[:num_devices])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

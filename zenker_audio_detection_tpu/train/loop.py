@@ -13,8 +13,13 @@ Replicates the training behavior of the reference's per-fold pipeline
   (cv_metrics.npy/.txt).
 
 TPU structure: featurization runs batched on device via the fbank op; the
-train step is one jitted fwd+bwd+AdamW update with the batch axis sharded
-over the data mesh when more than one device is present.
+train step is one jitted fwd+bwd+AdamW update. With cfg.num_devices > 1
+(CLI --num-devices) params/optimizer state are replicated over a 1-D data
+mesh and each batch is sharded across it — XLA inserts the gradient
+all-reduce (psum over ICI). Tail batches that don't divide evenly run
+unsharded (params stay mesh-replicated through them), so multi-device
+training is bit-compatible with single-device up to float reassociation
+(tests/test_multichip.py).
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ from ..data import stats as stats_mod
 from ..models import ast as ast_mod
 from ..models import convert
 from ..ops import fbank as F
+from ..parallel import mesh as pmesh
 from . import losses, metrics as metrics_mod, optim, steps
 
 SAMPLING_RATE = 16000
@@ -81,6 +87,9 @@ class TrainFoldConfig:
     # optional hook: on_epoch_end(epoch, metrics_dict) -> True to stop early
     # (used by the sweep agent's Hyperband-style early termination)
     on_epoch_end: Any = None
+    # data-parallel mesh size (SURVEY §2.4): params/opt-state replicated,
+    # batch axis sharded over a 1-D "data" mesh. None/1 = single device.
+    num_devices: int | None = None
 
 
 def backup_existing_run_dir(path: str) -> str | None:
@@ -141,6 +150,12 @@ def featurize_paths(paths, mean: float, std: float,
                     batch: int = 32, workers: int | None = None) -> np.ndarray:
     """Decode -> (augment) -> fbank+normalize, device-batched by length.
     Entries may be paths, ndarrays, or dict payloads (see to_waveform).
+
+    Memory ceiling (documented, like the reference's eager `datasets.map`):
+    the whole split is materialized as (N, 1024, 128) float32 on host —
+    512 KB/clip, ~5 GB at 10k clips. The study's splits are ~4k clips
+    (BASELINE.md CM sums), well within host RAM; for much larger corpora
+    switch to per-epoch streaming featurization before raising batch sizes.
 
     Decode+augment run on a host thread pool (the reference's CPU hot loops
     #1/#2, SURVEY §3.1, parallelized). Augmentation randomness is
@@ -248,7 +263,8 @@ def _make_loss(cfg: TrainFoldConfig, class_weights):
     return loss
 
 
-def _predict(eval_step, params, feats, batch: int) -> np.ndarray:
+def _predict(eval_step, params, feats, batch: int,
+             shard=jnp.asarray) -> np.ndarray:
     outs = []
     n = len(feats)
     for s in range(0, n, batch):
@@ -257,12 +273,17 @@ def _predict(eval_step, params, feats, batch: int) -> np.ndarray:
         if pad:
             chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
                                                     chunk.dtype)])
-        logits = np.asarray(eval_step(params, jnp.asarray(chunk)))
+        logits = np.asarray(eval_step(params, shard(chunk)))
         outs.append(logits[: batch - pad])
     return np.concatenate(outs) if outs else np.zeros((0, 2))
 
 
-def train_fold(fold: int, cfg: TrainFoldConfig) -> dict[str, float]:
+def train_fold(fold: int, cfg: TrainFoldConfig,
+               tracker=None) -> dict[str, float]:
+    """`tracker`: optional utils.tracking.Run; receives per-epoch metrics,
+    confusion-matrix plots, and classification-report tables (the
+    reference's W&B channels, src/train_ast_stage1_cross_validation.py:
+    564-637)."""
     print(f"\n===== {cfg.stage} Fold {fold} =====")
     fold_dir = os.path.join(cfg.output_root, f"fold{fold}")
     if not cfg.resume and backup_existing_run_dir(fold_dir):
@@ -272,6 +293,20 @@ def train_fold(fold: int, cfg: TrainFoldConfig) -> dict[str, float]:
 
     mean, std, src = stats_mod.load_fold_normalization(cfg.data_dir, fold)
     print(f"[Normalization] fold {fold}: mean={mean:.6f} std={std:.6f} ({src})")
+
+    mesh = pmesh.make_mesh(cfg.num_devices)
+    if mesh is not None:
+        print(f"[Mesh] data-parallel training over "
+              f"{mesh.devices.size} devices")
+
+    def _shard(x):
+        """Batch to device: sharded over the mesh when it divides evenly,
+        plain single-device array otherwise (tail batches; params stay
+        mesh-replicated through them — GSPMD reshards transparently)."""
+        x = np.asarray(x)
+        if mesh is not None and len(x) % mesh.devices.size == 0:
+            return pmesh.shard_batch(x, mesh)
+        return jnp.asarray(x)
 
     # model init: pretrained + fresh 2-class head (the reference's
     # ignore_mismatched_sizes + init_weights dance)
@@ -367,24 +402,33 @@ def train_fold(fold: int, cfg: TrainFoldConfig) -> dict[str, float]:
         else:
             print("[Resume] no checkpoint found; training from scratch")
 
+    if mesh is not None:
+        params = pmesh.replicate(params, mesh)
+        opt_state = pmesh.replicate(opt_state, mesh)
+
     for epoch in range(start_epoch, num_epochs + 1):
         order = epoch_rng.permutation(n)
         epoch_loss = 0.0
         for s in range(0, n, cfg.batch_size):
             idx = order[s: s + cfg.batch_size]
-            feats = jnp.asarray(train_feats[idx])
-            labels = jnp.asarray(train_y[idx])
+            feats = _shard(train_feats[idx])
+            labels = _shard(train_y[idx])
             params, opt_state, loss_val, _ = train_step(
                 params, opt_state, feats, labels)
             epoch_loss += float(loss_val) * len(idx)
         epoch_loss /= n
 
-        logits = _predict(eval_step, params, eval_feats, cfg.eval_batch_size)
+        logits = _predict(eval_step, params, eval_feats, cfg.eval_batch_size,
+                          shard=_shard)
         m = metrics_mod.compute_metrics_from_logits(logits, eval_y)
         m["loss"] = epoch_loss
         history.append({"epoch": epoch, **m})
         print(f"[Epoch {epoch}/{num_epochs}] loss={epoch_loss:.4f} "
               f"eval_f1={m['f1']:.4f} acc={m['accuracy']:.4f}")
+        if tracker is not None:
+            tracker.log({"fold": fold, "epoch": epoch,
+                         **{f"eval_{k}" if k != "loss" else "train_loss": v
+                            for k, v in m.items()}}, step=epoch)
 
         if m["f1"] > best_f1 + (cfg.early_stopping_threshold
                                 if best_f1 >= 0 else 0):
@@ -439,11 +483,12 @@ def train_fold(fold: int, cfg: TrainFoldConfig) -> dict[str, float]:
 
     metrics: dict[str, float] = {}
     prefix = "val" if has_val else "test_during_train"
-    logits = _predict(eval_step, best_params, eval_feats, cfg.eval_batch_size)
+    logits = _predict(eval_step, best_params, eval_feats, cfg.eval_batch_size,
+                      shard=_shard)
     for k, v in metrics_mod.compute_metrics_from_logits(logits, eval_y).items():
         metrics[f"fold{fold}_{prefix}_{k}"] = v
     test_logits = _predict(eval_step, best_params, test_feats,
-                           cfg.eval_batch_size)
+                           cfg.eval_batch_size, shard=_shard)
     for k, v in metrics_mod.compute_metrics_from_logits(
             test_logits, test_y).items():
         metrics[f"fold{fold}_test_{k}"] = v
@@ -461,10 +506,45 @@ def train_fold(fold: int, cfg: TrainFoldConfig) -> dict[str, float]:
             with open(os.path.join(eval_dir, "classification_report.txt"),
                       "w") as f:
                 f.write(report)
+            if tracker is not None:
+                _track_split_report(tracker, cfg.stage, fold, split_name, cm,
+                                    yy, lg.argmax(1), eval_dir)
 
     with open(os.path.join(fold_dir, "history.json"), "w") as f:
         json.dump(history, f, indent=2)
     return metrics
+
+
+def _track_split_report(tracker, stage: str, fold: int, split_name: str,
+                        cm, y_true, y_pred, eval_dir: str) -> None:
+    """CM plot + per-class classification-report table into the tracker
+    (the reference's W&B CM/table channels,
+    src/train_ast_stage1_cross_validation.py:564-637). Best-effort, like
+    the reference's wide try/except around W&B plotting."""
+    labels = STAGE_LABELS[stage]
+    try:
+        from ..analysis import cm_plots
+
+        png = os.path.join(eval_dir, "confusion_matrix.png")
+        cm_plots.plot_confusion_matrix_overlay(
+            np.asarray(cm), labels, f"{stage} fold {fold} ({split_name})", png)
+        tracker.log_image(f"fold{fold}_{split_name}_confusion_matrix", png)
+    except Exception as exc:
+        print(f"[tracking][WARN] CM plot failed: {exc}")
+    try:
+        from sklearn.metrics import classification_report
+
+        rep = classification_report(y_true, y_pred, labels=[0, 1],
+                                    target_names=labels, output_dict=True,
+                                    zero_division=0)
+        rows = [[name, d["precision"], d["recall"], d["f1-score"],
+                 d["support"]] for name, d in rep.items()
+                if isinstance(d, dict) and "precision" in d]
+        tracker.log_table(
+            f"fold{fold}_{split_name}_classification_report",
+            ["class", "precision", "recall", "f1", "support"], rows)
+    except Exception as exc:
+        print(f"[tracking][WARN] report table failed: {exc}")
 
 
 def _flatten(tree, prefix="") -> dict[str, Any]:
@@ -553,7 +633,10 @@ def run_cross_validation(folds, cfg: TrainFoldConfig,
     snapshot (reference :772-784, :887-910).
 
     tracking_opts maps the reference's W&B surface onto utils/tracking.Run:
-    {"enabled": bool, "project": str, "group": str, "offline": bool}."""
+    {"enabled": bool, "project": str, "group": str, "offline": bool,
+    "per_fold": bool}. per_fold replicates --wandb-per-fold (reference
+    :824-864): one run per fold grouped under the run id, plus a final
+    cv_summary run carrying the aggregate metrics (:922-941)."""
     os.makedirs(cfg.output_root, exist_ok=True)
     run_started = datetime.now()
     run_config = {
@@ -591,21 +674,37 @@ def run_cross_validation(folds, cfg: TrainFoldConfig,
     from ..utils import tracking
 
     topts = tracking_opts or {}
-    run = tracking.Run(project=topts.get("project") or f"zenker-ast-{cfg.stage}",
-                       name=run_config["run_id"], config=run_config,
-                       group=topts.get("group"),
-                       dir=os.path.join(cfg.output_root, "tracking"),
-                       use_wandb=topts.get("enabled", True),
-                       offline=topts.get("offline", False))
+    per_fold_runs = topts.get("per_fold", False)
+    group = topts.get("group") or (run_config["run_id"] if per_fold_runs
+                                   else None)
+
+    def make_run(name):
+        return tracking.Run(
+            project=topts.get("project") or f"zenker-ast-{cfg.stage}",
+            name=name, config=run_config, group=group,
+            dir=os.path.join(cfg.output_root, "tracking"),
+            use_wandb=topts.get("enabled", True),
+            offline=topts.get("offline", False))
+
+    run = None if per_fold_runs else make_run(run_config["run_id"])
+    if run is not None:
+        run.log_artifact(config_path)
 
     all_metrics = []
     for fold in folds:
-        m = train_fold(fold, cfg)
+        fold_run = (make_run(f"{run_config['run_id']}_fold{fold}")
+                    if per_fold_runs else run)
+        if per_fold_runs:
+            fold_run.log_artifact(config_path)
+        m = train_fold(fold, cfg, tracker=fold_run)
         shutil.copy2(config_path,
                      os.path.join(cfg.output_root, f"fold{fold}",
                                   "run_config.json"))
         all_metrics.append(m)
-        run.log(m)
+        fold_run.log(m)
+        if per_fold_runs:
+            fold_run.summary(**m)
+            fold_run.finish()
 
     aggregate: dict[str, float] = {}
     names = {k.split("_test_", 1)[1] for d in all_metrics
@@ -625,6 +724,9 @@ def run_cross_validation(folds, cfg: TrainFoldConfig,
             f.write(str(m) + "\n")
         f.write("\nAggregate metrics:\n")
         f.write(str(aggregate) + "\n")
+    if per_fold_runs:  # dedicated summary run (reference :922-941)
+        run = make_run(f"{run_config['run_id']}_cv_summary")
+        run.log(aggregate)
     run.summary(**aggregate)
     run.finish()
     for k, v in sorted(aggregate.items()):

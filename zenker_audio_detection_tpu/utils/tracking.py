@@ -1,11 +1,14 @@
 """Experiment tracking (reference observability stack is W&B, SURVEY §5.5).
 
-`Run` is a minimal W&B-shaped tracker (init/log/summary/finish) that always
-writes locally (config.json + metrics.jsonl + summary.json under
-<dir>/<run_id>/) and mirrors to the real `wandb` package when it is
-installed and not disabled — so the reference's W&B workflow keeps working
-where wandb exists, and everything stays inspectable where it doesn't
-(this environment has no wandb and no network).
+`Run` is a W&B-shaped tracker (init/log/log_image/log_table/log_artifact/
+summary/finish) that always writes locally (config.json + metrics.jsonl +
+media/ + tables/ + artifacts/ + summary.json under <dir>/<run_id>/) and
+mirrors to the real `wandb` package when it is installed and not disabled —
+so the reference's W&B workflow (scalar metrics, confusion-matrix plots,
+classification-report tables, config artifacts, per-fold runs + a summary
+run; src/train_ast_stage1_cross_validation.py:163-185,564-637,824-864,
+922-941) keeps working where wandb exists, and everything stays inspectable
+where it doesn't (this environment has no wandb and no network).
 """
 
 from __future__ import annotations
@@ -61,6 +64,58 @@ class Run:
             f.write(json.dumps(rec, default=float) + "\n")
         if self._wandb_run is not None:
             self._wandb_run.log(metrics, step=step)
+
+    def log_image(self, name: str, path: str) -> None:
+        """Register an image file (e.g. a confusion-matrix plot): copied to
+        <run>/media/ and mirrored as a wandb.Image (reference CM plots,
+        src/train_ast_stage1_cross_validation.py:564-605)."""
+        import shutil
+
+        media = os.path.join(self.dir, "media")
+        os.makedirs(media, exist_ok=True)
+        dest = os.path.join(media, f"{name}{os.path.splitext(path)[1]}")
+        shutil.copy2(path, dest)
+        if self._wandb_run is not None:
+            try:
+                self._wandb_run.log({name: self._wandb.Image(dest)})
+            except Exception as exc:
+                print(f"[tracking][WARN] wandb image log failed: {exc}")
+
+    def log_table(self, name: str, columns: list[str],
+                  rows: list[list]) -> None:
+        """Tabular payload (e.g. a classification report): JSON locally,
+        wandb.Table in the mirror (reference report tables, :607-637)."""
+        tables = os.path.join(self.dir, "tables")
+        os.makedirs(tables, exist_ok=True)
+        with open(os.path.join(tables, f"{name}.json"), "w") as f:
+            json.dump({"columns": columns, "rows": rows}, f, indent=2,
+                      default=str)
+        if self._wandb_run is not None:
+            try:
+                self._wandb_run.log(
+                    {name: self._wandb.Table(columns=columns, data=rows)})
+            except Exception as exc:
+                print(f"[tracking][WARN] wandb table log failed: {exc}")
+
+    def log_artifact(self, path: str, name: str | None = None,
+                     type: str = "config") -> None:
+        """File artifact (e.g. the run-config snapshot): copied to
+        <run>/artifacts/ and mirrored as a wandb.Artifact (reference
+        config-artifact upload, :163-185)."""
+        import shutil
+
+        arts = os.path.join(self.dir, "artifacts")
+        os.makedirs(arts, exist_ok=True)
+        name = name or os.path.basename(path)
+        shutil.copy2(path, os.path.join(arts, name))
+        if self._wandb_run is not None:
+            try:
+                art = self._wandb.Artifact(name=name.replace(".", "-"),
+                                           type=type)
+                art.add_file(path)
+                self._wandb_run.log_artifact(art)
+            except Exception as exc:
+                print(f"[tracking][WARN] wandb artifact failed: {exc}")
 
     def summary(self, **kwargs) -> None:
         self._summary.update(kwargs)
