@@ -123,3 +123,52 @@ def test_tracking_media_table_artifact(tmp_path):
     assert table["columns"] == ["class", "f1"]
     assert table["rows"] == [["Idle", 0.9]]
     assert (d / "artifacts" / "run_config.json").read_text() == '{"lr": 1}'
+
+
+def test_sweep_reuses_active_wandb_run(tmp_path, monkeypatch):
+    """W&B agent interop: a pre-existing wandb.run is REUSED (no init), its
+    config updated with the sampled params, and the objective logged with
+    duplicated test_* keys (reference
+    src/train_ast_stage2_cross_validation.py:595-597,901-917)."""
+    import sys
+    import types
+
+    from zenker_audio_detection_tpu.train import loop as train_loop
+
+    class FakeConfig(dict):
+        def update(self, d, allow_val_change=False):
+            dict.update(self, d)
+
+    class FakeRun:
+        def __init__(self):
+            self.config = FakeConfig()
+            self.logged = []
+            self.finished = False
+
+        def log(self, payload, step=None):
+            self.logged.append(payload)
+
+        def finish(self):
+            self.finished = True
+
+    fake_run = FakeRun()
+    fake_wandb = types.ModuleType("wandb")
+    fake_wandb.run = fake_run
+    monkeypatch.setitem(sys.modules, "wandb", fake_wandb)
+
+    def fake_train_fold(fold, cfg):
+        return {f"fold{fold}_val_f1": 0.8, f"fold{fold}_test_f1": 0.75,
+                f"fold{fold}_test_accuracy": 0.7}
+
+    monkeypatch.setattr(train_loop, "train_fold", fake_train_fold)
+    base = train_loop.TrainFoldConfig(stage="stage1", data_dir="unused",
+                                      output_root=str(tmp_path))
+    S.run_sweep(str(REPO / "sweeps" / "sweep_stage1_comprehensive.yaml"),
+                base, count=1, output_dir=str(tmp_path / "sw"))
+    assert not fake_run.finished  # reused, never closed by the agent
+    assert "learning-rate" in fake_run.config  # sampled params recorded
+    assert len(fake_run.logged) == 1
+    payload = fake_run.logged[0]
+    assert payload["eval_f1"] == pytest.approx(0.8)  # sweep objective
+    assert payload["test_f1"] == pytest.approx(0.75)  # duplicate test_* keys
+    assert payload["test_accuracy"] == pytest.approx(0.7)

@@ -57,6 +57,9 @@ def build_arg_parser():
     ap.add_argument("--num-devices", type=int, default=None,
                     help="shard each window chunk over this many devices "
                          "(models replicated); default single device")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 encoder GEMMs (~2x MXU peak; small accuracy "
+                         "trade-off — recalibrate thresholds on validation)")
     ap.add_argument("--trace-dir", default=None,
                     help="capture a jax.profiler trace of the inference")
     return ap
@@ -99,6 +102,7 @@ def build_engine(args) -> tuple[C.TwoStageEngine, str, str]:
         refresh_cache=args.refresh_cache,
         stage2_mode=getattr(args, "stage2_mode", "gated"),
         attention_impl=getattr(args, "attention_impl", "xla"),
+        int8=getattr(args, "int8", False),
     )
     from ..parallel import mesh as pmesh
 

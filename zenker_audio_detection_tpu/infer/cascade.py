@@ -74,6 +74,12 @@ class CascadeConfig:
     # keeps scores VMEM-resident and is trainable (custom VJP,
     # models/ast.py routes through mha_packed_trainable)
     attention_impl: str = "xla"
+    # opt-in int8 inference: encoder GEMMs run int8xint8->int32 on the MXU
+    # with per-channel weight + dynamic per-token activation quantization
+    # (models/ast.py quantize_params — see its measured closure: throughput-
+    # neutral on v5e via XLA, 4x smaller weights). Accuracy trade-off: probs
+    # shift O(1e-2); recalibrate gate thresholds on validation when enabled.
+    int8: bool = False
 
 
 def window_starts(num_samples: int, window_sec: float, hop_sec: float,
@@ -104,6 +110,11 @@ class TwoStageEngine:
         """`mesh`: optional jax.sharding.Mesh with a "data" axis — windows in
         each chunk are sharded across it (models replicated), the multi-chip
         serving layout from SURVEY §2.4. Single-chip when None."""
+        if config.int8:
+            stage1 = dataclasses.replace(
+                stage1, params=ast_mod.quantize_params(stage1.params))
+            stage2 = dataclasses.replace(
+                stage2, params=ast_mod.quantize_params(stage2.params))
         self.stage1 = stage1
         self.stage2 = stage2
         self.config = config
@@ -119,7 +130,11 @@ class TwoStageEngine:
             self._replicate = lambda x: pmesh.replicate(x, mesh)
         else:
             self._shard_batch = jnp.asarray
-            self._replicate = lambda x: x
+            # commit params to the device ONCE: numpy leaves (e.g. from
+            # safetensors or quantize_params) passed as jit args would be
+            # re-transferred on every call — ~8 s/chunk for 340 MB of f32
+            # over the 40 MB/s axon tunnel
+            self._replicate = lambda t: jax.tree.map(jnp.asarray, t)
         win = int(config.window_sec * SAMPLING_RATE)
         hop = int(config.hop_sec * SAMPLING_RATE)
         self._win = win

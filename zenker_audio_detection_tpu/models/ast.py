@@ -151,6 +151,55 @@ def reinit_head(key: jax.Array, params: Params, config: ASTConfig,
     return new
 
 
+def quantize_params(params: Params) -> Params:
+    """Opt-in int8 inference weights (round-1 VERDICT perf item 3b).
+
+    Per-output-channel symmetric int8 quantization of the encoder's six
+    dense kernels (q/k/v/attn_out/fc1/fc2) — the GEMMs carrying ~80 % of the
+    forward FLOPs. Each {"kernel", "bias"} becomes {"kernel_int8",
+    "scale", "bias"}; `_dense` dispatches on the key. Activations are
+    quantized dynamically per token at run time (max-abs / 127); the MXU
+    runs int8×int8→int32. Everything else (patch embed, attention einsums,
+    LN, GELU, head) stays in the compute dtype. Accuracy trade-off is
+    documented and tested (tests/test_int8.py: probs drift O(1e-2)).
+
+    Measured closure (v5e, round 2): the standalone int8 GEMM is 1.32×
+    bf16 through XLA (135.9 TOP/s vs 103 TFLOP/s), but the dynamic
+    quant/dequant VPU work around each GEMM cancels it — full-size AST
+    forward b=128 is 353 ms int8 vs 349 ms bf16 (0.99×). Kept as a
+    validated, memory-halving option (85 MB vs 340 MB weights), NOT a
+    throughput feature on this chip; revisit if XLA grows fused int8
+    epilogues or via a Pallas kernel with in-kernel quantization.
+    """
+
+    def quant(leaf_dict):
+        w = np.asarray(leaf_dict["kernel"], np.float32)
+        scale = np.max(np.abs(w), axis=-2, keepdims=True) / 127.0
+        scale = np.maximum(scale, 1e-12)
+        w_q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+        return {"kernel_int8": w_q, "scale": scale.astype(np.float32),
+                "bias": np.asarray(leaf_dict["bias"], np.float32)}
+
+    new = {k: v for k, v in params.items()}
+    enc = dict(params["encoder"])
+    for name in ("q", "k", "v", "attn_out", "fc1", "fc2"):
+        enc[name] = quant(enc[name])
+    new["encoder"] = enc
+    return new
+
+
+def _dense_int8(x, p):
+    """Dynamic per-token activation quant + int8 MXU matmul + rescale."""
+    xf = x.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s_x = jnp.maximum(s_x, 1e-12)
+    x_q = jnp.clip(jnp.rint(xf / s_x), -127, 127).astype(jnp.int8)
+    y = jnp.matmul(x_q, p["kernel_int8"],
+                   preferred_element_type=jnp.int32).astype(jnp.float32)
+    y = y * (s_x * p["scale"].astype(jnp.float32))
+    return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
 def _layer_norm(x, scale, bias, eps):
     # LN statistics in fp32 regardless of compute dtype (bf16 mean/var loses
     # too much; torch also accumulates in fp32 internally).
@@ -162,6 +211,8 @@ def _layer_norm(x, scale, bias, eps):
 
 
 def _dense(x, p):
+    if "kernel_int8" in p:
+        return _dense_int8(x, p)
     return jnp.matmul(x, p["kernel"].astype(x.dtype),
                       preferred_element_type=jnp.float32).astype(x.dtype) \
         + p["bias"].astype(x.dtype)

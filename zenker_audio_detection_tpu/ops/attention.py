@@ -340,7 +340,14 @@ def mha_packed_trainable(q, k, v, num_heads: int):
     """`mha_packed` with a custom VJP so attention_impl="pallas" works under
     autodiff: forward runs the fused Pallas kernel, backward uses the
     standard attention gradients in XLA (recomputing p — flash-style, no
-    score residuals)."""
+    score residuals).
+
+    Closure (round-1 measurement, v5e, full train step b=16 bf16+remat):
+    355 ms/step with this path vs 306 ms with attention_impl="xla" — the
+    custom-call forward blocks XLA from fusing attention into the remat'd
+    backward as cheaply as its own fusion. Training with "pallas" is a
+    validated ALTERNATIVE (parity-tested in test_pallas_vjp.py), NOT a perf
+    feature; the training default stays "xla"."""
     return mha_packed(q, k, v, num_heads=num_heads)
 
 

@@ -10,6 +10,14 @@ framework's trainer, and applies a local Hyperband-style rung cut
 (terminate a trial whose metric is below the median of completed trials at
 that rung) — no W&B server required. Results land in sweep_results.jsonl +
 best_config.json.
+
+W&B agent interop (reference src/train_ast_stage2_cross_validation.py:
+595-597,901-917): when a pre-existing `wandb.run` is active (i.e. the
+process was launched by `wandb agent`), trials REUSE that run — config is
+updated with the sampled parameters and the objective is logged under both
+its own name and the duplicated `test_*` metric keys, exactly the keys the
+reference's sweep objectives read. Without wandb (this environment) the
+local agent is the full capability.
 """
 
 from __future__ import annotations
@@ -104,6 +112,36 @@ class HyperbandCut:
         return on_epoch_end
 
 
+def _active_wandb_run():
+    """The pre-existing wandb.run when launched under `wandb agent`
+    (reference :901-917 reuses it instead of wandb.init)."""
+    try:
+        import wandb
+
+        return wandb.run
+    except ImportError:
+        return None
+
+
+def _log_trial_to_wandb(wb_run, sampled: dict, metric: str, value: float,
+                        fold_metrics: dict, fold: int) -> None:
+    """Reference sweep logging: config update + objective + duplicated
+    `test_<name>` keys (:595-597) so either eval_* or test_* objectives
+    resolve. Best-effort like every W&B touchpoint."""
+    try:
+        wb_run.config.update(sampled, allow_val_change=True)
+        payload = {metric: value}
+        for k, v in fold_metrics.items():
+            suffix = k.split(f"fold{fold}_", 1)[-1]
+            payload[suffix] = v
+            if suffix.startswith("test_") and not suffix.startswith(
+                    "test_during_train"):
+                payload[suffix] = v  # test_<metric> duplicate objective keys
+        wb_run.log(payload)
+    except Exception as exc:
+        print(f"[Sweep][WARN] wandb trial log failed: {exc}")
+
+
 def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
               seed: int = 0, output_dir: str = "sweep_results") -> dict:
     """Random-search agent: `count` trials of train_fold with sampled
@@ -143,6 +181,9 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
         record = {"trial": trial, "fold": fold, "params": sampled,
                   "objective": metric, "value": value, "metrics": metrics}
         results.append(record)
+        wb_run = _active_wandb_run()
+        if wb_run is not None:
+            _log_trial_to_wandb(wb_run, sampled, metric, value, metrics, fold)
         with open(os.path.join(output_dir, "sweep_results.jsonl"), "a") as f:
             f.write(json.dumps(record) + "\n")
         better = (best is None or
