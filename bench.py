@@ -39,8 +39,10 @@ def build_engine(stage2_mode="all"):
 
 def bench_tpu(engine, seconds_of_audio=600.0, repeats=5):
     rng = np.random.default_rng(0)
-    audio = (rng.standard_normal(int(16000 * seconds_of_audio)) * 0.1
-             ).astype(np.float32)
+    # int16 PCM, like the study's recordings: transferred raw, scaled on
+    # device (bit-identical to host conversion; test_cascade_edge.py)
+    audio = np.clip(rng.standard_normal(int(16000 * seconds_of_audio))
+                    * 0.1 * 32768.0, -32768, 32767).astype(np.int16)
     # warmup / compile
     p1, _ = engine.window_probs(audio)
     n_windows = len(p1)
@@ -65,8 +67,10 @@ def bench_cpu_reference(n_windows_sample=8):
         transformers.ASTConfig(num_labels=2)).eval()
     fx = transformers.ASTFeatureExtractor()
     rng = np.random.default_rng(0)
+    # same int16-derived values the TPU side sees (identical work & input)
     windows = [
-        (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        np.clip(rng.standard_normal(16000) * 0.1 * 32768.0,
+                -32768, 32767).astype(np.int16).astype(np.float32) / 32768.0
         for _ in range(n_windows_sample)
     ]
     # warmup

@@ -148,3 +148,39 @@ def test_kernel_matches_torchaudio_formula():
     expected = expected * win * (base_freq / 3)
     np.testing.assert_allclose(kernels[0], expected, atol=1e-15)
     assert kernels.shape == (1, len(idx))
+
+
+def test_load_audio_compact_fast_path(tmp_path, rng):
+    """Mono PCM16 @ 16 kHz stays int16 (raw samples); anything else falls
+    back to the float32 reference loader."""
+    x = np.clip(rng.standard_normal(16000) * 0.3, -0.9, 0.9).astype(np.float32)
+    p16 = str(tmp_path / "mono16k.wav")
+    aio.write_wav(p16, x, 16000)  # PCM16
+    raw = aio.load_audio_compact(p16)
+    assert raw.dtype == np.int16
+    np.testing.assert_allclose(raw.astype(np.float32) / 32768.0,
+                               aio.load_audio(p16), atol=0)
+
+    pf = str(tmp_path / "float.wav")
+    aio.write_wav(pf, x, 16000, dtype="float32")
+    out = aio.load_audio_compact(pf)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, aio.load_audio(pf))
+
+    p44 = str(tmp_path / "sr44k.wav")
+    aio.write_wav(p44, x, 44100)
+    out44 = aio.load_audio_compact(p44)
+    assert out44.dtype == np.float32  # resampled path
+
+
+def test_logmel_accepts_int16(rng):
+    """Device-side int16 scaling is bit-identical to host conversion."""
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.ops import fbank as F
+
+    pcm = (rng.standard_normal(16000) * 8000).astype(np.int16)
+    a = np.asarray(F.logmel_frames(jnp.asarray(pcm), F.num_frames(16000)))
+    b = np.asarray(F.logmel_frames(
+        jnp.asarray(pcm.astype(np.float32) / 32768.0), F.num_frames(16000)))
+    np.testing.assert_array_equal(a, b)

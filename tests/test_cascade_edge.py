@@ -97,3 +97,35 @@ def test_summary_quirk_argmax_counts_vs_thresholded_gate(engine):
     assert aligned[3] == 1 and all(aligned[i] == -1 for i in (0, 1, 2))
     # zenker ratio denominators use the argmax count (reference :186-191)
     assert summary["stage2_zenker_ratio_over_swallow"] == pytest.approx(1 / 3)
+
+
+def test_int16_audio_bit_identical_probs():
+    """int16 PCM transferred raw and scaled on device must give the same
+    probabilities as host-converted float32 (x * 2^-15 is exact in f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.infer import cascade as C
+    from zenker_audio_detection_tpu.models import ast as ast_mod
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            num_labels=2)
+    s1 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(0), cfg), cfg,
+                     -1.15, 3.53, ("Idle", "Swallow"))
+    s2 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(1), cfg), cfg,
+                     -1.15, 3.53, ("Healthy", "Zenker"))
+    eng = C.TwoStageEngine(s1, s2, C.CascadeConfig(batch_size=8,
+                                                   dtype=jnp.float32))
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(16000 * 3) * 8000).astype(np.int16)
+    p1_i, p2_i = eng.window_probs(pcm)
+    p1_f, p2_f = eng.window_probs(pcm.astype(np.float32) / 32768.0)
+    np.testing.assert_array_equal(p1_i, p1_f)
+    np.testing.assert_array_equal(p2_i, p2_f)
+
+    # sub-window recording exercises the generic (samples-gather) path too
+    short = pcm[:12000]
+    q1_i, _ = eng.window_probs(short)
+    q1_f, _ = eng.window_probs(short.astype(np.float32) / 32768.0)
+    np.testing.assert_array_equal(q1_i, q1_f)

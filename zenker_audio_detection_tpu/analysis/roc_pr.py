@@ -69,7 +69,8 @@ def positive_scores(model_dir: str, paths, batch_size: int = 16,
         dtype = jnp.bfloat16
     params, config = convert.load_hf_model_dir(model_dir)
     mean, std = train_loop.load_feature_extractor_config(model_dir)
-    feats = train_loop.featurize_paths(paths, mean, std)
+    feats = train_loop.featurize_paths(paths, mean, std,
+                                       max_frames=config.max_length)
     eval_step = steps.make_eval_step(config, dtype=dtype)
     logits = train_loop._predict(eval_step, params, feats, batch_size)
     e = np.exp(logits - logits.max(-1, keepdims=True))

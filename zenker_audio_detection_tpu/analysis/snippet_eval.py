@@ -71,7 +71,8 @@ def evaluate_fold(fold: int, *, stage: str, data_dir: str, model_root: str,
     model_dir = os.path.join(model_root, f"fold{fold}", "best")
     params, config = convert.load_hf_model_dir(model_dir)
 
-    feats = train_loop.featurize_paths(test_x, mean, std)
+    feats = train_loop.featurize_paths(test_x, mean, std,
+                                       max_frames=config.max_length)
     eval_step = steps.make_eval_step(config, dtype=dtype)
     logits = train_loop._predict(eval_step, params, feats, batch_size)
     y_pred = logits.argmax(axis=1)

@@ -115,6 +115,37 @@ def write_wav(path: str, wav: np.ndarray, sr: int, *,
         f.write(b"data" + struct.pack("<I", len(body)) + body)
 
 
+def load_audio_compact(path: str, target_sr: int = SAMPLING_RATE) -> np.ndarray:
+    """Like `load_audio` but returns raw int16 PCM when the file is already
+    mono PCM16 at target_sr (the study's recording format) — half the
+    host->device transfer; the cascade engine scales int16 on device with
+    bit-identical results (x * 2^-15 is exact in float32 either way).
+    Falls back to the float32 path for every other format."""
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            fmt = raw = None
+            pos = 12
+            while pos + 8 <= len(data):
+                cid = data[pos:pos + 4]
+                size = struct.unpack_from("<I", data, pos + 4)[0]
+                if cid == b"fmt ":
+                    fmt = data[pos + 8:pos + 8 + size]
+                elif cid == b"data":
+                    raw = data[pos + 8:pos + 8 + size]
+                pos += 8 + size + (size & 1)
+            if fmt is not None and raw is not None:
+                (audio_format, channels, sr, _br, _ba,
+                 bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+                if (audio_format == _FMT_PCM and channels == 1
+                        and bits == 16 and sr == target_sr):
+                    return np.frombuffer(raw, dtype="<i2").copy()
+    except (OSError, ValueError, struct.error):
+        pass
+    return load_audio(path, target_sr)
+
+
 def load_audio(path: str, target_sr: int = SAMPLING_RATE) -> np.ndarray:
     """Reference-equivalent loader (src/test_long_audio_windows_2stage.py:53-59):
     decode -> mono channel-mean -> resample to target_sr -> 1-D float32.

@@ -37,6 +37,12 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
     ap.add_argument("--num-devices", type=int, default=None,
                     help="data-parallel devices: params replicated, batch "
                          "sharded over a 1-D mesh (default: single device)")
+    ap.add_argument("--max-length", type=int, default=None,
+                    help="short-sequence mode: fine-tune at this many input "
+                         "frames (e.g. 128 for 1 s windows, ~10x fewer FLOPs "
+                         "than the checkpoint's 1024); positional embeddings "
+                         "are cut on the time axis (AST paper trick). "
+                         "Default: keep the checkpoint's length")
     # observability (reference W&B surface; local tracking always on)
     ap.add_argument("--no-wandb", action="store_true",
                     help="disable the wandb mirror (local tracking remains)")

@@ -11,6 +11,8 @@ import argparse
 import json
 import os
 
+import numpy as np
+
 
 from ..audio import io as aio
 from ..infer import cascade as C
@@ -133,9 +135,10 @@ def run_patient(engine: C.TwoStageEngine, files, args,
 
     per_file = {}
     plot_assets = []
-    # decode both recordings in parallel (native loader releases the GIL)
+    # decode both recordings in parallel (native loader releases the GIL);
+    # mono-PCM16@16k files stay int16 — the engine scales them on device
     with ThreadPoolExecutor(max_workers=2) as pool:
-        audios = list(pool.map(aio.load_audio, files))
+        audios = list(pool.map(aio.load_audio_compact, files))
     for idx, (path, audio) in enumerate(zip(files, audios)):
         res = engine.infer_file(audio, path)
         n = res["num_windows"]
@@ -146,7 +149,9 @@ def run_patient(engine: C.TwoStageEngine, files, args,
                   f"{res['_s1_preds'][:first_n].tolist()}")
         per_file[f"file_{idx}"] = {
             k: v for k, v in res.items() if not k.startswith("_")}
-        plot_assets.append((audio, res["_s1_preds"],
+        plot_audio = (audio.astype(np.float32) / 32768.0
+                      if audio.dtype == np.int16 else audio)
+        plot_assets.append((plot_audio, res["_s1_preds"],
                             res["_stage2_aligned_classes"], f"file_{idx}",
                             path))
 

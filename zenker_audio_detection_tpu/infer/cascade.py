@@ -142,6 +142,12 @@ class TwoStageEngine:
         self._frames_per_window = F.num_frames(win)
         if self._frames_per_window <= 0:
             raise ValueError("window shorter than one fbank frame")
+        for spec in (stage1, stage2):
+            if self._frames_per_window > spec.config.max_length:
+                raise ValueError(
+                    f"{config.window_sec}s windows produce "
+                    f"{self._frames_per_window} frames > the model's "
+                    f"max_length {spec.config.max_length}")
         # Frame reuse is exact only when window starts land on the 10 ms
         # frame grid; otherwise fall back to per-window fbank.
         self._frame_reuse = (hop % F.HOP_LENGTH == 0)
@@ -153,12 +159,15 @@ class TwoStageEngine:
     # ---------------- device functions ----------------
 
     def _normalize_pad(self, raw: jnp.ndarray, spec: StageSpec) -> jnp.ndarray:
-        """(C, fpw, 128) raw log-mel -> (C, 1024, 128) normalized features.
+        """(C, fpw, 128) raw log-mel -> (C, max_length, 128) normalized
+        features (max_length from the stage's model config; 1024 for
+        reference-parity models, e.g. 128 in short-sequence mode).
 
         HF pads the raw fbank with zeros and then normalizes
         (feature_extraction_…py:144-159), so pad rows equal
         (0 - mean) / (2 std)."""
-        cfg = F.FbankConfig(mean=spec.mean, std=spec.std)
+        cfg = F.FbankConfig(mean=spec.mean, std=spec.std,
+                            max_length=spec.config.max_length)
         return F.pad_and_normalize(raw, cfg)
 
     def _make_frames_fn(self, padded_len: int):
@@ -183,7 +192,7 @@ class TwoStageEngine:
         compiled executable serves both stages."""
         fpw = self._frames_per_window
         win = self._win
-        max_len = F.MAX_FRAMES
+        max_len = config.max_length  # 1024 reference-parity; 128 short-seq
         dtype = self.config.dtype
 
         @jax.jit
@@ -240,8 +249,14 @@ class TwoStageEngine:
         (other rows are zero — exactly the rows the reference never
         computes); in "all" mode every row is evaluated. `path` enables the
         raw-frame cache when config.cache_dir is set.
+
+        `audio` may be float32 or int16 PCM; int16 is transferred as-is
+        (half the host->device traffic) and scaled to float on device
+        (bit-identical to converting on host).
         """
-        audio = np.asarray(audio, dtype=np.float32)
+        audio = np.asarray(audio)
+        if audio.dtype != np.int16:
+            audio = audio.astype(np.float32)
         starts = window_starts(len(audio), self.config.window_sec,
                                self.config.hop_sec)
         W = len(starts)
@@ -260,7 +275,8 @@ class TwoStageEngine:
             # generic path: zero-pad so every gathered window is in-bounds;
             # bucket to pow2 samples to bound recompiles
             padded_len = int(starts[-1]) + self._win
-            buf = np.zeros(_next_pow2(padded_len, floor=self._win), np.float32)
+            buf = np.zeros(_next_pow2(padded_len, floor=self._win),
+                           audio.dtype)
             buf[: len(audio)] = audio
             device_buf = self._replicate(jnp.asarray(buf))
             kind = "samples"
@@ -300,7 +316,7 @@ class TwoStageEngine:
                 padded[:n_true_frames] = hit[:n_true_frames]
                 return jnp.asarray(padded)
 
-        buf = np.zeros(padded_len, np.float32)
+        buf = np.zeros(padded_len, audio.dtype)
         m = min(len(audio), padded_len)
         buf[:m] = audio[:m]
         if padded_len not in self._frames_fn_cache:

@@ -200,6 +200,41 @@ def _dense_int8(x, p):
     return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
+def adapt_max_length(params: Params, config: ASTConfig,
+                     new_max_length: int) -> tuple[Params, ASTConfig]:
+    """Adapt a pretrained model to a shorter (or longer) input length by
+    cutting/extending the TIME axis of the positional embeddings — the AST
+    authors' own transfer trick for changing audio length (the AudioSet
+    checkpoint was trained at 1024 frames; they "cut the positional
+    embedding" for shorter inputs). This is the principled basis of the
+    framework's short-sequence mode: the reference always pads 1 s windows
+    (98 real frames) to 1024 frames and spends ~90 % of its FLOPs on pad
+    tokens (SURVEY §5.7); fine-tuning at max_length=128 instead runs the
+    same windows ~10x cheaper with all pretrained trunk weights intact.
+
+    pos_embed layout (freq-major patch flatten, modeling_…py:92-96):
+    [CLS, DIST, patch(f=0,t=0..T-1), patch(f=1,...), ...]. We reshape to
+    (F, T, H), slice/zero-extend T, and flatten back. All other parameters
+    are length-independent.
+    """
+    new_config = dataclasses.replace(config, max_length=new_max_length)
+    F_dim, T_old = config.frequency_out_dimension, config.time_out_dimension
+    T_new = new_config.time_out_dimension
+    h = config.hidden_size
+    pe = np.asarray(params["pos_embed"])  # (1, 2 + F*T_old, H)
+    special, patches = pe[:, :2], pe[:, 2:].reshape(F_dim, T_old, h)
+    if T_new <= T_old:
+        patches = patches[:, :T_new]
+    else:
+        ext = np.zeros((F_dim, T_new - T_old, h), patches.dtype)
+        patches = np.concatenate([patches, ext], axis=1)
+    new_pe = np.concatenate([special, patches.reshape(1, F_dim * T_new, h)],
+                            axis=1)
+    new_params = dict(params)
+    new_params["pos_embed"] = jnp.asarray(new_pe)
+    return new_params, new_config
+
+
 def _layer_norm(x, scale, bias, eps):
     # LN statistics in fp32 regardless of compute dtype (bf16 mean/var loses
     # too much; torch also accumulates in fp32 internally).

@@ -150,6 +150,29 @@ def frame_indices(n_frames: int) -> np.ndarray:
     return starts + offs
 
 
+def _frames_by_hop_slices(waveform: jnp.ndarray, n_frames: int) -> jnp.ndarray:
+    """Snip-edges framing as reshape + 3 contiguous slices + concat.
+
+    Sample-identical to `waveform[..., frame_indices(n_frames)]` but avoids
+    the (n_frames, 400) gather, which dominates file-level fbank time on TPU
+    (random-access loads). With FRAME_LENGTH = 400 = 2*HOP + 80, frame i is
+    hop[i] ++ hop[i+1] ++ hop[i+2][:80]; the zero-pad up to (n_frames+2)
+    hops only touches samples beyond what emitted frames read."""
+    hop2 = FRAME_LENGTH - 2 * HOP_LENGTH
+    assert 0 <= hop2 <= HOP_LENGTH, "framing trick requires 2h <= F <= 3h"
+    need = (n_frames + 2) * HOP_LENGTH
+    cur = waveform.shape[-1]
+    if cur < need:
+        widths = [(0, 0)] * (waveform.ndim - 1) + [(0, need - cur)]
+        waveform = jnp.pad(waveform, widths)
+    elif cur > need:
+        waveform = waveform[..., :need]
+    hops = waveform.reshape(waveform.shape[:-1] + (n_frames + 2, HOP_LENGTH))
+    return jnp.concatenate(
+        [hops[..., :-2, :], hops[..., 1:-1, :], hops[..., 2:, :hop2]],
+        axis=-1)
+
+
 def _preprocess_frames(frames: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     """Per-frame DC removal, preemphasis and windowing (Kaldi order)."""
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
@@ -187,8 +210,12 @@ def logmel_frames(
     window = jnp.asarray(window_np)
     mel = jnp.asarray(mel_np)
 
-    idx = jnp.asarray(frame_indices(n_frames))
-    frames = waveform[..., idx]  # (..., n_frames, 400)
+    # int16 PCM is accepted and scaled on device: transferring int16 halves
+    # host->device traffic for long recordings (the engine's biggest
+    # non-compute cost), and x/32768 here equals the host-side conversion.
+    if waveform.dtype == jnp.int16:
+        waveform = waveform.astype(jnp.float32) * (1.0 / 32768.0)
+    frames = _frames_by_hop_slices(waveform, n_frames)  # (..., n_frames, 400)
     frames = _preprocess_frames(frames, window)
 
     # The DFT/mel matmuls must run in true f32: the TPU MXU's default bf16

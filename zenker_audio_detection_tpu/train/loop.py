@@ -90,6 +90,14 @@ class TrainFoldConfig:
     # data-parallel mesh size (SURVEY §2.4): params/opt-state replicated,
     # batch axis sharded over a 1-D "data" mesh. None/1 = single device.
     num_devices: int | None = None
+    # short-sequence mode: fine-tune at this input frame count instead of
+    # the checkpoint's (1024 for the AudioSet AST). Pretrained positional
+    # embeddings are cut/extended on the time axis (the AST authors' own
+    # transfer trick, models/ast.py adapt_max_length); 1 s clips produce 98
+    # frames, so max_length=128 trains the same windows with ~10x fewer
+    # FLOPs than the reference's 1024-frame padding. None = keep the
+    # checkpoint's length.
+    max_length: int | None = None
 
 
 def backup_existing_run_dir(path: str) -> str | None:
@@ -147,7 +155,8 @@ def to_waveform(entry) -> np.ndarray:
 
 def featurize_paths(paths, mean: float, std: float,
                     augment_rng: np.random.Generator | None = None,
-                    batch: int = 32, workers: int | None = None) -> np.ndarray:
+                    batch: int = 32, workers: int | None = None,
+                    max_frames: int = F.MAX_FRAMES) -> np.ndarray:
     """Decode -> (augment) -> fbank+normalize, device-batched by length.
     Entries may be paths, ndarrays, or dict payloads (see to_waveform).
 
@@ -182,7 +191,7 @@ def featurize_paths(paths, mean: float, std: float,
             waves = list(pool.map(prepare, range(len(paths))))
     else:
         waves = [prepare(i) for i in range(len(paths))]
-    out = np.empty((len(waves), F.MAX_FRAMES, F.NUM_MEL_BINS), np.float32)
+    out = np.empty((len(waves), max_frames, F.NUM_MEL_BINS), np.float32)
     denom = 2.0 * std
     pad_value = (0.0 - mean) / denom  # HF pads raw fbank, then normalizes
     out[:] = pad_value
@@ -191,7 +200,7 @@ def featurize_paths(paths, mean: float, std: float,
     for i, w in enumerate(waves):
         by_len.setdefault(len(w), []).append(i)
     for length, idxs in by_len.items():
-        n_frames = min(F.num_frames(length), F.MAX_FRAMES)
+        n_frames = min(F.num_frames(length), max_frames)
         if n_frames <= 0:  # sub-frame clip: all-pad features
             continue
         for s in range(0, len(idxs), batch):
@@ -216,7 +225,8 @@ def _load_split(data_dir, split, fold):
     return x, y
 
 
-def save_feature_extractor_config(path: str, mean: float, std: float) -> None:
+def save_feature_extractor_config(path: str, mean: float, std: float,
+                                  max_length: int = F.MAX_FRAMES) -> None:
     """preprocessor_config.json compatible with ASTFeatureExtractor."""
     with open(os.path.join(path, "preprocessor_config.json"), "w") as f:
         json.dump({
@@ -224,7 +234,7 @@ def save_feature_extractor_config(path: str, mean: float, std: float) -> None:
             "feature_size": 1,
             "sampling_rate": SAMPLING_RATE,
             "num_mel_bins": F.NUM_MEL_BINS,
-            "max_length": F.MAX_FRAMES,
+            "max_length": max_length,
             "padding_side": "right",
             "padding_value": 0.0,
             "return_attention_mask": False,
@@ -319,9 +329,15 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
         if model_cfg.num_labels != 2:
             model_cfg = dataclasses.replace(model_cfg, num_labels=2)
         params = ast_mod.reinit_head(rng_key, params, model_cfg, 2)
+        if cfg.max_length and cfg.max_length != model_cfg.max_length:
+            params, model_cfg = ast_mod.adapt_max_length(
+                params, model_cfg, cfg.max_length)
+            print(f"[MaxLength] adapted positional embeddings to "
+                  f"{cfg.max_length} frames ({model_cfg.seq_length} tokens)")
     else:
         print("[WARN] no pretrained model dir; random init")
-        model_cfg = ast_mod.ASTConfig(num_labels=2)
+        model_cfg = ast_mod.ASTConfig(num_labels=2,
+                                      max_length=cfg.max_length or 1024)
         params = ast_mod.init_params(rng_key, model_cfg)
 
     # datasets
@@ -345,9 +361,11 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
             print(f"[WARN] Fold {fold} {name} single class: {uniq}")
 
     aug_rng = np.random.default_rng(cfg.seed) if cfg.augment else None
-    train_feats = featurize_paths(train_x, mean, std, aug_rng)
-    test_feats = featurize_paths(test_x, mean, std)
-    val_feats = featurize_paths(val_x, mean, std) if val_x is not None else None
+    mf = model_cfg.max_length
+    train_feats = featurize_paths(train_x, mean, std, aug_rng, max_frames=mf)
+    test_feats = featurize_paths(test_x, mean, std, max_frames=mf)
+    val_feats = (featurize_paths(val_x, mean, std, max_frames=mf)
+                 if val_x is not None else None)
     has_val = val_feats is not None
 
     class_weights = None
@@ -482,7 +500,8 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
     best_dir = os.path.join(fold_dir, "best")
     labels_map = {i: name for i, name in enumerate(STAGE_LABELS[cfg.stage])}
     convert.save_hf_model_dir(best_params, model_cfg, best_dir, labels_map)
-    save_feature_extractor_config(best_dir, mean, std)
+    save_feature_extractor_config(best_dir, mean, std,
+                                  max_length=model_cfg.max_length)
 
     metrics: dict[str, float] = {}
     prefix = "val" if has_val else "test_during_train"
