@@ -14,24 +14,27 @@ which never materializes scores in HBM. No online (flash) accumulation is
 needed at this sequence length — a single-pass softmax over a VMEM-resident
 tile is both simpler and faster.
 
-Measured on v5e (B=128, S=1214, 12 heads, D=64, scalar-output timing):
+Measured on v5e (B=128, S=1214, 12 heads, D=64). Round-2 note: round-1
+standalone numbers were inflated by the ~30 ms per-call scalar-sync over
+the axon tunnel; the corrected methodology (N queued calls, one fetch)
+gives:
 
-  isolated attention op:  XLA 50.2 ms | `mha` 25.2 | `mha_qblock` 26.7 |
-                          `mha_packed` 18.3 ms
-  full 12-layer AST fwd:  XLA 350 ms | pallas(`mha`) 530 |
-                          pallas(`mha_packed`) 354 ms
+  isolated attention op:  XLA 12.9 ms | `mha_packed` 15.1 | `mha_pairs`
+                          17.2 ms   (round-1's "XLA 50.2 / packed 18.3"
+                          were sync-dominated)
+  full 12-layer AST fwd:  XLA 349 ms | pallas(`mha_packed`) 354 ms
 
-Evolution: `mha`/`mha_qblock` beat XLA's *standalone* attention 2x but the
-(B, S, NH, D) -> (B*NH, S, D) transposes/relayouts around the custom call
-cost more than the win. `mha_packed` removes every transpose by operating
-on the packed (B, S, H) dense outputs with per-head lane slices, and avoids
-sequence padding entirely (K/V blocks span exactly S keys; out-of-bounds q
-grid blocks drop their stores) — 2.7x faster than XLA's standalone
-attention and at parity with XLA's in-model fusion for the full forward.
-Default stays `attention_impl="xla"` (equal speed, no custom-call in the
-autodiff path); `"pallas"` (-> mha_packed) is the validated alternative.
+Closure: XLA's attention fusion is already at the composite bound
+(~6 ms half-width MXU matmuls + ~6 ms VPU softmax per layer, ROOFLINE.md);
+no kernel here beats it. `mha_packed` (layout-preserving packed (B, S, H)
+ops, per-head lane slices, no pads — out-of-bounds q grid blocks drop
+their stores) is the validated near-parity alternative and the default for
+`attention_impl="pallas"`. `mha_pairs` executes the round-1 "design that
+should win" — head-PAIR block-diagonal K/V making both GEMMs full-MXU-width
+— and measures SLOWER (17.2 ms): the block-diagonal build + unoverlapped
+softmax cost more than the width win; kept as the documented dead end.
 `mha_fused` (per-head middle-axis 4D blocks) is blocked on Mosaic lowering
-and kept interpret-mode-only.
+and kept interpret-mode-only. Default stays `attention_impl="xla"`.
 
 Use via `mha(q, k, v)` with (B, S, NH, D) inputs; pad/mask handled here.
 """
@@ -329,6 +332,78 @@ def mha_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, H), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, H), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _attn_kernel_pairs(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int):
+    """One head PAIR per grid step, both attention GEMMs at full MXU width.
+
+    Per-head attention contracts (QKᵀ) or emits (PV) head_dim = 64 lanes —
+    half the 128-wide MXU. Packing two heads block-diagonally restores full
+    width: with K2 = [[k_h, 0], [0, k_h1]] (2S, 128),
+    Q2 @ K2ᵀ = [scores_h | scores_h1] (BQ, 2S) in ONE full-width matmul,
+    and P @ V2 with the same block-diagonal V emits both heads' outputs
+    side by side (BQ, 128). Softmax normalizes each half separately.
+    """
+    q2 = q_ref[0]  # (BQ, 128) — the pair's lanes, selected by the BlockSpec
+    k2 = k_ref[0]  # (S, 128)
+    v2 = v_ref[0]
+    S = k2.shape[0]
+    z = jnp.zeros((S, d), k2.dtype)
+    k_bd = jnp.concatenate([
+        jnp.concatenate([k2[:, :d], z], axis=1),
+        jnp.concatenate([z, k2[:, d:]], axis=1),
+    ], axis=0)  # (2S, 128) block-diagonal
+    s = jax.lax.dot_general(
+        q2, k_bd, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (BQ, 2S) f32
+    p = jnp.concatenate([
+        jax.nn.softmax(s[:, :S], axis=-1),
+        jax.nn.softmax(s[:, S:], axis=-1),
+    ], axis=1).astype(q2.dtype)
+    v_bd = jnp.concatenate([
+        jnp.concatenate([v2[:, :d], z], axis=1),
+        jnp.concatenate([z, v2[:, d:]], axis=1),
+    ], axis=0)
+    o_ref[0] = jax.lax.dot_general(
+        p, v_bd, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(q2.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_q",
+                                             "interpret"))
+def mha_pairs(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              *, num_heads: int, block_q: int = 256,
+              interpret: bool = False) -> jnp.ndarray:
+    """Head-pair block-diagonal attention on packed (B, S, H) projections.
+
+    Same layout-preserving contract as `mha_packed` (no transposes/pads),
+    but the grid is (B, NH/2, q-blocks) with 128-lane BlockSpec slices per
+    head pair, making every MXU pass full-width (see _attn_kernel_pairs).
+    Requires an even head count (AST has 12)."""
+    B, S, H = q.shape
+    D = H // num_heads
+    if num_heads % 2:
+        return mha_packed(q, k, v, num_heads=num_heads, block_q=block_q,
+                          interpret=interpret)
+    scale = 1.0 / math.sqrt(D)
+    lanes = 2 * D  # 128 for AST
+
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_pairs, scale=scale, d=D),
+        grid=(B, num_heads // 2, pl.cdiv(S, block_q)),
+        in_specs=[
+            pl.BlockSpec((1, block_q, lanes), lambda i, h, j: (i, j, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, lanes), lambda i, h, j: (i, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, lanes), lambda i, h, j: (i, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, lanes), lambda i, h, j: (i, j, h),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, H), q.dtype),
         interpret=interpret,
