@@ -34,7 +34,8 @@ eng = C.TwoStageEngine(s1, s2, C.CascadeConfig(dtype=jnp.bfloat16,
                                                batch_size=1024,
                                                stage2_mode="all"))
 rng = np.random.default_rng(0)
-audio = (rng.standard_normal(int(16000 * 600)) * 0.1).astype(np.float32)
+audio = np.clip(rng.standard_normal(int(16000 * 600)) * 0.1 * 32768.0,
+                -32768, 32767).astype(np.int16)
 print("compile cascade", file=sys.stderr, flush=True)
 p1, _ = eng.window_probs(audio)
 W = len(p1)

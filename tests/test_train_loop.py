@@ -210,3 +210,49 @@ def test_per_fold_tracking_runs(tmp_path):
     summary_run = next(p for p in tracking_dir.iterdir()
                        if p.name.endswith("_cv_summary"))
     assert "f1_mean" in json.loads((summary_run / "summary.json").read_text())
+
+
+def test_streaming_matches_eager(tmp_path):
+    """TrainFoldConfig.streaming featurizes per batch with background
+    prefetch; training metrics must be IDENTICAL to eager featurization
+    (same per-example augmentation seeds, same batches)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    data_dir = make_dataset(tmp_path, rng, n_per_class=4)
+
+    def run(streaming, tag):
+        cfg = L.TrainFoldConfig(
+            stage="stage1", data_dir=data_dir,
+            output_root=str(tmp_path / f"runs_{tag}"),
+            pretrained_model_dir=tiny_pretrained_dir(tmp_path),
+            num_epochs=2, batch_size=4, learning_rate=1e-3,
+            enable_early_stopping=False, augment=True,  # augment exercised!
+            dtype=jnp.float32, streaming=streaming)
+        return L.train_fold(1, cfg)
+
+    eager = run(False, "eager")
+    stream = run(True, "stream")
+    assert set(eager) == set(stream)
+    for k, v in eager.items():
+        assert abs(v - stream[k]) < 1e-6, (k, v, stream[k])
+
+
+def test_feature_stream_gather_matches_eager_rows():
+    """gather(idx) returns exactly the rows eager featurization produces,
+    for any batch composition, repeatedly (epoch-stable)."""
+    rng = np.random.default_rng(1)
+    entries = [rng.standard_normal(16000).astype(np.float32)
+               for _ in range(6)]
+    eager = L.featurize_paths(entries, -1.1, 3.5,
+                              np.random.default_rng(42), max_frames=128)
+    stream = L.FeatureStream(entries, -1.1, 3.5,
+                             np.random.default_rng(42), max_frames=128)
+    for idx in ([3, 0, 5], [1, 2], [3, 0, 5]):  # repeat: same result
+        got = stream.gather(np.asarray(idx))
+        np.testing.assert_array_equal(got, eager[np.asarray(idx)])
+    # prefetch path returns the same rows
+    stream.prefetch(np.asarray([4, 1]))
+    np.testing.assert_array_equal(stream.gather(np.asarray([4, 1])),
+                                  eager[[4, 1]])
+    stream.close()

@@ -37,6 +37,10 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
     ap.add_argument("--num-devices", type=int, default=None,
                     help="data-parallel devices: params replicated, batch "
                          "sharded over a 1-D mesh (default: single device)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="stream train featurization per batch (O(batch) "
+                         "host memory, background prefetch, identical "
+                         "numerics) instead of eager whole-split features")
     ap.add_argument("--max-length", type=int, default=None,
                     help="short-sequence mode: fine-tune at this many input "
                          "frames (e.g. 128 for 1 s windows, ~10x fewer FLOPs "

@@ -37,6 +37,7 @@ def main(argv=None):
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         num_devices=args.num_devices,
         max_length=args.max_length,
+        streaming=args.streaming,
     )
     train_loop.run_cross_validation(
         folds, cfg, tracking_opts=_train_common.tracking_opts(args))

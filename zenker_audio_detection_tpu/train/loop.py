@@ -98,6 +98,11 @@ class TrainFoldConfig:
     # FLOPs than the reference's 1024-frame padding. None = keep the
     # checkpoint's length.
     max_length: int | None = None
+    # stream the train split per batch (O(batch) host memory + background
+    # prefetch) instead of eager whole-split featurization; numerics are
+    # identical (FeatureStream docstring). Use for corpora past the eager
+    # path's ~5 GB/10k-clip ceiling.
+    streaming: bool = False
 
 
 def backup_existing_run_dir(path: str) -> str | None:
@@ -153,44 +158,20 @@ def to_waveform(entry) -> np.ndarray:
     raise TypeError(f"Unsupported audio payload type: {type(entry)}")
 
 
-def featurize_paths(paths, mean: float, std: float,
-                    augment_rng: np.random.Generator | None = None,
-                    batch: int = 32, workers: int | None = None,
-                    max_frames: int = F.MAX_FRAMES) -> np.ndarray:
-    """Decode -> (augment) -> fbank+normalize, device-batched by length.
-    Entries may be paths, ndarrays, or dict payloads (see to_waveform).
+def _spawn_example_rngs(augment_rng, n: int) -> list:
+    """Independent per-example generators (SeedSequence spawn): results
+    don't depend on worker scheduling, and the SAME seed yields the SAME
+    augmentation per example whether featurized eagerly or streamed."""
+    if augment_rng is None:
+        return [None] * n
+    seeds = augment_rng.bit_generator.seed_seq.spawn(n)
+    return [np.random.default_rng(s) for s in seeds]
 
-    Memory ceiling (documented, like the reference's eager `datasets.map`):
-    the whole split is materialized as (N, 1024, 128) float32 on host —
-    512 KB/clip, ~5 GB at 10k clips. The study's splits are ~4k clips
-    (BASELINE.md CM sums), well within host RAM; for much larger corpora
-    switch to per-epoch streaming featurization before raising batch sizes.
 
-    Decode+augment run on a host thread pool (the reference's CPU hot loops
-    #1/#2, SURVEY §3.1, parallelized). Augmentation randomness is
-    deterministic per example: independent generators spawned from the
-    caller's rng via SeedSequence, so results don't depend on worker
-    scheduling (and differ from a serial shared-rng draw order by design)."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    if augment_rng is not None:
-        seeds = augment_rng.bit_generator.seed_seq.spawn(len(paths))
-        ex_rngs = [np.random.default_rng(s) for s in seeds]
-    else:
-        ex_rngs = [None] * len(paths)
-
-    def prepare(i):
-        w = to_waveform(paths[i])
-        if ex_rngs[i] is not None:
-            w = aug.augment_waveform(w, ex_rngs[i])
-        return w
-
-    workers = workers or min(16, os.cpu_count() or 4)
-    if len(paths) > 1 and workers > 1:
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            waves = list(pool.map(prepare, range(len(paths))))
-    else:
-        waves = [prepare(i) for i in range(len(paths))]
+def _featurize_waves(waves, mean: float, std: float, max_frames: int,
+                     batch: int) -> np.ndarray:
+    """Decoded waveforms -> (N, max_frames, 128) normalized features,
+    device-batched by length."""
     out = np.empty((len(waves), max_frames, F.NUM_MEL_BINS), np.float32)
     denom = 2.0 * std
     pad_value = (0.0 - mean) / denom  # HF pads raw fbank, then normalizes
@@ -209,6 +190,95 @@ def featurize_paths(paths, mean: float, std: float,
             raw = np.asarray(_jit_logmel(jnp.asarray(stackw)))
             out[chunk, :n_frames] = (raw[:, :n_frames] - mean) / denom
     return out
+
+
+def _decode_entries(entries, ex_rngs, workers: int | None = None) -> list:
+    """Decode (+augment) entries on a host thread pool (the reference's CPU
+    hot loops #1/#2, SURVEY §3.1, parallelized)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prepare(i):
+        w = to_waveform(entries[i])
+        if ex_rngs[i] is not None:
+            w = aug.augment_waveform(w, ex_rngs[i])
+        return w
+
+    workers = workers or min(16, os.cpu_count() or 4)
+    if len(entries) > 1 and workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(prepare, range(len(entries))))
+    return [prepare(i) for i in range(len(entries))]
+
+
+def featurize_paths(paths, mean: float, std: float,
+                    augment_rng: np.random.Generator | None = None,
+                    batch: int = 32, workers: int | None = None,
+                    max_frames: int = F.MAX_FRAMES) -> np.ndarray:
+    """Decode -> (augment) -> fbank+normalize the WHOLE split eagerly.
+    Entries may be paths, ndarrays, or dict payloads (see to_waveform).
+
+    Memory ceiling (like the reference's eager `datasets.map`): the split is
+    materialized as (N, max_frames, 128) float32 on host — 512 KB/clip at
+    1024 frames, ~5 GB at 10k clips. The study's splits are ~4k clips
+    (BASELINE.md CM sums); for larger corpora use FeatureStream
+    (TrainFoldConfig.streaming), which featurizes per batch with identical
+    numerics."""
+    ex_rngs = _spawn_example_rngs(augment_rng, len(paths))
+    waves = _decode_entries(paths, ex_rngs, workers)
+    return _featurize_waves(waves, mean, std, max_frames, batch)
+
+
+class FeatureStream:
+    """Lazy, O(batch)-memory featurization with background prefetch.
+
+    Identical numerics to `featurize_paths`: per-example augmentation
+    generators are spawned once up front, so `gather(idx)` returns the same
+    features eager featurization would have put at those rows, regardless
+    of batch composition or epoch order. `prefetch(idx)` overlaps the next
+    batch's host decode/augment/fbank with the current device step."""
+
+    def __init__(self, entries, mean: float, std: float,
+                 augment_rng: np.random.Generator | None = None,
+                 max_frames: int = F.MAX_FRAMES, batch: int = 32):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._entries = list(entries)
+        self._mean, self._std = mean, std
+        self._max_frames, self._batch = max_frames, batch
+        # store SEEDS, not generators: a fresh generator per gather makes
+        # every epoch's features identical to each other and to the eager
+        # path (the reference augments once at map time, SURVEY §3.1)
+        self._seeds = (augment_rng.bit_generator.seed_seq.spawn(
+            len(self._entries)) if augment_rng is not None
+            else [None] * len(self._entries))
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._pending: tuple | None = None  # (key, future)
+
+    def __len__(self):
+        return len(self._entries)
+
+    def _compute(self, idx) -> np.ndarray:
+        rngs = [np.random.default_rng(self._seeds[i])
+                if self._seeds[i] is not None else None for i in idx]
+        waves = _decode_entries([self._entries[i] for i in idx], rngs)
+        return _featurize_waves(waves, self._mean, self._std,
+                                self._max_frames, self._batch)
+
+    def prefetch(self, idx) -> None:
+        idx = np.asarray(idx)
+        self._pending = (idx.tobytes(), self._pool.submit(self._compute, idx))
+
+    def gather(self, idx) -> np.ndarray:
+        idx = np.asarray(idx)
+        if self._pending is not None and self._pending[0] == idx.tobytes():
+            fut = self._pending[1]
+            self._pending = None
+            return fut.result()
+        self._pending = None
+        return self._compute(idx)
+
+    def close(self):
+        self._pool.shutdown(wait=False)
 
 
 # jit caches one executable per input shape; shape determines frame count
@@ -362,7 +432,12 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
 
     aug_rng = np.random.default_rng(cfg.seed) if cfg.augment else None
     mf = model_cfg.max_length
-    train_feats = featurize_paths(train_x, mean, std, aug_rng, max_frames=mf)
+    if cfg.streaming:
+        train_feats = FeatureStream(train_x, mean, std, aug_rng,
+                                    max_frames=mf)
+    else:
+        train_feats = featurize_paths(train_x, mean, std, aug_rng,
+                                      max_frames=mf)
     test_feats = featurize_paths(test_x, mean, std, max_frames=mf)
     val_feats = (featurize_paths(val_x, mean, std, max_frames=mf)
                  if val_x is not None else None)
@@ -427,12 +502,22 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
         params = pmesh.replicate(params, mesh)
         opt_state = pmesh.replicate(opt_state, mesh)
 
+    is_stream = isinstance(train_feats, FeatureStream)
     for epoch in range(start_epoch, num_epochs + 1):
         order = epoch_rng.permutation(n)
         epoch_loss = 0.0
+        if is_stream:
+            train_feats.prefetch(order[: cfg.batch_size])
         for s in range(0, n, cfg.batch_size):
             idx = order[s: s + cfg.batch_size]
-            feats = _shard(train_feats[idx])
+            if is_stream:
+                batch_feats = train_feats.gather(idx)
+                nxt = order[s + cfg.batch_size: s + 2 * cfg.batch_size]
+                if len(nxt):  # overlap next batch's decode with this step
+                    train_feats.prefetch(nxt)
+            else:
+                batch_feats = train_feats[idx]
+            feats = _shard(batch_feats)
             labels = _shard(train_y[idx])
             params, opt_state, loss_val, _ = train_step(
                 params, opt_state, feats, labels)
@@ -492,6 +577,8 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
             print(f"[Sweep] externally terminated after epoch {epoch}")
             break
 
+    if is_stream:
+        train_feats.close()
     if best_params is None:
         best_params = jax.tree.map(np.asarray, params)
     print(f"[Best] epoch {best_epoch} eval_f1={best_f1:.4f}")
