@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--num-devices", type=int, default=None,
+                    help="shard window chunks over this many devices")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 encoder GEMMs (see infer_long_audio --int8)")
     args = ap.parse_args(argv)
 
     long_root = args.long_audio_root or \
@@ -69,6 +73,10 @@ def main(argv=None):
             sub.append("--dry-run")
         if args.f32:
             sub.append("--f32")
+        if args.num_devices is not None:
+            sub += ["--num-devices", str(args.num_devices)]
+        if args.int8:
+            sub.append("--int8")
         run_batch_2stage.main(sub)
 
 
