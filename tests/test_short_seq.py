@@ -173,3 +173,40 @@ def test_train_fold_short_seq_end_to_end(tmp_path):
     params2, cfg2 = convert.load_hf_model_dir(str(best))
     assert cfg2.max_length == 128
     assert np.asarray(params2["pos_embed"]).shape[1] == cfg2.seq_length
+
+
+def test_adapt_checkpoint_cli_round_trip(tmp_path):
+    """zenker-adapt-checkpoint: 1024-frame HF dir -> 128-frame HF dir; the
+    adapted dir loads both here and in HF transformers, keeps labels and
+    fx stats, and matches training-time adaptation exactly."""
+    import jax
+
+    from zenker_audio_detection_tpu.cli import adapt_checkpoint
+    from zenker_audio_detection_tpu.train import loop as L
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            num_labels=2)
+    params = ast_mod.init_params(jax.random.PRNGKey(0), cfg)
+    src = tmp_path / "src"
+    convert.save_hf_model_dir(params, cfg, str(src),
+                              {0: "Idle", 1: "Swallow"})
+    L.save_feature_extractor_config(str(src), -1.15, 3.53)
+
+    dst = tmp_path / "short"
+    adapt_checkpoint.main([str(src), str(dst), "--max-length", "128"])
+
+    params2, cfg2 = convert.load_hf_model_dir(str(dst))
+    assert cfg2.max_length == 128 and cfg2.seq_length == 146
+    want, _ = ast_mod.adapt_max_length(params, cfg, 128)
+    np.testing.assert_array_equal(np.asarray(params2["pos_embed"]),
+                                  np.asarray(want["pos_embed"]))
+    d = json.loads((dst / "config.json").read_text())
+    assert d["id2label"] == {"0": "Idle", "1": "Swallow"}
+    fx = json.loads((dst / "preprocessor_config.json").read_text())
+    assert fx["max_length"] == 128 and fx["mean"] == -1.15
+
+    transformers = pytest.importorskip("transformers")
+    model = transformers.ASTForAudioClassification.from_pretrained(
+        str(dst)).eval()
+    assert model.config.max_length == 128
