@@ -22,6 +22,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-augment", action="store_true")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--max-length", type=int, default=None,
+                    help="short-sequence trials (e.g. 128: ~13x faster "
+                         "steps, see ROOFLINE.md)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="stream train featurization per batch")
+    ap.add_argument("--num-devices", type=int, default=None,
+                    help="data-parallel devices per trial")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -36,6 +43,9 @@ def main(argv=None):
         use_class_weights=args.stage == "stage2",
         augment=not args.no_augment,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        max_length=args.max_length,
+        streaming=args.streaming,
+        num_devices=args.num_devices,
     )
     out = sweep_mod.run_sweep(args.sweep_config, base, count=args.count,
                               seed=args.seed, output_dir=args.output_dir)
