@@ -62,7 +62,12 @@ def _istft(D: np.ndarray, length: int) -> np.ndarray:
 
 
 def phase_vocoder_stretch(x: np.ndarray, rate: float) -> np.ndarray:
-    """Time-stretch by `rate` (>1 = faster/shorter), librosa-style."""
+    """Time-stretch by `rate` (>1 = faster/shorter), librosa-style.
+
+    Fully vectorized (the per-step python loop made this the training
+    featurization hot spot): the phase accumulator is a prefix sum of the
+    per-step wrapped phase deltas, so all output frames are built at once.
+    """
     if abs(rate - 1.0) < 1e-9:
         return x.copy()
     D = _stft(x)
@@ -72,17 +77,17 @@ def phase_vocoder_stretch(x: np.ndarray, rate: float) -> np.ndarray:
 
     mag = np.abs(D)
     phase = np.angle(D)
-    out = np.zeros((n_freq, len(time_steps)), dtype=complex)
-    phase_acc = phase[:, 0].copy()
-    for t, step in enumerate(time_steps):
-        i0 = int(step)
-        i1 = min(i0 + 1, n_frames - 1)
-        frac = step - i0
-        m = (1 - frac) * mag[:, i0] + frac * mag[:, i1]
-        out[:, t] = m * np.exp(1j * phase_acc)
-        dphase = phase[:, i1] - phase[:, i0] - phi_advance
-        dphase -= 2 * np.pi * np.round(dphase / (2 * np.pi))
-        phase_acc += phi_advance + dphase
+    i0 = time_steps.astype(int)
+    i1 = np.minimum(i0 + 1, n_frames - 1)
+    frac = time_steps - i0
+    m = (1 - frac)[None, :] * mag[:, i0] + frac[None, :] * mag[:, i1]
+    dphase = phase[:, i1] - phase[:, i0] - phi_advance[:, None]
+    dphase -= 2 * np.pi * np.round(dphase / (2 * np.pi))
+    # phase_acc at step t = phase[:,0] + sum_{u<t} (phi_advance + dphase_u)
+    steps_total = np.cumsum(phi_advance[:, None] + dphase, axis=1)
+    phase_acc = phase[:, :1] + np.concatenate(
+        [np.zeros((n_freq, 1)), steps_total[:, :-1]], axis=1)
+    out = m * np.exp(1j * phase_acc)
     target_len = int(round(len(x) / rate))
     return _istft(out, target_len)
 
@@ -92,10 +97,15 @@ def pitch_shift(x: np.ndarray, semitones: float, sr: int) -> np.ndarray:
     resample back to the original duration."""
     rate = 2.0 ** (-semitones / 12.0)
     stretched = phase_vocoder_stretch(x, rate)
-    # resample from sr/rate back to sr using a rational approximation
+    # resample from sr/rate back to sr using a rational approximation.
+    # denominator <= 100 keeps the rate error <= 1e-4 (< 0.2 cents of
+    # pitch, far inside audiomentations' own tolerance) while making the
+    # polyphase kernel ~100x cheaper to design — with 1000 the per-call
+    # kernel DESIGN dominated the whole augmentation pipeline (114 ms of
+    # the 119 ms streamed-batch cost).
     from fractions import Fraction
 
-    frac = Fraction(rate).limit_denominator(1000)
+    frac = Fraction(rate).limit_denominator(100)
     out = R.resample(stretched.astype(np.float32),
                      int(frac.denominator * sr), int(frac.numerator * sr))
     if len(out) < len(x):
