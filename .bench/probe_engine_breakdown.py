@@ -56,4 +56,3 @@ def full():
 t("fbank file-level", fbank_only)
 t("stage-1 all chunks (incl fetch)", stage1_only)
 t("full e2e (both stages)", full)
-print(f"=> implied windows/s full: {W/((lambda: None) and 1):.0f}" if False else "", flush=True)

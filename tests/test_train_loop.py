@@ -203,7 +203,7 @@ def test_per_fold_tracking_runs(tmp_path):
     table = json.loads(tables[0].read_text())
     assert table["columns"][0] == "class"
     assert {r[0] for r in table["rows"]} >= {"Idle", "Swallow"}
-    assert (fold_run / "artifacts").glob("run_config*")
+    assert any((fold_run / "artifacts").glob("run_config*"))
     # fold summary + cv summary
     assert "fold1_test_f1" in json.loads(
         (fold_run / "summary.json").read_text())

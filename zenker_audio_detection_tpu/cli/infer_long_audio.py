@@ -60,8 +60,10 @@ def build_arg_parser():
                     help="shard each window chunk over this many devices "
                          "(models replicated); default single device")
     ap.add_argument("--int8", action="store_true",
-                    help="int8 encoder GEMMs (~2x MXU peak; small accuracy "
-                         "trade-off — recalibrate thresholds on validation)")
+                    help="int8 encoder GEMMs: 4x smaller weights, "
+                         "throughput-neutral on v5e (measured, ROOFLINE.md); "
+                         "probs drift O(1e-2) — recalibrate thresholds on "
+                         "validation")
     ap.add_argument("--trace-dir", default=None,
                     help="capture a jax.profiler trace of the inference")
     return ap

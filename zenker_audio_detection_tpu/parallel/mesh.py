@@ -34,8 +34,10 @@ def make_mesh(num_devices: int | None) -> Mesh | None:
     """Mesh over the first `num_devices` devices; None when <= 1 requested
     (single-device mode). The CLI-facing constructor: validates availability
     instead of silently shrinking."""
-    if not num_devices or num_devices <= 1:
+    if num_devices is None or num_devices == 1:
         return None
+    if num_devices < 1:
+        raise ValueError(f"num_devices must be >= 1, got {num_devices}")
     devices = jax.devices()
     if len(devices) < num_devices:
         raise ValueError(

@@ -532,9 +532,12 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
         print(f"[Epoch {epoch}/{num_epochs}] loss={epoch_loss:.4f} "
               f"eval_f1={m['f1']:.4f} acc={m['accuracy']:.4f}")
         if tracker is not None:
+            # no explicit step: in the shared-run mode folds restart epochs
+            # at 1, and wandb rejects non-monotonic steps (folds 2+ would be
+            # silently dropped); auto-step keeps the sequential history
             tracker.log({"fold": fold, "epoch": epoch,
                          **{f"eval_{k}" if k != "loss" else "train_loss": v
-                            for k, v in m.items()}}, step=epoch)
+                            for k, v in m.items()}})
 
         if m["f1"] > best_f1 + (cfg.early_stopping_threshold
                                 if best_f1 >= 0 else 0):

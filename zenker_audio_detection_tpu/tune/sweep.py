@@ -132,11 +132,9 @@ def _log_trial_to_wandb(wb_run, sampled: dict, metric: str, value: float,
         wb_run.config.update(sampled, allow_val_change=True)
         payload = {metric: value}
         for k, v in fold_metrics.items():
-            suffix = k.split(f"fold{fold}_", 1)[-1]
-            payload[suffix] = v
-            if suffix.startswith("test_") and not suffix.startswith(
-                    "test_during_train"):
-                payload[suffix] = v  # test_<metric> duplicate objective keys
+            # fold prefix stripped, so test_* metrics appear under the same
+            # duplicated objective keys the reference logs (:595-597)
+            payload[k.split(f"fold{fold}_", 1)[-1]] = v
         wb_run.log(payload)
     except Exception as exc:
         print(f"[Sweep][WARN] wandb trial log failed: {exc}")
