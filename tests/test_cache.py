@@ -74,3 +74,34 @@ def test_engine_cache_hit_identical_probs(tmp_path, rng):
     np.testing.assert_allclose(p2b, p2a, atol=1e-6)
     import glob
     assert glob.glob(str(tmp_path / "cache" / "*.npz"))
+
+
+def test_engine_cache_hit_identical_probs_int16(tmp_path, rng):
+    """int16 PCM input: cache stores f32 frames; the hit path must
+    reproduce the miss path's probabilities exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.infer import cascade as C
+    from zenker_audio_detection_tpu.models import ast as ast_mod
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            num_labels=2)
+    s1 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(0), cfg), cfg,
+                     -1.15, 3.53, ("Idle", "Swallow"))
+    s2 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(1), cfg), cfg,
+                     -0.9, 2.8, ("Healthy", "Zenker"))
+    eng = C.TwoStageEngine(s1, s2, C.CascadeConfig(
+        dtype=jnp.float32, cache_dir=str(tmp_path / "cache"), batch_size=16))
+
+    pcm = (rng.standard_normal(16000 * 3) * 8000).astype(np.int16)
+    wavpath = str(tmp_path / "rec16.wav")
+    aio.write_wav(wavpath, pcm.astype(np.float32) / 32768.0, 16000)
+
+    loaded = aio.load_audio_compact(wavpath)
+    assert loaded.dtype == np.int16
+    p1a, p2a = eng.window_probs(loaded, wavpath)  # miss -> compute + save
+    p1b, p2b = eng.window_probs(loaded, wavpath)  # hit from f32 frame cache
+    np.testing.assert_array_equal(p1b, p1a)
+    np.testing.assert_array_equal(p2b, p2a)
