@@ -40,10 +40,15 @@ def plot_confusion_matrix_overlay(cm, class_names, title, output_path):
     ax.set_title(title, fontweight="bold", fontsize=18, pad=20)
     ax.tick_params(labeltop=False, labelbottom=True, labelsize=14, length=0)
 
+    def safe_div(num, den):
+        den = np.asarray(den, dtype=float)
+        return np.divide(num, den, out=np.zeros_like(den),
+                         where=den != 0)  # empty class -> 0, not NaN
+
     f_mat = np.zeros((cm.shape[0] + 1, cm.shape[1] + 1))
-    f_mat[:-1, -1] = np.diag(cm) / cm.sum(axis=1)   # recall column
-    f_mat[-1, :-1] = np.diag(cm) / cm.sum(axis=0)   # precision row
-    f_mat[-1, -1] = np.trace(cm) / total            # accuracy corner
+    f_mat[:-1, -1] = safe_div(np.diag(cm), cm.sum(axis=1))  # recall column
+    f_mat[-1, :-1] = safe_div(np.diag(cm), cm.sum(axis=0))  # precision row
+    f_mat[-1, -1] = np.trace(cm) / max(total, 1)             # accuracy corner
     f_mask = np.ones_like(f_mat)
     f_mask[:, -1] = 0
     f_mask[-1, :] = 0
