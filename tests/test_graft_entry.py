@@ -24,3 +24,25 @@ def test_dryrun_multichip_8(capsys):
     G.dryrun_multichip(8)
     out = capsys.readouterr().out
     assert "ok" in out and "loss=" in out
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_self_provisions_with_adverse_flags(tmp_path):
+    """The driver contract: dryrun_multichip(n) must succeed even when the
+    inherited XLA_FLAGS pins a SMALLER virtual device count — the re-exec
+    must replace (not just append to) the flag."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "import __graft_entry__ as g; g.dryrun_multichip(4)"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multichip(4): ok" in r.stdout
