@@ -203,3 +203,29 @@ def test_infer_cli_num_devices_matches_single(product_tree):
         outs[tag] = json.loads(out.read_text())
     assert outs["single"]["aggregate"] == outs["mesh"]["aggregate"]
     assert outs["single"]["per_file"] == outs["mesh"]["per_file"]
+
+
+def test_batch_driver_num_devices_matches_single(product_tree):
+    """run_batch_2stage --num-devices 8: per-patient JSONs identical to the
+    single-device driver run (pins the CLI->engine mesh wiring end-to-end,
+    incl. the ids-file + threshold plumbing)."""
+    import json
+
+    from zenker_audio_detection_tpu.cli import run_batch_2stage
+
+    ids_root = product_tree / "ids"
+    ids_root.mkdir(exist_ok=True)
+    (ids_root / "test_ids_fold1.txt").write_text("Long/Zenker/ZP0\n")
+
+    outs = {}
+    for tag, extra in [("single", []), ("mesh", ["--num-devices", "8"])]:
+        out_dir = product_tree / f"batch_out_{tag}"
+        run_batch_2stage.main([
+            "--fold", "1", "--ids-root", str(ids_root),
+            "--long-audio-root", str(product_tree / "Long"),
+            "--output-dir", str(out_dir),
+            "--model-root", str(product_tree / "runs"),
+            "--batch-size", "16", "--f32", "--disable-cache", *extra])
+        outs[tag] = json.loads((out_dir / "ZP0_2stage.json").read_text())
+    assert outs["single"]["per_file"] == outs["mesh"]["per_file"]
+    assert outs["single"]["aggregate"] == outs["mesh"]["aggregate"]
