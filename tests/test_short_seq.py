@@ -210,3 +210,42 @@ def test_adapt_checkpoint_cli_round_trip(tmp_path):
     model = transformers.ASTForAudioClassification.from_pretrained(
         str(dst)).eval()
     assert model.config.max_length == 128
+
+
+def test_mixed_max_length_stages_with_mesh_and_int8():
+    """Stages may have DIFFERENT max_lengths (e.g. short stage-1 gate +
+    parity stage-2): each stage pads its own features from the shared
+    file-level frames. Combined here with int8 + the 8-device mesh to pin
+    the full option matrix."""
+    import jax
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.parallel import mesh as pmesh
+
+    short = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                              num_attention_heads=2, intermediate_size=32,
+                              max_length=128, num_labels=2)
+    full = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                             num_attention_heads=2, intermediate_size=32,
+                             max_length=1024, num_labels=2)
+    s1 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(0), short),
+                     short, -1.15, 3.53, ("Idle", "Swallow"))
+    s2 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(1), full),
+                     full, -1.15, 3.53, ("Healthy", "Zenker"))
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+
+    base = C.TwoStageEngine(s1, s2, C.CascadeConfig(batch_size=8,
+                                                    dtype=jnp.float32,
+                                                    stage2_mode="all"))
+    p1_base, p2_base = base.window_probs(audio)
+    assert p1_base.shape == p2_base.shape == (5, 2)
+
+    combo = C.TwoStageEngine(
+        s1, s2, C.CascadeConfig(batch_size=8, dtype=jnp.float32,
+                                stage2_mode="all", int8=True),
+        mesh=pmesh.data_mesh(jax.devices()))
+    p1_c, p2_c = combo.window_probs(audio)
+    # int8 drift tolerance; mesh itself is exact
+    assert np.abs(p1_c - p1_base).max() < 5e-2
+    assert np.abs(p2_c - p2_base).max() < 5e-2
