@@ -18,7 +18,9 @@ eng = C.TwoStageEngine(s1, s2, C.CascadeConfig(dtype=jnp.bfloat16,
                                                batch_size=256,
                                                stage2_mode="all"))
 rng = np.random.default_rng(0)
-audio = (rng.standard_normal(int(16000 * 600)) * 0.1).astype(np.float32)
+# int16 PCM like bench.py (half the host->device bytes, scaled on device)
+audio = np.clip(rng.standard_normal(int(16000 * 600)) * 0.1 * 32768.0,
+                -32768, 32767).astype(np.int16)
 
 # warm
 p1, p2 = eng.window_probs(audio)
@@ -38,7 +40,7 @@ n_pad = C._next_pow2(n_true)
 padded_len = (n_pad - 1) * F.HOP_LENGTH + F.FRAME_LENGTH
 
 def fbank_only():
-    buf = np.zeros(padded_len, np.float32)
+    buf = np.zeros(padded_len, audio.dtype)
     buf[:len(audio)] = audio
     fr = eng._frames_fn_cache[padded_len](jnp.asarray(buf))
     fr.block_until_ready(); _ = float(fr[0,0])

@@ -1,0 +1,179 @@
+"""StreamingCascade parity vs the offline TwoStageEngine.
+
+The streaming engine must emit, for any chunking of the input (including
+1-sample feeds and the whole file at once), exactly the windows and
+probabilities the offline engine computes on the concatenated audio —
+including gated-mode zero rows, the single zero-padded window for inputs
+shorter than one window, and the reference-exact summary."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zenker_audio_detection_tpu.infer import cascade as C
+from zenker_audio_detection_tpu.infer.streaming import StreamingCascade
+from zenker_audio_detection_tpu.models import ast as ast_mod
+
+MEAN1, STD1 = -1.1509622, 3.5340312
+MEAN2, STD2 = -0.9, 2.8
+
+
+def tiny_spec(seed, mean, std, labels):
+    cfg = ast_mod.ASTConfig(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=4, intermediate_size=64,
+                            num_mel_bins=128, max_length=128, num_labels=2)
+    params = ast_mod.init_params(jax.random.PRNGKey(seed), cfg)
+    return C.StageSpec(params, cfg, mean, std, labels)
+
+
+def make_engine(stage2_mode="gated", **cfg_kw):
+    s1 = tiny_spec(0, MEAN1, STD1, ("Idle", "Swallow"))
+    s2 = tiny_spec(1, MEAN2, STD2, ("Healthy", "Zenker"))
+    return C.TwoStageEngine(s1, s2, C.CascadeConfig(
+        dtype=jnp.float32, batch_size=64, stage2_mode=stage2_mode, **cfg_kw))
+
+
+def make_audio(seconds, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    n = int(16000 * seconds)
+    x = 0.05 * rng.standard_normal(n) + 0.1 * np.sin(
+        2 * np.pi * 300 * np.arange(n) / 16000)
+    if dtype == np.int16:
+        return np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+    return x.astype(np.float32)
+
+
+def feed_in_chunks(stream, audio, rng, max_chunk=30000):
+    out = []
+    i = 0
+    while i < len(audio):
+        n = int(rng.integers(0, max_chunk))
+        out.extend(stream.feed(audio[i: i + n]))
+        i += n
+    out.extend(stream.flush())
+    return out
+
+
+def assert_stream_matches_offline(engine, audio, results, stream):
+    p1_ref, p2_ref = engine.window_probs(audio)
+    assert len(results) == len(p1_ref)
+    assert [r.window_index for r in results] == list(range(len(p1_ref)))
+    np.testing.assert_allclose(stream.stage1_probs(), p1_ref, atol=1e-5)
+    np.testing.assert_allclose(stream.stage2_probs(), p2_ref, atol=1e-5)
+    # identical gating decisions (zero rows in gated mode)
+    assert ((np.abs(stream.stage2_probs()).sum(1) > 0)
+            == (np.abs(p2_ref).sum(1) > 0)).all()
+    # reference-exact summary parity
+    ref_summary, _, _, _ = engine.gate_and_summarize(p1_ref, p2_ref)
+    got = stream.summary()
+    for k, v in ref_summary.items():
+        if isinstance(v, list):
+            np.testing.assert_allclose(got[k], v, atol=1e-5)
+        else:
+            assert got[k] == v or got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_streaming_gated_random_chunks():
+    engine = make_engine("gated")
+    audio = make_audio(12.0)
+    stream = StreamingCascade(engine, chunk_windows=8)
+    results = feed_in_chunks(stream, audio, np.random.default_rng(1))
+    assert_stream_matches_offline(engine, audio, results, stream)
+    # start samples follow the 0.5 s hop
+    assert [r.start_sample for r in results[:3]] == [0, 8000, 16000]
+
+
+def test_streaming_all_mode_single_feed():
+    engine = make_engine("all")
+    audio = make_audio(6.0, seed=3)
+    stream = StreamingCascade(engine, chunk_windows=4)
+    results = stream.feed(audio) + stream.flush()
+    assert_stream_matches_offline(engine, audio, results, stream)
+
+
+def test_streaming_short_file_single_padded_window():
+    engine = make_engine("gated")
+    audio = make_audio(0.3, seed=5)
+    stream = StreamingCascade(engine)
+    assert stream.feed(audio) == []
+    results = stream.flush()
+    assert len(results) == 1
+    assert_stream_matches_offline(engine, audio, results, stream)
+
+
+def test_streaming_empty_input():
+    engine = make_engine("gated")
+    stream = StreamingCascade(engine)
+    results = stream.flush()
+    # offline emits one zero-padded window even for empty audio
+    p1_ref, _ = engine.window_probs(np.zeros(0, np.float32))
+    assert len(results) == len(p1_ref) == 1
+    np.testing.assert_allclose(stream.stage1_probs(), p1_ref, atol=1e-5)
+
+
+def test_streaming_ring_wraparound():
+    engine = make_engine("gated")
+    audio = make_audio(10.0, seed=7)
+    # 10 s -> 19 windows -> 1048 frames >> 256-frame ring: several wraps
+    stream = StreamingCascade(engine, chunk_windows=2, capacity_frames=256)
+    results = feed_in_chunks(stream, audio, np.random.default_rng(2),
+                             max_chunk=9000)
+    assert_stream_matches_offline(engine, audio, results, stream)
+
+
+def test_streaming_int16_matches_offline_int16():
+    engine = make_engine("gated")
+    audio = make_audio(5.0, seed=9, dtype=np.int16)
+    stream = StreamingCascade(engine, chunk_windows=4)
+    results = feed_in_chunks(stream, audio, np.random.default_rng(3))
+    assert_stream_matches_offline(engine, audio, results, stream)
+
+
+def test_streaming_mixed_dtype_chunks():
+    engine = make_engine("gated")
+    audio16 = make_audio(4.0, seed=11, dtype=np.int16)
+    audio_f = audio16.astype(np.float32) / 32768.0
+    stream = StreamingCascade(engine, chunk_windows=4)
+    half = len(audio16) // 2
+    results = (stream.feed(audio16[:half])  # raw PCM chunk
+               + stream.feed(audio_f[half:])  # float chunk
+               + stream.flush())
+    assert_stream_matches_offline(engine, audio_f, results, stream)
+
+
+def test_streaming_emission_latency():
+    """With chunk_windows=1, window w must be emitted by the first feed that
+    completes its last sample — no buffering beyond the window itself."""
+    engine = make_engine("gated")
+    audio = make_audio(3.0, seed=13)
+    stream = StreamingCascade(engine, chunk_windows=1)
+    emitted = []
+    fed = 0
+    for i in range(0, len(audio), 4000):
+        out = stream.feed(audio[i: i + 4000])
+        fed = min(i + 4000, len(audio))
+        for r in out:
+            assert r.start_sample + 16000 <= fed
+        emitted.extend(out)
+        # every window whose samples are all fed must already be out
+        expected = 0 if fed < 16000 else (fed - 16000) // 8000 + 1
+        assert len(emitted) == expected
+    emitted.extend(stream.flush())
+    assert_stream_matches_offline(engine, audio, emitted, stream)
+
+
+def test_streaming_validation_errors():
+    engine = make_engine("gated")
+    with pytest.raises(ValueError, match="capacity_frames"):
+        StreamingCascade(engine, chunk_windows=64, capacity_frames=256)
+    stream = StreamingCascade(engine)
+    stream.flush()
+    with pytest.raises(RuntimeError, match="flush"):
+        stream.feed(np.zeros(100, np.float32))
+
+    off_grid = C.TwoStageEngine(
+        engine.stage1, engine.stage2,
+        C.CascadeConfig(dtype=jnp.float32, hop_sec=0.4755))  # 7608 % 160 != 0
+    with pytest.raises(ValueError, match="frame grid"):
+        StreamingCascade(off_grid)

@@ -1,0 +1,320 @@
+"""Real-time streaming two-stage cascade (beyond-reference capability).
+
+The reference's serving path is strictly offline: it decodes a whole
+recording, windows it, and batch-classifies
+(src/test_long_audio_windows_2stage.py:62-75,223). This module serves the
+same cascade *incrementally* — audio arrives in arbitrary-sized chunks (a
+microphone buffer, a network stream) and per-window probabilities are
+emitted with bounded latency, numerically matching the offline engine.
+
+TPU-native design:
+
+- **HBM-resident log-mel ring buffer.** Frames are computed on device in
+  fixed-shape blocks as samples arrive and scattered into a fixed-capacity
+  ring ``(capacity_frames, 128)``; windows are gathered from the ring with
+  modular indexing inside the jitted stage program. Raw audio crosses
+  host->device once (int16 accepted, scaled on device); only (B, 2)
+  probability tensors come back. Overlapping 1 s / 0.5 s windows share 48
+  of 98 frames exactly as in the offline engine (SURVEY §5.7).
+- **Fixed shapes everywhere.** Frame blocks and window batches are padded
+  to pow2 buckets so the program count stays bounded no matter how the
+  caller chunks the input — the XLA-compatible answer to a data-dependent
+  arrival process.
+- **Same compiled semantics as offline.** Feature math is
+  ``ops.fbank.logmel_frames`` (identical per-frame content), the model call
+  is ``models.ast.forward`` with the engine's dtype/attention/int8 options,
+  and gating reuses the engine's reference-exact rules
+  (src/test_long_audio_windows_2stage_cache.py:463-478). After ``flush()``,
+  ``stage1_probs()``/``stage2_probs()`` equal ``TwoStageEngine.window_probs``
+  on the concatenated audio (tests/test_streaming.py).
+
+Latency model: a window is dispatched once ``chunk_windows`` new windows
+complete (or on ``flush``); with the 0.5 s hop the added buffering latency
+is ``chunk_windows / 2`` seconds of audio plus one cascade round-trip.
+
+Scope: single-device (latency-oriented); multi-chip serving shards whole
+recordings in batch mode instead (``TwoStageEngine(mesh=...)``). Requires
+the hop to sit on the 10 ms frame grid (the engine's frame-reuse condition);
+other hops fall back to the offline per-window path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import ast as ast_mod
+from ..ops import fbank as F
+from . import cascade as C
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamResult:
+    """One emitted window: absolute index, start sample, and probabilities.
+
+    ``s2_probs`` is all-zero when the window did not pass the Stage-1 gate
+    in gated mode — the same convention as the offline engine's rows the
+    reference never computes."""
+
+    window_index: int
+    start_sample: int
+    s1_probs: np.ndarray
+    s2_probs: np.ndarray
+
+
+def _next_pow2(n: int, floor: int) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
+class StreamingCascade:
+    """Incremental wrapper around a single-device :class:`TwoStageEngine`."""
+
+    def __init__(self, engine: C.TwoStageEngine, chunk_windows: int = 32,
+                 capacity_frames: int = 4096):
+        if engine.mesh is not None:
+            raise NotImplementedError(
+                "streaming is single-device (latency-oriented); use the "
+                "batch engine for multi-chip serving")
+        if engine._hop % F.HOP_LENGTH != 0:
+            raise ValueError(
+                f"streaming requires the hop ({engine._hop} samples) on the "
+                f"{F.HOP_LENGTH}-sample fbank frame grid")
+        if chunk_windows < 1:
+            raise ValueError("chunk_windows must be >= 1")
+        self.engine = engine
+        self.chunk_windows = chunk_windows
+        self._hop_frames = engine._hop // F.HOP_LENGTH
+        self._fpw = engine._frames_per_window
+        # worst-case frames touched by one emit batch: the batch's windows
+        # span (count-1)*hop + fpw frames, and the frame block computed for
+        # it is bucket-padded — both must fit the ring
+        worst = chunk_windows * self._hop_frames + self._fpw
+        self._block_floor = 64
+        if _next_pow2(worst, self._block_floor) > capacity_frames:
+            raise ValueError(
+                f"capacity_frames={capacity_frames} too small for "
+                f"chunk_windows={chunk_windows} (need >= "
+                f"{_next_pow2(worst, self._block_floor)})")
+        self._cap = capacity_frames
+        self._ring = jnp.zeros((capacity_frames, F.NUM_MEL_BINS), jnp.float32)
+        # host-side state
+        self._stash = np.zeros(0, np.float32)  # samples not yet framed
+        self._stash_offset = 0  # absolute sample index of stash[0]
+        self._total_samples = 0
+        self._next_frame = 0  # next absolute frame index to compute
+        self._next_window = 0  # next absolute window index to emit
+        self._results: list[StreamResult] = []
+        self._flushed = False
+        # jit caches (keyed by bucket size; capacity is static per instance)
+        self._frames_fns: dict[int, Any] = {}
+        self._update_fns: dict[int, Any] = {}
+        self._stage_fns: dict[Any, Any] = {}
+
+    # ---------------- device programs ----------------
+
+    def _frames_fn(self, block: int):
+        if block not in self._frames_fns:
+            @jax.jit
+            def fn(span):
+                return F.logmel_frames(span, block)
+
+            self._frames_fns[block] = fn
+        return self._frames_fns[block]
+
+    def _update_fn(self, block: int):
+        """Scatter `block` new frame rows into the ring at absolute frame
+        index `start` (mod capacity), keeping old rows where row >= n_valid
+        (bucket padding must not clobber the ring)."""
+        if block not in self._update_fns:
+            cap = self._cap
+
+            # no donate_argnums: the ring is ~2 MB and CPU (the test
+            # backend) does not implement donation — a copy is cheaper
+            # than per-call warnings
+            @jax.jit
+            def fn(ring, new, start, n_valid):
+                idx = (start + jnp.arange(block, dtype=jnp.int32)) % cap
+                rows = jnp.where(
+                    (jnp.arange(block) < n_valid)[:, None], new, ring[idx])
+                return ring.at[idx].set(rows)
+
+            self._update_fns[block] = fn
+        return self._update_fns[block]
+
+    def _stage_fn(self, stage: int):
+        """windows->probs over the ring; same body as the offline engine's
+        stage program (cascade.TwoStageEngine._make_stage_fn) except the
+        frame gather is modular over the ring capacity."""
+        eng = self.engine
+        spec = eng.stage1 if stage == 1 else eng.stage2
+        key = spec.config
+        if key not in self._stage_fns:
+            fpw, cap = self._fpw, self._cap
+            max_len = spec.config.max_length
+            dtype = eng.config.dtype
+            config = spec.config
+            attention_impl = eng.config.attention_impl
+
+            @jax.jit
+            def fn(params, mean, denom, ring, starts):
+                offs = jnp.arange(fpw, dtype=jnp.int32)[None, :]
+                raw = ring[(starts[:, None] + offs) % cap]  # (B, fpw, 128)
+                pad = [(0, 0), (0, max_len - fpw), (0, 0)]
+                feats = (jnp.pad(raw, pad) - mean) / denom
+                logits = ast_mod.forward(params, feats, config, dtype=dtype,
+                                         attention_impl=attention_impl)
+                return jax.nn.softmax(logits, -1)
+
+            self._stage_fns[key] = fn
+        fn = self._stage_fns[key]
+        mean = jnp.float32(spec.mean)
+        denom = jnp.float32(2.0 * spec.std)
+        params = eng._params1 if stage == 1 else eng._params2
+        return lambda starts: fn(params, mean, denom, self._ring, starts)
+
+    # ---------------- host orchestration ----------------
+
+    def feed(self, samples: np.ndarray) -> list[StreamResult]:
+        """Append audio (float32 or int16 PCM @16 kHz, any length, including
+        empty) and return windows that completed, in order."""
+        if self._flushed:
+            raise RuntimeError("feed() after flush()")
+        samples = np.asarray(samples)
+        if samples.ndim != 1:
+            raise ValueError("samples must be 1-D")
+        if samples.dtype != np.int16:
+            samples = samples.astype(np.float32)
+        if len(samples):
+            if len(self._stash) == 0:
+                self._stash = samples.copy()
+            elif self._stash.dtype == samples.dtype:
+                self._stash = np.concatenate([self._stash, samples])
+            else:
+                # mixed int16/float32 chunks: int16 means raw PCM, so the
+                # cast to float must also apply the 1/32768 scale the device
+                # path would have applied (ops/fbank.py logmel_frames)
+                def to_f32(x):
+                    return (x.astype(np.float32) / 32768.0
+                            if x.dtype == np.int16 else x)
+
+                self._stash = np.concatenate([to_f32(self._stash),
+                                              to_f32(samples)])
+            self._total_samples += len(samples)
+
+        win, hop = self.engine._win, self.engine._hop
+        n_avail = (0 if self._total_samples < win
+                   else (self._total_samples - win) // hop + 1)
+        emitted: list[StreamResult] = []
+        while n_avail - self._next_window >= self.chunk_windows:
+            emitted.extend(self._emit(self.chunk_windows))
+        return emitted
+
+    def flush(self) -> list[StreamResult]:
+        """Emit all remaining complete windows. For inputs shorter than one
+        window, emits the single zero-padded window the offline path
+        produces (src/test_long_audio_windows_2stage.py:62-75)."""
+        if self._flushed:
+            return []
+        self._flushed = True
+        win, hop = self.engine._win, self.engine._hop
+        emitted: list[StreamResult] = []
+        if self._total_samples < win:
+            # zero-pad to one full window, exactly like window_audio()
+            pad = win - self._total_samples
+            if pad:
+                zeros = np.zeros(pad, self._stash.dtype if len(self._stash)
+                                 else np.float32)
+                self._stash = (np.concatenate([self._stash, zeros])
+                               if len(self._stash) else zeros)
+                self._total_samples += pad
+            n_remaining = 1
+        else:
+            n_avail = (self._total_samples - win) // hop + 1
+            n_remaining = n_avail - self._next_window
+        while n_remaining > 0:
+            count = min(n_remaining, self.chunk_windows)
+            emitted.extend(self._emit(count))
+            n_remaining -= count
+        return emitted
+
+    def _emit(self, count: int) -> list[StreamResult]:
+        hop_f, fpw = self._hop_frames, self._fpw
+        first_w = self._next_window
+        f_end = (first_w + count - 1) * hop_f + fpw
+
+        # 1. compute the new frames [next_frame, f_end) in one bucket block
+        n_new = f_end - self._next_frame
+        if n_new > 0:
+            block = _next_pow2(n_new, self._block_floor)
+            span_len = (block + 2) * F.HOP_LENGTH  # _frames_by_hop_slices pad
+            span = np.zeros(span_len, self._stash.dtype)
+            lo = self._next_frame * F.HOP_LENGTH - self._stash_offset
+            assert lo >= 0, "stash was trimmed past the next frame"
+            m = min(len(self._stash) - lo, span_len)
+            if m > 0:
+                span[:m] = self._stash[lo: lo + m]
+            new_frames = self._frames_fn(block)(jnp.asarray(span))
+            self._ring = self._update_fn(block)(
+                self._ring, new_frames, jnp.int32(self._next_frame % self._cap),
+                jnp.int32(n_new))
+            self._next_frame = f_end
+            # trim the stash: frames >= f_end start at sample f_end*160;
+            # keep from there on (frame overlap needs the 240-sample tail,
+            # which starting at f_end*160 always includes)
+            keep_from = self._next_frame * F.HOP_LENGTH - self._stash_offset
+            if keep_from > 0:
+                self._stash = self._stash[keep_from:]
+                self._stash_offset += keep_from
+
+        # 2. stage-1 on the batch (bucket-padded), then gate, then stage-2
+        starts = (np.arange(first_w, first_w + count, dtype=np.int64)
+                  * hop_f).astype(np.int32)
+        p1 = self._run(1, starts, count)
+        p2 = np.zeros((count, 2), np.float64)
+        if self.engine.config.stage2_mode == "all":
+            p2 = self._run(2, starts, count)
+        else:
+            gated = self.engine._gate_indices(p1)
+            if len(gated):
+                p2[gated] = self._run(2, starts[gated], len(gated))
+
+        out = []
+        for i in range(count):
+            r = StreamResult(first_w + i, (first_w + i) * self.engine._hop,
+                             p1[i], p2[i])
+            out.append(r)
+            self._results.append(r)
+        self._next_window += count
+        return out
+
+    def _run(self, stage: int, starts: np.ndarray, n: int) -> np.ndarray:
+        bucket = _next_pow2(n, floor=8)
+        if n < bucket:
+            starts = np.concatenate([starts, np.zeros(bucket - n,
+                                                      starts.dtype)])
+        probs = self._stage_fn(stage)(jnp.asarray(starts))
+        return np.asarray(probs)[:n].astype(np.float64)
+
+    # ---------------- offline-compatible views ----------------
+
+    def stage1_probs(self) -> np.ndarray:
+        return (np.stack([r.s1_probs for r in self._results])
+                if self._results else np.zeros((0, 2), np.float64))
+
+    def stage2_probs(self) -> np.ndarray:
+        return (np.stack([r.s2_probs for r in self._results])
+                if self._results else np.zeros((0, 2), np.float64))
+
+    def summary(self) -> dict:
+        """Reference-exact per-file summary over everything emitted so far
+        (identical to the offline engine's gate_and_summarize)."""
+        summary, _, _, _ = self.engine.gate_and_summarize(
+            self.stage1_probs(), self.stage2_probs())
+        return summary
