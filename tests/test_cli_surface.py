@@ -11,7 +11,7 @@ CLI_MODULES = [
     "compute_stats", "train_stage1", "train_stage2", "test_stage1",
     "test_stage2", "infer_long_audio", "run_batch_2stage", "run_all_folds",
     "analyze_roc_pr", "extract_thresholds", "aggregate_results",
-    "plot_confusion_matrices", "sweep", "adapt_checkpoint",
+    "plot_confusion_matrices", "sweep", "adapt_checkpoint", "serve",
 ]
 
 

@@ -16,4 +16,9 @@ Reference script -> CLI module (run as
   utils/extract_thresholds_per_fold.py                 -> extract_thresholds
   utils/aggregate_2stage_results.py                    -> aggregate_results
   utils/plot_confusion_matrices.py                     -> plot_confusion_matrices
+
+Beyond the reference:
+  (wandb sweep agent, local-first)                     -> sweep
+  (max_length adaptation of HF AST dirs)               -> adapt_checkpoint
+  (real-time streaming serving, stdin PCM -> JSONL)    -> serve
 """

@@ -1,0 +1,202 @@
+"""Real-time streaming serving CLI (beyond-reference capability).
+
+The reference only classifies recordings after the fact
+(src/test_long_audio_windows_2stage.py decodes a whole file, then windows
+it). This tool serves the same two-stage cascade *live*: PCM audio arrives
+on stdin (a microphone pipe, `sox -d -t raw ... -`, a network relay), and
+one JSON line per completed 1 s window is written to stdout as soon as its
+probabilities are available, followed by a final reference-exact summary
+line at end of stream. Backed by `infer.streaming.StreamingCascade`
+(HBM-resident log-mel ring buffer, offline-identical numerics; latency
+numbers in ROOFLINE.md).
+
+Protocol (stdout, one JSON object per line, flushed):
+  {"type": "window", "index": 0, "start_sec": 0.0,
+   "stage1_probs": [p_idle, p_swallow], "stage1_pred": "Swallow",
+   "stage2_probs": [p_healthy, p_zenker] | null,   # null = not gated
+   "stage2_pred": "Zenker" | null}
+  ...
+  {"type": "summary", ...same fields as outputs/<pid>_2stage.json per_file}
+
+Gating semantics match the batch engine exactly: `stage1_pred` uses the
+thresholded rule (argmax==Swallow AND p>=--stage1-threshold), stage-2 runs
+only on gated windows (unless --stage2-mode all), `stage2_pred` uses the
+threshold or --stage2-argmax rule — src/test_long_audio_windows_2stage_cache.py:463-522.
+
+A WAV path via --input simulates a live source by feeding
+--simulate-chunk-sec at a time (useful for latency rehearsal and tests).
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from ..infer import cascade as C
+
+
+def build_arg_parser():
+    ap = argparse.ArgumentParser(
+        description="Stream PCM from stdin through the two-stage cascade; "
+        "JSONL window probabilities on stdout.")
+    ap.add_argument("--stage1-model-root",
+                    help="Stage1 model dir (Idle vs Swallow); auto from --fold")
+    ap.add_argument("--stage2-model-root",
+                    help="Stage2 model dir (Healthy vs Zenker); auto from --fold")
+    ap.add_argument("--fold", type=int,
+                    help="Fold number to auto-resolve model roots.")
+    ap.add_argument("--model-root", default="runs",
+                    help="runs root used with --fold")
+    ap.add_argument("--input", default="-",
+                    help="'-' = raw PCM on stdin (16 kHz mono); a .wav path "
+                    "simulates a live source (--simulate-chunk-sec feeds)")
+    ap.add_argument("--input-format", choices=["pcm16", "f32"],
+                    default="pcm16",
+                    help="stdin sample format: int16 LE or float32 LE")
+    ap.add_argument("--simulate-chunk-sec", type=float, default=0.5,
+                    help="feed size when --input is a WAV file")
+    ap.add_argument("--read-chunk-samples", type=int, default=8000,
+                    help="stdin read granularity (samples)")
+    ap.add_argument("--window-sec", type=float, default=1.0)
+    ap.add_argument("--hop-sec", type=float, default=0.5)
+    ap.add_argument("--chunk-windows", type=int, default=8,
+                    help="windows per device dispatch: smaller = lower "
+                    "latency, larger = higher throughput (ROOFLINE.md)")
+    ap.add_argument("--capacity-frames", type=int, default=4096,
+                    help="log-mel ring buffer capacity (10 ms frames)")
+    ap.add_argument("--stage1-threshold", type=float, default=0.5)
+    ap.add_argument("--stage2-threshold", type=float, default=0.5)
+    ap.add_argument("--stage1-forward-min-prob", type=float, default=None)
+    ap.add_argument("--stage2-argmax", action="store_true")
+    ap.add_argument("--stage2-mode", choices=["gated", "all"], default="gated")
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--attention-impl", choices=["xla", "pallas"],
+                    default="xla")
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--no-summary", action="store_true",
+                    help="suppress the final summary line")
+    return ap
+
+
+def build_engine(args) -> C.TwoStageEngine:
+    import os
+
+    import jax.numpy as jnp
+
+    from .infer_long_audio import load_stage_spec
+
+    if args.fold is not None:
+        if not args.stage1_model_root:
+            args.stage1_model_root = os.path.join(
+                args.model_root, "ast_classifier_stage1",
+                f"fold{args.fold}", "best")
+        if not args.stage2_model_root:
+            args.stage2_model_root = os.path.join(
+                args.model_root, "ast_classifier_stage2",
+                f"fold{args.fold}", "best")
+    if not (args.stage1_model_root and args.stage2_model_root):
+        raise ValueError(
+            "Model roots must be provided either explicitly or via --fold.")
+    spec1 = load_stage_spec(args.stage1_model_root, ("Idle", "Swallow"))
+    spec2 = load_stage_spec(args.stage2_model_root, ("Healthy", "Zenker"))
+    config = C.CascadeConfig(
+        window_sec=args.window_sec,
+        hop_sec=args.hop_sec,
+        stage1_threshold=args.stage1_threshold,
+        stage2_threshold=args.stage2_threshold,
+        stage1_forward_min_prob=args.stage1_forward_min_prob,
+        stage2_argmax=args.stage2_argmax,
+        dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        stage2_mode=args.stage2_mode,
+        attention_impl=args.attention_impl,
+        int8=args.int8,
+    )
+    return C.TwoStageEngine(spec1, spec2, config)
+
+
+def iter_input_chunks(args, stdin_buffer):
+    """Yield numpy sample chunks from stdin or a simulated WAV source."""
+    if args.input != "-":
+        from ..audio import io as aio
+
+        audio = aio.load_audio_compact(args.input)
+        step = max(1, int(args.simulate_chunk_sec * C.SAMPLING_RATE))
+        for i in range(0, len(audio), step):
+            yield audio[i: i + step]
+        return
+    dtype = np.int16 if args.input_format == "pcm16" else np.float32
+    chunk_bytes = args.read_chunk_samples * dtype().itemsize
+    carry = b""
+    while True:
+        data = stdin_buffer.read(chunk_bytes)
+        if not data:
+            break
+        data = carry + data
+        usable = len(data) - (len(data) % dtype().itemsize)
+        carry = data[usable:]
+        if usable:
+            yield np.frombuffer(data[:usable], dtype=dtype)
+    if carry:
+        print(f"[WARN] {len(carry)} trailing bytes did not form a sample",
+              file=sys.stderr)
+
+
+def window_line(engine: C.TwoStageEngine, r) -> dict:
+    """One emitted window -> JSON dict, with the engine's exact gating."""
+    cfg = engine.config
+    s1 = r.s1_probs
+    # gate = thresholded Swallow AND the optional forward-min-prob second
+    # gate (what selects stage-2 evaluation); stage1_pred reports just the
+    # thresholded rule, like the reference's aligned predictions
+    gated = len(engine._gate_indices(s1[None, :])) == 1
+    swallow = s1.argmax() == 1 and s1[1] >= cfg.stage1_threshold
+    s1_pred = engine.stage1.label_order[1 if swallow else 0]
+    line = {
+        "type": "window",
+        "index": int(r.window_index),
+        "start_sec": r.start_sample / C.SAMPLING_RATE,
+        "stage1_probs": [float(x) for x in s1],
+        "stage1_pred": s1_pred,
+        "stage2_probs": None,
+        "stage2_pred": None,
+    }
+    if gated:
+        s2 = r.s2_probs
+        line["stage2_probs"] = [float(x) for x in s2]
+        cls = (int(np.argmax(s2)) if cfg.stage2_argmax
+               else int(s2[1] >= cfg.stage2_threshold))
+        line["stage2_pred"] = engine.stage2.label_order[cls]
+    return line
+
+
+def main(argv=None, stdin_buffer=None, stdout=None):
+    args = build_arg_parser().parse_args(argv)
+    out = stdout or sys.stdout
+    stdin_buffer = stdin_buffer if stdin_buffer is not None else sys.stdin.buffer
+
+    from ..infer.streaming import StreamingCascade
+
+    engine = build_engine(args)
+    stream = StreamingCascade(engine, chunk_windows=args.chunk_windows,
+                              capacity_frames=args.capacity_frames)
+    print(f"[serve] models loaded; hop={args.hop_sec}s "
+          f"chunk_windows={args.chunk_windows} "
+          f"({args.chunk_windows * args.hop_sec:.1f}s buffering)",
+          file=sys.stderr)
+
+    def emit(results):
+        for r in results:
+            print(json.dumps(window_line(engine, r)), file=out, flush=True)
+
+    for chunk in iter_input_chunks(args, stdin_buffer):
+        emit(stream.feed(chunk))
+    emit(stream.flush())
+    if not args.no_summary:
+        print(json.dumps({"type": "summary", **stream.summary()}),
+              file=out, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
