@@ -163,6 +163,45 @@ def test_streaming_emission_latency():
     assert_stream_matches_offline(engine, audio, emitted, stream)
 
 
+def test_warmup_precompiles_feed_programs():
+    """After warmup(), the steady feed loop must trigger zero new traces —
+    the live-serving guarantee (first windows don't stall on JIT)."""
+    engine = make_engine("gated")
+    stream = StreamingCascade(engine, chunk_windows=8)
+    stream.warmup()
+    sizes = {
+        "frames": {b: fn._cache_size()
+                   for b, fn in stream._frames_fns.items()},
+        "update": {b: fn._cache_size()
+                   for b, fn in stream._update_fns.items()},
+        "stage": {k: fn._cache_size()
+                  for k, fn in stream._stage_fns.items()},
+    }
+    n_frames, n_update, n_stage = (len(stream._frames_fns),
+                                   len(stream._update_fns),
+                                   len(stream._stage_fns))
+
+    audio = make_audio(14.0, seed=17)  # 27 windows -> 3 full 8-batches
+    results = []
+    for i in range(0, len(audio), 12000):
+        results.extend(stream.feed(audio[i: i + 12000]))
+    assert len(results) == 24  # only full batches so far
+
+    assert len(stream._frames_fns) == n_frames
+    assert len(stream._update_fns) == n_update
+    assert len(stream._stage_fns) == n_stage
+    for b, fn in stream._frames_fns.items():
+        assert fn._cache_size() == sizes["frames"][b], f"frames block {b}"
+    for b, fn in stream._update_fns.items():
+        assert fn._cache_size() == sizes["update"][b], f"update block {b}"
+    for k, fn in stream._stage_fns.items():
+        assert fn._cache_size() == sizes["stage"][k], "stage program"
+
+    # warmup must not have perturbed results: parity with offline prefix
+    results.extend(stream.flush())
+    assert_stream_matches_offline(engine, audio, results, stream)
+
+
 def test_streaming_validation_errors():
     engine = make_engine("gated")
     with pytest.raises(ValueError, match="capacity_frames"):

@@ -76,6 +76,9 @@ def build_arg_parser():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--no-summary", action="store_true",
                     help="suppress the final summary line")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip pre-compiling the stream programs before "
+                    "reading input (first windows may then stall on JIT)")
     return ap
 
 
@@ -184,6 +187,9 @@ def main(argv=None, stdin_buffer=None, stdout=None):
           f"chunk_windows={args.chunk_windows} "
           f"({args.chunk_windows * args.hop_sec:.1f}s buffering)",
           file=sys.stderr)
+    if not args.no_warmup:
+        stream.warmup()
+        print("[serve] programs compiled; streaming", file=sys.stderr)
 
     def emit(results):
         for r in results:

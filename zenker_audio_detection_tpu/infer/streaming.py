@@ -179,6 +179,44 @@ class StreamingCascade:
         params = eng._params1 if stage == 1 else eng._params2
         return lambda starts: fn(params, mean, denom, self._ring, starts)
 
+    def warmup(self) -> None:
+        """Compile every program the live feed loop can hit, before traffic
+        (end-of-stream flush tails may still compile smaller odd sizes —
+        harmless there, the stream is over).
+
+        Without this, the first emitted window pays all JIT compiles (on a
+        cold persistent cache: minutes per full-size AST program over a
+        remote-compile link — unacceptable mid-stream). Dispatches dummy
+        data through each frame-block size, the ring update, and each
+        window-bucket size of both stage programs; stream state is
+        untouched (the programs are pure and the dummy ring update writes
+        zero valid rows).
+        """
+        hop_f, fpw = self._hop_frames, self._fpw
+        # frame blocks: the first emit computes (chunk-1)*hop+fpw frames,
+        # steady-state emits chunk*hop; flush tails reuse smaller blocks
+        blocks = set()
+        for n_new in {(self.chunk_windows - 1) * hop_f + fpw,
+                      self.chunk_windows * hop_f, hop_f, fpw}:
+            blocks.add(_next_pow2(max(1, n_new), self._block_floor))
+        for block in sorted(blocks):
+            span = jnp.zeros((block + 2) * F.HOP_LENGTH, jnp.float32)
+            frames = self._frames_fn(block)(span)
+            # n_valid=0: a pure no-op on the ring contents
+            self._ring = self._update_fn(block)(
+                self._ring, frames, jnp.int32(0), jnp.int32(0))
+        # window buckets: full batches, flush tails, and gated subsets all
+        # land on pow2 buckets in [8, next_pow2(chunk_windows)]
+        bucket = 8
+        buckets = {8}
+        while bucket < self.chunk_windows:
+            bucket *= 2
+            buckets.add(bucket)
+        for bucket in sorted(buckets):
+            starts = jnp.zeros(bucket, jnp.int32)
+            for stage in (1, 2):
+                np.asarray(self._stage_fn(stage)(starts))
+
     # ---------------- host orchestration ----------------
 
     def feed(self, samples: np.ndarray) -> list[StreamResult]:
@@ -274,8 +312,11 @@ class StreamingCascade:
                 self._stash_offset += keep_from
 
         # 2. stage-1 on the batch (bucket-padded), then gate, then stage-2
-        starts = (np.arange(first_w, first_w + count, dtype=np.int64)
-                  * hop_f).astype(np.int32)
+        # Starts are reduced mod capacity on the host so absolute frame
+        # indices never overflow int32, however long the stream runs
+        # ((start % cap + off) % cap == (start + off) % cap).
+        starts = ((np.arange(first_w, first_w + count, dtype=np.int64)
+                   * hop_f) % self._cap).astype(np.int32)
         p1 = self._run(1, starts, count)
         p2 = np.zeros((count, 2), np.float64)
         if self.engine.config.stage2_mode == "all":
