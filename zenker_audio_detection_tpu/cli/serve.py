@@ -69,7 +69,11 @@ def build_arg_parser():
     ap.add_argument("--stage2-threshold", type=float, default=0.5)
     ap.add_argument("--stage1-forward-min-prob", type=float, default=None)
     ap.add_argument("--stage2-argmax", action="store_true")
-    ap.add_argument("--stage2-mode", choices=["gated", "all"], default="gated")
+    ap.add_argument("--stage2-mode", choices=["gated", "all"], default="gated",
+                    help="'all' runs stage-2 speculatively on every window: "
+                    "one fetch round-trip less per batch = lowest decision "
+                    "latency, at the cost of stage-2 compute on non-gated "
+                    "windows (ROOFLINE.md)")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--attention-impl", choices=["xla", "pallas"],
                     default="xla")

@@ -317,14 +317,22 @@ class StreamingCascade:
         # ((start % cap + off) % cap == (start + off) % cap).
         starts = ((np.arange(first_w, first_w + count, dtype=np.int64)
                    * hop_f) % self._cap).astype(np.int32)
-        p1 = self._run(1, starts, count)
-        p2 = np.zeros((count, 2), np.float64)
         if self.engine.config.stage2_mode == "all":
-            p2 = self._run(2, starts, count)
+            # speculative: both stages dispatched back-to-back, ONE fetch
+            # round-trip instead of two — in latency mode the round-trip is
+            # the floor (ROOFLINE.md), so "all" trades the gate's compute
+            # saving for a sync saving
+            d1 = self._dispatch(1, starts, count)
+            d2 = self._dispatch(2, starts, count)
+            p1 = self._fetch(d1, count)
+            p2 = self._fetch(d2, count)
         else:
+            p1 = self._fetch(self._dispatch(1, starts, count), count)
+            p2 = np.zeros((count, 2), np.float64)
             gated = self.engine._gate_indices(p1)
             if len(gated):
-                p2[gated] = self._run(2, starts[gated], len(gated))
+                p2[gated] = self._fetch(
+                    self._dispatch(2, starts[gated], len(gated)), len(gated))
 
         out = []
         for i in range(count):
@@ -335,12 +343,16 @@ class StreamingCascade:
         self._next_window += count
         return out
 
-    def _run(self, stage: int, starts: np.ndarray, n: int) -> np.ndarray:
+    def _dispatch(self, stage: int, starts: np.ndarray, n: int):
+        """Queue one bucket-padded stage call; no host sync."""
         bucket = _next_pow2(n, floor=8)
         if n < bucket:
             starts = np.concatenate([starts, np.zeros(bucket - n,
                                                       starts.dtype)])
-        probs = self._stage_fn(stage)(jnp.asarray(starts))
+        return self._stage_fn(stage)(jnp.asarray(starts))
+
+    @staticmethod
+    def _fetch(probs, n: int) -> np.ndarray:
         return np.asarray(probs)[:n].astype(np.float64)
 
     # ---------------- offline-compatible views ----------------
