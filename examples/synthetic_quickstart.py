@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Synthetic end-to-end quickstart / install validator.
+
+Runs the COMPLETE reference workflow (SURVEY §3: prepare -> CV splits ->
+normalization stats -> train both stages -> snippet eval -> ROC/PR ->
+threshold extraction -> batch patient inference -> aggregation -> CM plots
+-> real-time serving) on generated WAVs with a tiny random "pretrained"
+checkpoint, inside a scratch directory. Nothing external is needed: no
+dataset, no downloaded model, no network.
+
+    python examples/synthetic_quickstart.py            # CPU, ~2-3 min
+    python examples/synthetic_quickstart.py --tpu      # default JAX platform
+    python examples/synthetic_quickstart.py --workdir /tmp/zq --keep
+
+This mirrors tests/test_cli_workflow.py as user-runnable documentation:
+every command below is exactly what you would run on real data (with a
+real dataset root and the MIT AST checkpoint dir as --pretrained-model-dir).
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+# run straight from a git checkout, no install needed (harmless if installed)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(step, msg):
+    print(f"[{step}] {msg}", flush=True)
+
+
+def synthesize_dataset(root):
+    """Class/<patient>/*.wav short clips + two long recordings per patient.
+    Healthy = quiet, Zenker = loud, so even a tiny model separates them."""
+    from zenker_audio_detection_tpu.audio import io as aio
+
+    rng = np.random.default_rng(0)
+    short, long_dir = os.path.join(root, "Short"), os.path.join(root, "Long")
+    for cls, n_pat, amp in [("Healthy", 6, 0.01), ("Zenker", 6, 0.4)]:
+        for i in range(n_pat):
+            pid = f"{cls[0]}{i:02d}"
+            d = os.path.join(short, cls, pid)
+            os.makedirs(d, exist_ok=True)
+            for k in range(4):
+                aio.write_wav(os.path.join(d, f"c{k}.wav"),
+                              (rng.standard_normal(16000) * amp
+                               ).astype(np.float32), 16000, dtype="float32")
+            ld = os.path.join(long_dir, cls, pid)
+            os.makedirs(ld, exist_ok=True)
+            for fn in ("recA.wav", "recB.wav"):
+                quiet = rng.standard_normal(16000) * 0.003
+                active = rng.standard_normal(32000) * max(amp, 0.2)
+                aio.write_wav(os.path.join(ld, fn),
+                              np.concatenate([quiet, active]
+                                             ).astype(np.float32),
+                              16000, dtype="float32")
+    for pid in ["H00", "H01", "Z00", "Z01"]:
+        d = os.path.join(short, "Idle", pid)
+        os.makedirs(d, exist_ok=True)
+        for k in range(2):
+            aio.write_wav(os.path.join(d, f"i{k}.wav"),
+                          (rng.standard_normal(16000) * 0.003
+                           ).astype(np.float32), 16000, dtype="float32")
+    return short, long_dir
+
+
+def make_tiny_pretrained(path):
+    import jax
+
+    from zenker_audio_detection_tpu.models import ast as ast_mod, convert
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            num_labels=527)  # AudioSet-shaped head
+    convert.save_hf_model_dir(ast_mod.init_params(jax.random.PRNGKey(3), cfg),
+                              cfg, path)
+    return path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--workdir", default=None,
+                    help="scratch dir (default: a fresh temp dir)")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the scratch dir (implied by --workdir)")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default JAX platform instead of CPU")
+    args = ap.parse_args(argv)
+
+    if not args.tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    keep = args.keep or args.workdir is not None
+    workdir = args.workdir or tempfile.mkdtemp(prefix="zenker_quickstart_")
+    os.makedirs(workdir, exist_ok=True)
+    os.chdir(workdir)  # the CLIs use the reference's relative default paths
+    log("0/9", f"workdir: {workdir}")
+
+    short, long_dir = synthesize_dataset(workdir)
+    pretrained = make_tiny_pretrained(os.path.join(workdir, "pretrained"))
+    log("1/9", "synthetic dataset + tiny random pretrained checkpoint ready")
+
+    from zenker_audio_detection_tpu.cli import (
+        aggregate_results, analyze_roc_pr, compute_stats, extract_thresholds,
+        infer_long_audio, plot_confusion_matrices, prepare_training_data,
+        prepare_two_stage, run_batch_2stage, serve, test_stage1, test_stage2,
+        train_stage1, train_stage2)
+
+    prepare_training_data.main(["--dataset-root", short])
+    prepare_two_stage.main(["--val-ratio", "0.25"])
+    log("2/9", "patient-level CV splits + two-stage derivation written")
+
+    compute_stats.main(["--stage", "stage1", "--folds", "1"])
+    compute_stats.main(["--stage", "stage2", "--folds", "1"])
+    log("3/9", "per-fold normalization stats computed")
+
+    common = ["--fold", "1", "--num-epochs", "3", "--batch-size", "8",
+              "--learning-rate", "1e-3", "--no-augment", "--f32",
+              "--no-early-stopping", "--pretrained-model-dir", pretrained]
+    train_stage1.main(common)
+    train_stage2.main(common)
+    log("4/9", "both stages fine-tuned (fold 1); best models exported "
+        "as HF-compatible dirs under runs/")
+
+    test_stage1.main(["--fold", "1", "--f32"])
+    test_stage2.main(["--fold", "1", "--f32"])
+    log("5/9", "snippet evaluation written (confusion matrices + reports)")
+
+    analyze_roc_pr.main(["--stage", "stage2", "--fold", "1", "--f32",
+                         "--output-json", "rocpr/stage2_val.json"])
+    extract_thresholds.main(["--stage2-metrics", "rocpr/stage2_val.json",
+                             "--output-config", "thr.json"])
+    log("6/9", "validation ROC/PR analyzed; per-fold thresholds extracted")
+
+    run_batch_2stage.main(["--fold", "1", "--long-audio-root", long_dir,
+                           "--output-dir", "outputs",
+                           "--threshold-config", "thr.json",
+                           "--f32", "--batch-size", "16"])
+    aggregate_results.main(["--outputs-dir", "outputs", "--store-output"])
+    summary = json.load(open("outputs/aggregate_summary.json"))["summary"]
+    log("7/9", f"patient-level inference + aggregation: "
+        f"{summary['num_patient_results']} patients, "
+        f"accuracy={summary.get('accuracy')}")
+
+    plot_confusion_matrices.main(["--model-root", "runs"])
+    infer_long_audio.main(["--fold", "1", "--patient-id", "Z00",
+                           "--long-audio-root", long_dir,
+                           "--output-json", "outputs/manual_Z00.json",
+                           "--plot", "--plot-dir", "plots", "--f32"])
+    log("8/9", "CM plots + single-patient inference with waveform plot")
+
+    wav = os.path.join(long_dir, "Zenker", "Z00", "recA.wav")
+    serve.main(["--fold", "1", "--input", wav, "--f32",
+                "--chunk-windows", "2"])
+    log("9/9", "real-time serving simulated over a recording (JSONL above)")
+
+    print(f"\nAll steps completed. Artifacts under: {workdir}")
+    print("  runs/              trained models + evaluation")
+    print("  rocpr/, thr.json   calibration")
+    print("  outputs/, plots/   patient inference")
+    if not keep:
+        os.chdir("/")
+        shutil.rmtree(workdir)
+        print("(scratch dir removed; pass --keep to retain it)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
