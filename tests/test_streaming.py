@@ -163,6 +163,33 @@ def test_streaming_emission_latency():
     assert_stream_matches_offline(engine, audio, emitted, stream)
 
 
+def test_streaming_nondefault_window_geometry():
+    """1.2 s windows / 0.4 s hop (both on the 10 ms frame grid)."""
+    s1 = tiny_spec(0, MEAN1, STD1, ("Idle", "Swallow"))
+    s2 = tiny_spec(1, MEAN2, STD2, ("Healthy", "Zenker"))
+    engine = C.TwoStageEngine(s1, s2, C.CascadeConfig(
+        dtype=jnp.float32, window_sec=1.2, hop_sec=0.4, stage2_mode="gated"))
+    audio = make_audio(7.0, seed=23)
+    stream = StreamingCascade(engine, chunk_windows=5)
+    results = feed_in_chunks(stream, audio, np.random.default_rng(6),
+                             max_chunk=11000)
+    assert_stream_matches_offline(engine, audio, results, stream)
+    assert results[1].start_sample == int(0.4 * 16000)
+
+
+def test_streaming_int8_engine_matches_offline_int8():
+    """Engine options (here: int8 quantization) compose transparently —
+    the stream uses the engine's committed (quantized) params and config."""
+    s1 = tiny_spec(0, MEAN1, STD1, ("Idle", "Swallow"))
+    s2 = tiny_spec(1, MEAN2, STD2, ("Healthy", "Zenker"))
+    engine = C.TwoStageEngine(s1, s2, C.CascadeConfig(
+        dtype=jnp.float32, batch_size=64, stage2_mode="gated", int8=True))
+    audio = make_audio(4.0, seed=21)
+    stream = StreamingCascade(engine, chunk_windows=4)
+    results = feed_in_chunks(stream, audio, np.random.default_rng(5))
+    assert_stream_matches_offline(engine, audio, results, stream)
+
+
 def test_warmup_precompiles_feed_programs():
     """After warmup(), the steady feed loop must trigger zero new traces —
     the live-serving guarantee (first windows don't stall on JIT)."""
