@@ -190,9 +190,12 @@ def test_streaming_int8_engine_matches_offline_int8():
     assert_stream_matches_offline(engine, audio, results, stream)
 
 
-def test_warmup_precompiles_feed_programs():
+@pytest.mark.parametrize("dtype", [np.float32, np.int16])
+def test_warmup_precompiles_feed_programs(dtype):
     """After warmup(), the steady feed loop must trigger zero new traces —
-    the live-serving guarantee (first windows don't stall on JIT)."""
+    the live-serving guarantee (first windows don't stall on JIT) — for
+    BOTH sample dtypes (int16 PCM is the serve CLI's default input and
+    traces a second frames program)."""
     engine = make_engine("gated")
     stream = StreamingCascade(engine, chunk_windows=8)
     stream.warmup()
@@ -208,7 +211,7 @@ def test_warmup_precompiles_feed_programs():
                                    len(stream._update_fns),
                                    len(stream._stage_fns))
 
-    audio = make_audio(14.0, seed=17)  # 27 windows -> 3 full 8-batches
+    audio = make_audio(14.0, seed=17, dtype=dtype)  # 27 win -> 3 batches
     results = []
     for i in range(0, len(audio), 12000):
         results.extend(stream.feed(audio[i: i + 12000]))
@@ -229,6 +232,30 @@ def test_warmup_precompiles_feed_programs():
     assert_stream_matches_offline(engine, audio, results, stream)
 
 
+def test_streaming_unretained_summary_matches_retained():
+    """retain_results=False keeps the summary exact via O(1) accumulators
+    (the memory-bounded mode for indefinite live streams)."""
+    engine = make_engine("gated")
+    audio = make_audio(9.0, seed=25)
+    retained = StreamingCascade(engine, chunk_windows=4)
+    unretained = StreamingCascade(engine, chunk_windows=4,
+                                  retain_results=False)
+    for s in (retained, unretained):
+        s.feed(audio)
+        s.flush()
+    assert unretained._results == []
+    got, ref = unretained.summary(), retained.summary()
+    for k, v in ref.items():
+        if isinstance(v, list):
+            np.testing.assert_allclose(got[k], v, atol=1e-12)
+        else:
+            assert got[k] == pytest.approx(v), k
+    with pytest.raises(RuntimeError, match="retain_results"):
+        unretained.stage1_probs()
+    with pytest.raises(RuntimeError, match="retain_results"):
+        unretained.stage2_probs()
+
+
 def test_streaming_validation_errors():
     engine = make_engine("gated")
     with pytest.raises(ValueError, match="capacity_frames"):
@@ -243,3 +270,9 @@ def test_streaming_validation_errors():
         C.CascadeConfig(dtype=jnp.float32, hop_sec=0.4755))  # 7608 % 160 != 0
     with pytest.raises(ValueError, match="frame grid"):
         StreamingCascade(off_grid)
+
+    zero_hop = C.TwoStageEngine(
+        engine.stage1, engine.stage2,
+        C.CascadeConfig(dtype=jnp.float32, hop_sec=0.0))
+    with pytest.raises(ValueError, match="must be > 0"):
+        StreamingCascade(zero_hop)

@@ -75,9 +75,10 @@ def load_stage_spec(model_root: str, label_order) -> C.StageSpec:
     return C.StageSpec(params, config, mean, std, tuple(label_order))
 
 
-def build_engine(args) -> tuple[C.TwoStageEngine, str, str]:
-    import jax.numpy as jnp
-
+def resolve_model_roots(args) -> tuple[str, str]:
+    """--fold + --model-root -> the per-stage `fold{k}/best` dirs (the
+    reference's runs layout, src/run_all_folds_simple_batch.sh:109-123);
+    explicit --stage{1,2}-model-root wins. Shared by infer/serve CLIs."""
     if args.fold is not None:
         if not args.stage1_model_root:
             args.stage1_model_root = os.path.join(
@@ -90,9 +91,19 @@ def build_engine(args) -> tuple[C.TwoStageEngine, str, str]:
     if not (args.stage1_model_root and args.stage2_model_root):
         raise ValueError(
             "Model roots must be provided either explicitly or via --fold.")
+    return args.stage1_model_root, args.stage2_model_root
 
-    spec1 = load_stage_spec(args.stage1_model_root, ("Idle", "Swallow"))
-    spec2 = load_stage_spec(args.stage2_model_root, ("Healthy", "Zenker"))
+
+def load_stage_specs(args) -> tuple[C.StageSpec, C.StageSpec]:
+    root1, root2 = resolve_model_roots(args)
+    return (load_stage_spec(root1, ("Idle", "Swallow")),
+            load_stage_spec(root2, ("Healthy", "Zenker")))
+
+
+def build_engine(args) -> tuple[C.TwoStageEngine, str, str]:
+    import jax.numpy as jnp
+
+    spec1, spec2 = load_stage_specs(args)
     config = C.CascadeConfig(
         window_sec=args.window_sec,
         hop_sec=args.hop_sec,

@@ -87,26 +87,11 @@ def build_arg_parser():
 
 
 def build_engine(args) -> C.TwoStageEngine:
-    import os
-
     import jax.numpy as jnp
 
-    from .infer_long_audio import load_stage_spec
+    from .infer_long_audio import load_stage_specs
 
-    if args.fold is not None:
-        if not args.stage1_model_root:
-            args.stage1_model_root = os.path.join(
-                args.model_root, "ast_classifier_stage1",
-                f"fold{args.fold}", "best")
-        if not args.stage2_model_root:
-            args.stage2_model_root = os.path.join(
-                args.model_root, "ast_classifier_stage2",
-                f"fold{args.fold}", "best")
-    if not (args.stage1_model_root and args.stage2_model_root):
-        raise ValueError(
-            "Model roots must be provided either explicitly or via --fold.")
-    spec1 = load_stage_spec(args.stage1_model_root, ("Idle", "Swallow"))
-    spec2 = load_stage_spec(args.stage2_model_root, ("Healthy", "Zenker"))
+    spec1, spec2 = load_stage_specs(args)
     config = C.CascadeConfig(
         window_sec=args.window_sec,
         hop_sec=args.hop_sec,
@@ -185,8 +170,11 @@ def main(argv=None, stdin_buffer=None, stdout=None):
     from ..infer.streaming import StreamingCascade
 
     engine = build_engine(args)
+    # retain_results=False: windows are printed as they emit, and summary()
+    # runs on O(1) accumulators — memory stays bounded on infinite streams
     stream = StreamingCascade(engine, chunk_windows=args.chunk_windows,
-                              capacity_frames=args.capacity_frames)
+                              capacity_frames=args.capacity_frames,
+                              retain_results=False)
     print(f"[serve] models loaded; hop={args.hop_sec}s "
           f"chunk_windows={args.chunk_windows} "
           f"({args.chunk_windows * args.hop_sec:.1f}s buffering)",

@@ -33,9 +33,10 @@ complete (or on ``flush``); with the 0.5 s hop the added buffering latency
 is ``chunk_windows / 2`` seconds of audio plus one cascade round-trip.
 
 Scope: single-device (latency-oriented); multi-chip serving shards whole
-recordings in batch mode instead (``TwoStageEngine(mesh=...)``). Requires
-the hop to sit on the 10 ms frame grid (the engine's frame-reuse condition);
-other hops fall back to the offline per-window path.
+recordings in batch mode instead (``TwoStageEngine(mesh=...)``). The hop
+must sit on the 10 ms frame grid (the engine's frame-reuse condition) —
+off-grid hops are rejected at construction; use the offline engine (whose
+per-window fbank path handles them) instead.
 """
 
 from __future__ import annotations
@@ -66,22 +67,25 @@ class StreamResult:
     s2_probs: np.ndarray
 
 
-def _next_pow2(n: int, floor: int) -> int:
-    p = floor
-    while p < n:
-        p *= 2
-    return p
+_next_pow2 = C._next_pow2  # the shared pow2-bucketing primitive
 
 
 class StreamingCascade:
-    """Incremental wrapper around a single-device :class:`TwoStageEngine`."""
+    """Incremental wrapper around a single-device :class:`TwoStageEngine`.
+
+    ``retain_results=False`` drops per-window history after emission (the
+    summary is maintained in O(1) running accumulators instead) — required
+    for indefinite live streams, where retaining every StreamResult would
+    grow without bound."""
 
     def __init__(self, engine: C.TwoStageEngine, chunk_windows: int = 32,
-                 capacity_frames: int = 4096):
+                 capacity_frames: int = 4096, retain_results: bool = True):
         if engine.mesh is not None:
             raise NotImplementedError(
                 "streaming is single-device (latency-oriented); use the "
                 "batch engine for multi-chip serving")
+        if engine._hop <= 0 or engine._win <= 0:
+            raise ValueError("window_sec and hop_sec must be > 0")
         if engine._hop % F.HOP_LENGTH != 0:
             raise ValueError(
                 f"streaming requires the hop ({engine._hop} samples) on the "
@@ -110,7 +114,17 @@ class StreamingCascade:
         self._total_samples = 0
         self._next_frame = 0  # next absolute frame index to compute
         self._next_window = 0  # next absolute window index to emit
+        self._retain = retain_results
         self._results: list[StreamResult] = []
+        # O(1) running accumulators mirroring summarize_stage_outputs
+        # (counts use raw argmax — the reference quirk — while stage-2
+        # evaluation follows the thresholded gate)
+        self._acc = {
+            "n": 0, "idle": 0, "swallow": 0,
+            "s1_sum": np.zeros(2, np.float64),
+            "eval_count": 0, "s2_sum": np.zeros(2, np.float64),
+            "healthy": 0, "zenker": 0,
+        }
         self._flushed = False
         # jit caches (keyed by bucket size; capacity is static per instance)
         self._frames_fns: dict[int, Any] = {}
@@ -200,8 +214,12 @@ class StreamingCascade:
                       self.chunk_windows * hop_f, hop_f, fpw}:
             blocks.add(_next_pow2(max(1, n_new), self._block_floor))
         for block in sorted(blocks):
-            span = jnp.zeros((block + 2) * F.HOP_LENGTH, jnp.float32)
-            frames = self._frames_fn(block)(span)
+            # both sample dtypes: int16 PCM spans trace a second program
+            # (scaled on device, ops/fbank.py), and a live int16 stream
+            # would otherwise hit that compile on its first emit
+            for dt in (jnp.float32, jnp.int16):
+                span = jnp.zeros((block + 2) * F.HOP_LENGTH, dt)
+                frames = self._frames_fn(block)(span)
             # n_valid=0: a pure no-op on the ring contents
             self._ring = self._update_fn(block)(
                 self._ring, frames, jnp.int32(0), jnp.int32(0))
@@ -334,14 +352,38 @@ class StreamingCascade:
                 p2[gated] = self._fetch(
                     self._dispatch(2, starts[gated], len(gated)), len(gated))
 
+        self._accumulate(p1, p2)
         out = []
         for i in range(count):
             r = StreamResult(first_w + i, (first_w + i) * self.engine._hop,
                              p1[i], p2[i])
             out.append(r)
-            self._results.append(r)
+            if self._retain:
+                self._results.append(r)
         self._next_window += count
         return out
+
+    def _accumulate(self, p1: np.ndarray, p2: np.ndarray) -> None:
+        """Fold one emitted batch into the running summary accumulators,
+        replicating summarize_stage_outputs' semantics element-wise."""
+        cfg = self.engine.config
+        acc = self._acc
+        preds = p1.argmax(axis=1)
+        acc["n"] += len(p1)
+        acc["idle"] += int((preds == 0).sum())
+        acc["swallow"] += int((preds == 1).sum())
+        acc["s1_sum"] += p1.sum(axis=0)
+        gated = self.engine._gate_indices(p1)
+        if len(gated):
+            s2 = p2[gated]
+            acc["eval_count"] += len(gated)
+            acc["s2_sum"] += s2.sum(axis=0)
+            if cfg.stage2_argmax:
+                z = (s2.argmax(axis=1) == 1)
+            else:
+                z = (s2[:, 1] >= cfg.stage2_threshold)
+            acc["zenker"] += int(z.sum())
+            acc["healthy"] += int((~z).sum())
 
     def _dispatch(self, stage: int, starts: np.ndarray, n: int):
         """Queue one bucket-padded stage call; no host sync."""
@@ -358,16 +400,45 @@ class StreamingCascade:
     # ---------------- offline-compatible views ----------------
 
     def stage1_probs(self) -> np.ndarray:
+        if not self._retain:
+            raise RuntimeError(
+                "per-window history not kept with retain_results=False "
+                "(use the emitted StreamResults, or summary())")
         return (np.stack([r.s1_probs for r in self._results])
                 if self._results else np.zeros((0, 2), np.float64))
 
     def stage2_probs(self) -> np.ndarray:
+        if not self._retain:
+            raise RuntimeError(
+                "per-window history not kept with retain_results=False "
+                "(use the emitted StreamResults, or summary())")
         return (np.stack([r.s2_probs for r in self._results])
                 if self._results else np.zeros((0, 2), np.float64))
 
     def summary(self) -> dict:
         """Reference-exact per-file summary over everything emitted so far
-        (identical to the offline engine's gate_and_summarize)."""
-        summary, _, _, _ = self.engine.gate_and_summarize(
-            self.stage1_probs(), self.stage2_probs())
-        return summary
+        (identical to the offline engine's gate_and_summarize); O(1) from
+        the running accumulators."""
+        acc = self._acc
+        n, swallow = acc["n"], acc["swallow"]
+        evaluated = acc["eval_count"]
+        if not swallow:
+            s2_mean = None
+        elif evaluated:
+            s2_mean = (acc["s2_sum"] / evaluated).tolist()
+        else:
+            # summarize_stage_outputs hits np.mean([]) here: scalar NaN
+            s2_mean = float("nan")
+        return {
+            "num_windows": int(n),
+            "stage1_idle_windows": int(acc["idle"]),
+            "stage1_swallow_windows": int(swallow),
+            "stage1_swallow_ratio": (swallow / n) if n else 0.0,
+            "stage1_mean_probs": (acc["s1_sum"] / n).tolist() if n else None,
+            "stage2_mean_probs_over_swallow": s2_mean,
+            "stage2_swallow_windows_evaluated": int(evaluated),
+            "stage2_healthy_windows": int(acc["healthy"]),
+            "stage2_zenker_windows": int(acc["zenker"]),
+            "stage2_zenker_ratio_over_swallow": (acc["zenker"] / swallow)
+            if swallow else None,
+        }
