@@ -37,3 +37,30 @@ def test_console_scripts_point_at_real_mains():
         mod_name, func = target.split(":")
         mod = importlib.import_module(mod_name)
         assert callable(getattr(mod, func))
+
+
+def test_reference_flag_aliases_and_optim_validation():
+    """Drop-in parity names from the reference scripts parse to the same
+    dests, and --optim rejects non-AdamW identifiers (reference
+    src/train_ast_stage1_cross_validation.py:706-709)."""
+    import argparse
+
+    from zenker_audio_detection_tpu.cli import _train_common, infer_long_audio
+
+    ap = argparse.ArgumentParser()
+    _train_common.add_common_train_args(ap, "stage1")
+    args = ap.parse_args(["--disable-early-stopping",
+                          "--wandb-entity", "someteam",
+                          "--optim", "adamw_torch_fused"])
+    assert args.no_early_stopping
+    assert _train_common.tracking_opts(args)["entity"] == "someteam"
+    _train_common.validate_train_args(args)
+
+    bad = ap.parse_args(["--optim", "sgd"])
+    with pytest.raises(SystemExit):
+        _train_common.validate_train_args(bad)
+
+    # infer CLI: --feature-cache-dir is the reference cache script's name
+    iargs = infer_long_audio.build_arg_parser().parse_args(
+        ["--feature-cache-dir", "/tmp/fc"])
+    assert iargs.cache_dir == "/tmp/fc"

@@ -119,10 +119,21 @@ def test_train_and_eval(trained):
 
     best1 = trained / "runs/ast_classifier_stage1/fold1/best"
     assert (best1 / "model.safetensors").exists()
-    test_stage1.main(["--fold", "1", "--f32"])
+    test_stage1.main(["--fold", "1", "--f32", "--wandb",
+                      "--class-mapping-path",
+                      "data_ast_stage1/class_mapping.json"])
     test_stage2.main(["--fold", "1", "--f32"])
     assert (best1 / "evaluation" / "confusion_matrix.npy").exists()
     assert (trained / "results/stage1/fold1_classification_report.txt").exists()
+    # --wandb mirrors the fold CM into a tracking run (reference
+    # src/test_trained_model_stage1_cv.py:199-217): plot image + counts table
+    run_dir = (trained / "runs/ast_classifier_stage1/tracking"
+               / "stage1-cv-eval-fold1")
+    assert (run_dir / "media" / "fold1/confusion_matrix.png").exists()
+    table = json.loads((run_dir / "tables"
+                        / "fold1/confusion_matrix_counts.json").read_text())
+    assert table["columns"] == ["class", "Idle", "Swallow"]
+    assert sum(sum(r[1:]) for r in table["rows"]) > 0
 
 
 def test_roc_pr_and_thresholds(trained):
@@ -163,6 +174,21 @@ def test_batch_inference_and_aggregate(trained, dataset):
                           / "aggregate_summary.json").read_text())
     assert summary["summary"]["num_patient_results"] == len(out_jsons)
     assert (trained / "outputs" / "per_patient_results.csv").exists()
+
+
+def test_batch_extra_args_override(trained, dataset, capsys):
+    """--extra tokens are parsed as extra flags of the batch CLI itself
+    (reference appends them to each per-patient subprocess, :139-140)."""
+    from zenker_audio_detection_tpu.cli import run_batch_2stage
+
+    _, long_dir = dataset
+    run_batch_2stage.main([
+        "--fold", "1", "--long-audio-root", str(long_dir),
+        "--output-dir", "outputs_extra", "--f32",
+        "--extra", "--dry-run --force"])
+    out = capsys.readouterr().out
+    assert "[DRY-RUN]" in out           # --dry-run arrived via --extra
+    assert not list((trained / "outputs_extra").glob("*.json"))
 
 
 def test_plot_confusion_matrices(trained):

@@ -53,10 +53,30 @@ def load_mean_std(data_dir: str, fold: int, use_aggregate: bool):
     return stats_mod.load_fold_normalization(data_dir, fold)[:2]
 
 
+def _log_cm(run, prefix: str, title: str, cm, class_names, out_dir: str):
+    """Mirror a confusion matrix into the tracker: overlay plot as an image
+    + counts table (reference wandb.plot.confusion_matrix + wandb.Table,
+    src/test_trained_model_stage1_cv.py:199-217,344-365)."""
+    if run is None:
+        return
+    try:
+        from . import cm_plots
+
+        png = os.path.join(out_dir, "confusion_matrix.png")
+        cm_plots.plot_confusion_matrix_overlay(cm, class_names, title, png)
+        run.log_image(f"{prefix}/confusion_matrix", png)
+    except Exception as exc:  # plotting is best-effort, like the reference
+        print(f"[tracking][WARN] CM plot for {prefix} failed: {exc}")
+    run.log_table(f"{prefix}/confusion_matrix_counts",
+                  ["class"] + list(class_names),
+                  [[class_names[i]] + [int(v) for v in row]
+                   for i, row in enumerate(cm)])
+
+
 def evaluate_fold(fold: int, *, stage: str, data_dir: str, model_root: str,
                   central_results_dir: str, class_names: list[str],
                   use_aggregate_stats: bool = False, batch_size: int = 8,
-                  dtype=None) -> dict:
+                  dtype=None, run=None) -> dict:
     import jax.numpy as jnp
 
     if dtype is None:
@@ -93,6 +113,9 @@ def evaluate_fold(fold: int, *, stage: str, data_dir: str, model_root: str,
 
     print(f"[Fold {fold}] {stage} test:")
     print(report)
+    _log_cm(run, f"fold{fold}",
+            f"{stage.capitalize()} Fold {fold} Confusion Matrix",
+            cm, class_names, eval_dir)
     return {"fold": fold, "y_true": y_true, "y_pred": y_pred,
             "confusion_matrix": cm,
             **metrics_mod.binary_metrics(y_true, y_pred)}
@@ -102,7 +125,7 @@ def evaluate_all_folds(*, stage: str, data_dir: str, model_root: str,
                        central_results_dir: str,
                        mapping_path: str | None = None,
                        folds=None, use_aggregate_stats: bool = False,
-                       batch_size: int = 8, dtype=None) -> dict:
+                       batch_size: int = 8, dtype=None, run=None) -> dict:
     class_names = load_class_names(
         mapping_path or os.path.join(data_dir, "class_mapping.json"), stage)
     folds = list(folds) if folds else list(range(1, 6))
@@ -112,7 +135,7 @@ def evaluate_all_folds(*, stage: str, data_dir: str, model_root: str,
                              central_results_dir=central_results_dir,
                              class_names=class_names,
                              use_aggregate_stats=use_aggregate_stats,
-                             batch_size=batch_size, dtype=dtype)
+                             batch_size=batch_size, dtype=dtype, run=run)
                for f in folds]
 
     summary = {"per_fold": [{k: v for k, v in r.items()
@@ -137,6 +160,9 @@ def evaluate_all_folds(*, stage: str, data_dir: str, model_root: str,
         print("[Aggregate] summed 5-fold CM:")
         print(agg_cm)
         print(agg_report)
+        _log_cm(run, "aggregate",
+                f"{stage.capitalize()} Aggregate Confusion Matrix",
+                agg_cm, class_names, agg_dir)
         summary["aggregate_confusion_matrix"] = agg_cm.tolist()
         summary["aggregate"] = metrics_mod.binary_metrics(all_true, all_pred)
     return summary

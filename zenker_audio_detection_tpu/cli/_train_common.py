@@ -27,7 +27,16 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
     ap.add_argument("--label-smoothing", type=float, default=0.0 if s1 else 0.1)
     ap.add_argument("--dry-run", action="store_true",
                     help="32 samples, 1 epoch, checkpoint limit 1, skip CMs")
-    ap.add_argument("--no-early-stopping", action="store_true")
+    ap.add_argument("--no-early-stopping", "--disable-early-stopping",
+                    dest="no_early_stopping", action="store_true",
+                    help="disable early stopping (reference name: "
+                         "--disable-early-stopping)")
+    ap.add_argument("--optim", default="adamw_torch_fused",
+                    help="optimizer identifier, reference CLI parity "
+                         "(src/train_ast_stage1_cross_validation.py:706-709). "
+                         "Any AdamW identifier maps onto the XLA-fused "
+                         "optax.adamw update (parity-tested vs torch AdamW); "
+                         "other identifiers are rejected")
     ap.add_argument("--no-augment", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--resume", action="store_true",
@@ -51,6 +60,8 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
     ap.add_argument("--no-wandb", action="store_true",
                     help="disable the wandb mirror (local tracking remains)")
     ap.add_argument("--wandb-project", default=None)
+    ap.add_argument("--wandb-entity", default=None,
+                    help="W&B entity/user/team (mirror only)")
     ap.add_argument("--wandb-group", default=None)
     ap.add_argument("--wandb-offline", action="store_true")
     ap.add_argument("--wandb-per-fold", action="store_true",
@@ -61,8 +72,8 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
 
 def tracking_opts(args) -> dict:
     return {"enabled": not args.no_wandb, "project": args.wandb_project,
-            "group": args.wandb_group, "offline": args.wandb_offline,
-            "per_fold": args.wandb_per_fold}
+            "entity": args.wandb_entity, "group": args.wandb_group,
+            "offline": args.wandb_offline, "per_fold": args.wandb_per_fold}
 
 
 def validate_train_args(args) -> list[int]:
@@ -74,4 +85,8 @@ def validate_train_args(args) -> list[int]:
         raise SystemExit("--focal-gamma must be >= 0")
     if args.num_devices is not None and args.num_devices < 1:
         raise SystemExit("--num-devices must be >= 1")
+    if "adamw" not in args.optim.lower():
+        raise SystemExit(
+            f"--optim {args.optim!r}: only AdamW identifiers are supported "
+            "(the training step is a fused optax.adamw update)")
     return [args.fold] if args.fold else list(range(1, args.num_folds + 1))

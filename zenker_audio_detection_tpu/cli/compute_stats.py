@@ -15,6 +15,11 @@ def main(argv=None):
                     help="defaults to --data-dir")
     ap.add_argument("--stage", choices=["stage1", "stage2"],
                     help="shortcut: use data_ast_stage1/2 as data+output dir")
+    ap.add_argument("--batch-size", type=int, default=16,
+                    help="accepted for reference CLI parity "
+                         "(utils/compute_ast_normalization_stats.py); here "
+                         "featurization streams one file at a time on device, "
+                         "so this flag does not change numerics or apply")
     args = ap.parse_args(argv)
 
     data_dir = args.data_dir

@@ -49,7 +49,10 @@ def build_arg_parser():
     ap.add_argument("--show-first-n", type=int, default=5)
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--plot-dir", default="outputs")
-    ap.add_argument("--cache-dir", default=os.path.join(".cache", "ast_features"))
+    ap.add_argument("--cache-dir", "--feature-cache-dir", dest="cache_dir",
+                    default=os.path.join(".cache", "ast_features"),
+                    help="frame-cache dir (reference name: "
+                         "--feature-cache-dir)")
     ap.add_argument("--disable-cache", action="store_true")
     ap.add_argument("--refresh-cache", action="store_true")
     ap.add_argument("--f32", action="store_true")

@@ -74,7 +74,20 @@ def main(argv=None):
                          "(models replicated); default single device")
     ap.add_argument("--int8", action="store_true",
                     help="int8 encoder GEMMs (see infer_long_audio --int8)")
+    ap.add_argument("--extra", default=None,
+                    help="additional raw argument string (reference "
+                         "src/run_batch_simple_2stage.py:139-140 appends it "
+                         "to each per-patient subprocess; here there is no "
+                         "subprocess, so the tokens are parsed as extra "
+                         "flags of THIS command and override its options, "
+                         "e.g. --extra '--stage2-argmax --batch-size 64')")
     args = ap.parse_args(argv)
+    if args.extra:
+        import shlex
+        import sys
+
+        base = list(argv) if argv is not None else sys.argv[1:]
+        args = ap.parse_args(base + shlex.split(args.extra))
 
     ids_path = os.path.join(args.ids_root, f"test_ids_fold{args.fold}.txt")
     patients = read_ids(ids_path)

@@ -796,7 +796,8 @@ def run_cross_validation(folds, cfg: TrainFoldConfig,
             name=name, config=run_config, group=group,
             dir=os.path.join(cfg.output_root, "tracking"),
             use_wandb=topts.get("enabled", True),
-            offline=topts.get("offline", False))
+            offline=topts.get("offline", False),
+            entity=topts.get("entity"))
 
     run = None if per_fold_runs else make_run(run_config["run_id"])
     if run is not None:

@@ -35,7 +35,7 @@ class Run:
     def __init__(self, project: str, name: str | None = None,
                  config: dict | None = None, group: str | None = None,
                  dir: str = "runs/tracking", use_wandb: bool = True,
-                 offline: bool = False):
+                 offline: bool = False, entity: str | None = None):
         self.run_id = name or datetime.now().strftime("%Y%m%d_%H%M%S")
         self.dir = os.path.join(dir, self.run_id)
         os.makedirs(self.dir, exist_ok=True)
@@ -50,8 +50,8 @@ class Run:
         if self._wandb is not None:
             try:
                 self._wandb_run = self._wandb.init(
-                    project=project, name=name, group=group, config=config,
-                    reinit=True)
+                    project=project, entity=entity, name=name, group=group,
+                    config=config, reinit=True)
             except Exception as exc:  # network/auth failures degrade politely
                 print(f"[tracking][WARN] wandb init failed: {exc}")
                 self._wandb_run = None
@@ -71,9 +71,9 @@ class Run:
         src/train_ast_stage1_cross_validation.py:564-605)."""
         import shutil
 
-        media = os.path.join(self.dir, "media")
-        os.makedirs(media, exist_ok=True)
-        dest = os.path.join(media, f"{name}{os.path.splitext(path)[1]}")
+        dest = os.path.join(self.dir, "media",
+                            f"{name}{os.path.splitext(path)[1]}")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
         shutil.copy2(path, dest)
         if self._wandb_run is not None:
             try:
@@ -85,9 +85,9 @@ class Run:
                   rows: list[list]) -> None:
         """Tabular payload (e.g. a classification report): JSON locally,
         wandb.Table in the mirror (reference report tables, :607-637)."""
-        tables = os.path.join(self.dir, "tables")
-        os.makedirs(tables, exist_ok=True)
-        with open(os.path.join(tables, f"{name}.json"), "w") as f:
+        dest = os.path.join(self.dir, "tables", f"{name}.json")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        with open(dest, "w") as f:
             json.dump({"columns": columns, "rows": rows}, f, indent=2,
                       default=str)
         if self._wandb_run is not None:
