@@ -229,3 +229,111 @@ def test_batch_driver_num_devices_matches_single(product_tree):
         outs[tag] = json.loads((out_dir / "ZP0_2stage.json").read_text())
     assert outs["single"]["per_file"] == outs["mesh"]["per_file"]
     assert outs["single"]["aggregate"] == outs["mesh"]["aggregate"]
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical multi-slice DP: a ("dcn", "data") mesh (2 slices x 4 devices)
+# must produce the same numbers as the flat 8-device mesh / single device.
+# On real multi-slice TPU the outer axis crosses DCN; here the 8 virtual CPU
+# devices stand in (parallel/mesh.py falls back to a contiguous reshape when
+# devices carry no slice topology).
+# ---------------------------------------------------------------------------
+
+
+def test_hierarchical_mesh_shape_and_validation():
+    import jax
+
+    mesh = pmesh.data_mesh(jax.devices(), num_slices=2)
+    assert mesh.axis_names == (pmesh.DCN_AXIS, pmesh.DATA_AXIS)
+    assert dict(mesh.shape) == {"dcn": 2, "data": 4}
+    spec = pmesh.batch_sharding(mesh).spec
+    assert spec == (("dcn", "data"),)
+    assert pmesh.local_batch_size(16, mesh) == 2
+
+    with pytest.raises(ValueError, match="divisible"):
+        pmesh.data_mesh(jax.devices(), num_slices=3)
+    with pytest.raises(ValueError, match="num_slices"):
+        pmesh.make_mesh(8, 0)
+    with pytest.raises(ValueError, match="num_slices"):
+        pmesh.make_mesh(None, 2)
+    assert pmesh.make_mesh(8, 1).axis_names == (pmesh.DATA_AXIS,)
+    assert dict(pmesh.make_mesh(8, 4).shape) == {"dcn": 4, "data": 2}
+
+
+def test_dcn_mesh_train_step_matches_single_device(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.train import losses, optim, steps
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            num_mel_bins=128, max_length=128, num_labels=2)
+    params0 = ast_mod.init_params(jax.random.PRNGKey(0), cfg)
+    feats = rng.standard_normal((16, 128, 128)).astype(np.float32)
+    labels = rng.integers(0, 2, 16).astype(np.int32)
+
+    def one_step(num_slices):
+        tx = optim.make_optimizer(1e-3, 10, 0.1, 0.01)
+        params = jax.tree.map(jnp.array, params0)
+        opt_state = tx.init(params)
+        ts = steps.make_train_step(tx, cfg, losses.stage1_loss,
+                                   dtype=jnp.float32)
+        if num_slices:
+            mesh = pmesh.data_mesh(jax.devices(), num_slices=num_slices)
+            params = pmesh.replicate(params, mesh)
+            opt_state = pmesh.replicate(opt_state, mesh)
+            f = pmesh.shard_batch(feats, mesh)
+            y = pmesh.shard_batch(labels, mesh)
+        else:
+            f, y = jnp.asarray(feats), jnp.asarray(labels)
+        params, _, loss, _ = ts(params, opt_state, f, y)
+        return float(loss), jax.tree.map(np.asarray, params)
+
+    loss_s, params_s = one_step(None)
+    loss_h, params_h = one_step(2)
+    assert abs(loss_s - loss_h) < 1e-5
+    for a, b in zip(jax.tree.leaves(params_s), jax.tree.leaves(params_h)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_dcn_mesh_engine_matches_single_device(specs, rng):
+    import jax
+    import jax.numpy as jnp
+
+    s1, s2 = specs
+    audio = (rng.standard_normal(16000 * 6) * 0.1).astype(np.float32)
+
+    cfg = C.CascadeConfig(batch_size=16, dtype=jnp.float32)
+    single = C.TwoStageEngine(s1, s2, cfg)
+    p1_single, p2_single = single.window_probs(audio)
+
+    mesh = pmesh.data_mesh(jax.devices(), num_slices=2)
+    sharded = C.TwoStageEngine(s1, s2, cfg, mesh=mesh)
+    p1_mesh, p2_mesh = sharded.window_probs(audio)
+
+    np.testing.assert_allclose(p1_mesh, p1_single, atol=1e-5)
+    np.testing.assert_allclose(p2_mesh, p2_single, atol=1e-5)
+
+
+def test_infer_cli_num_slices_matches_single(product_tree):
+    import json
+
+    from zenker_audio_detection_tpu.cli import infer_long_audio
+
+    outs = {}
+    for tag, extra in [("single", []),
+                       ("dcn", ["--num-devices", "8", "--num-slices", "2"])]:
+        out = product_tree / f"out_dcn_{tag}.json"
+        infer_long_audio.main([
+            "--stage1-model-root",
+            str(product_tree / "runs/ast_classifier_stage1/fold1/best"),
+            "--stage2-model-root",
+            str(product_tree / "runs/ast_classifier_stage2/fold1/best"),
+            "--patient-id", "ZP0",
+            "--long-audio-root", str(product_tree / "Long"),
+            "--output-json", str(out), "--f32", "--disable-cache",
+            "--batch-size", "16", *extra])
+        outs[tag] = json.loads(out.read_text())
+    assert outs["single"]["aggregate"] == outs["dcn"]["aggregate"]
+    assert outs["single"]["per_file"] == outs["dcn"]["per_file"]

@@ -46,6 +46,11 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
     ap.add_argument("--num-devices", type=int, default=None,
                     help="data-parallel devices: params replicated, batch "
                          "sharded over a 1-D mesh (default: single device)")
+    ap.add_argument("--num-slices", type=int, default=None,
+                    help="split --num-devices into this many DCN-connected "
+                         "slices: hierarchical (dcn, data) mesh, gradient "
+                         "all-reduce rides ICI within a slice first "
+                         "(default: one slice)")
     ap.add_argument("--streaming", action="store_true",
                     help="stream train featurization per batch (O(batch) "
                          "host memory, background prefetch, identical "
@@ -85,6 +90,12 @@ def validate_train_args(args) -> list[int]:
         raise SystemExit("--focal-gamma must be >= 0")
     if args.num_devices is not None and args.num_devices < 1:
         raise SystemExit("--num-devices must be >= 1")
+    if args.num_slices is not None:
+        if args.num_slices < 1:
+            raise SystemExit("--num-slices must be >= 1")
+        if args.num_slices > 1 and (args.num_devices or 1) % args.num_slices:
+            raise SystemExit("--num-devices must be a multiple of "
+                             "--num-slices")
     if "adamw" not in args.optim.lower():
         raise SystemExit(
             f"--optim {args.optim!r}: only AdamW identifiers are supported "

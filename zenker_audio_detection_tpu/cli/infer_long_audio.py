@@ -62,6 +62,10 @@ def build_arg_parser():
     ap.add_argument("--num-devices", type=int, default=None,
                     help="shard each window chunk over this many devices "
                          "(models replicated); default single device")
+    ap.add_argument("--num-slices", type=int, default=None,
+                    help="split --num-devices into this many DCN-connected "
+                         "slices (hierarchical dcn x data mesh); default "
+                         "one slice")
     ap.add_argument("--int8", action="store_true",
                     help="int8 encoder GEMMs: 4x smaller weights, "
                          "throughput-neutral on v5e (measured, ROOFLINE.md); "
@@ -124,7 +128,8 @@ def build_engine(args) -> tuple[C.TwoStageEngine, str, str]:
     )
     from ..parallel import mesh as pmesh
 
-    mesh = pmesh.make_mesh(getattr(args, "num_devices", None))
+    mesh = pmesh.make_mesh(getattr(args, "num_devices", None),
+                           getattr(args, "num_slices", None))
     return (C.TwoStageEngine(spec1, spec2, config, mesh=mesh),
             args.stage1_model_root, args.stage2_model_root)
 

@@ -30,6 +30,8 @@ def main(argv=None):
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--num-devices", type=int, default=None,
                     help="shard window chunks over this many devices")
+    ap.add_argument("--num-slices", type=int, default=None,
+                    help="split --num-devices into DCN-connected slices")
     ap.add_argument("--int8", action="store_true",
                     help="int8 encoder GEMMs (see infer_long_audio --int8)")
     args = ap.parse_args(argv)
@@ -75,6 +77,8 @@ def main(argv=None):
             sub.append("--f32")
         if args.num_devices is not None:
             sub += ["--num-devices", str(args.num_devices)]
+        if args.num_slices is not None:
+            sub += ["--num-slices", str(args.num_slices)]
         if args.int8:
             sub.append("--int8")
         run_batch_2stage.main(sub)

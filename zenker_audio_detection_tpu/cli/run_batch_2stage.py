@@ -72,6 +72,9 @@ def main(argv=None):
     ap.add_argument("--num-devices", type=int, default=None,
                     help="shard window chunks over this many devices "
                          "(models replicated); default single device")
+    ap.add_argument("--num-slices", type=int, default=None,
+                    help="split --num-devices into this many DCN-connected "
+                         "slices (hierarchical dcn x data mesh)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 encoder GEMMs (see infer_long_audio --int8)")
     ap.add_argument("--extra", default=None,
@@ -117,7 +120,8 @@ def main(argv=None):
         cache_dir=os.path.join(".cache", "ast_features"),
         disable_cache=args.disable_cache, refresh_cache=False,
         f32=args.f32, plot=args.plot, plot_dir=args.output_dir,
-        num_devices=args.num_devices, int8=args.int8,
+        num_devices=args.num_devices, num_slices=args.num_slices,
+        int8=args.int8,
         show_first_n=0, pattern=args.pattern,
         long_audio_root=args.long_audio_root,
         output_json=None, patient_id=None, file_a=None, file_b=None)

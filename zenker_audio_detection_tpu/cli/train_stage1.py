@@ -36,6 +36,7 @@ def main(argv=None):
         resume=args.resume,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         num_devices=args.num_devices,
+        num_slices=args.num_slices,
         max_length=args.max_length,
         streaming=args.streaming,
     )

@@ -12,7 +12,19 @@ equivalent is XLA collectives over ICI, expressed through
 
 AST-base (~86 M params) fits on one chip, so tensor/pipeline parallelism is
 intentionally out of scope (documented decision, SURVEY §2.4); the mesh is
-1-D over all devices.
+1-D over all devices within a slice.
+
+Multi-slice / multi-host: `num_slices > 1` builds a hierarchical 2-D mesh
+with axes ("dcn", "data") — outer axis across slices (devices that only
+reach each other over the data-center network), inner axis over each
+slice's ICI ring. The batch still shards over ALL devices
+(PartitionSpec(("dcn", "data"))); because the device order in the mesh
+groups each slice contiguously, XLA lowers the gradient all-reduce
+hierarchically — reduce within a slice over ICI first, then the small
+cross-slice exchange over DCN — which is the standard TPU multi-pod DP
+recipe. On real multi-slice TPU the device→slice assignment comes from
+`mesh_utils.create_hybrid_device_mesh`; on a flat device set (tests,
+virtual CPU devices) a contiguous reshape stands in for it.
 """
 
 from __future__ import annotations
@@ -22,19 +34,43 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"
 
 
-def data_mesh(devices=None) -> Mesh:
-    """1-D mesh over all (or the given) devices, axis name "data"."""
-    devices = np.asarray(devices if devices is not None else jax.devices())
-    return Mesh(devices.reshape(-1), (DATA_AXIS,))
+def data_mesh(devices=None, num_slices: int = 1) -> Mesh:
+    """1-D mesh (axis "data") over the given devices, or a hierarchical
+    ("dcn", "data") mesh when num_slices > 1."""
+    devices = list(devices if devices is not None else jax.devices())
+    if num_slices <= 1:
+        return Mesh(np.asarray(devices).reshape(-1), (DATA_AXIS,))
+    if len(devices) % num_slices:
+        raise ValueError(f"{len(devices)} devices not divisible by "
+                         f"{num_slices} slices")
+    per_slice = len(devices) // num_slices
+    try:
+        # real multi-slice topology: group by each device's slice_index
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, per_slice), (num_slices, 1), devices=devices)
+    except Exception:
+        # flat/virtual device sets carry no slice topology; contiguous
+        # blocks keep the inner axis "as local as it gets"
+        grid = np.asarray(devices).reshape(num_slices, per_slice)
+    return Mesh(grid, (DCN_AXIS, DATA_AXIS))
 
 
-def make_mesh(num_devices: int | None) -> Mesh | None:
+def make_mesh(num_devices: int | None,
+              num_slices: int | None = None) -> Mesh | None:
     """Mesh over the first `num_devices` devices; None when <= 1 requested
     (single-device mode). The CLI-facing constructor: validates availability
-    instead of silently shrinking."""
+    instead of silently shrinking. `num_slices` > 1 builds the hierarchical
+    dcn×data mesh (see module docstring)."""
+    if num_slices is not None and num_slices < 1:
+        raise ValueError(f"num_slices must be >= 1, got {num_slices}")
     if num_devices is None or num_devices == 1:
+        if num_slices is not None and num_slices > 1:
+            raise ValueError("num_slices > 1 requires num_devices > 1")
         return None
     if num_devices < 1:
         raise ValueError(f"num_devices must be >= 1, got {num_devices}")
@@ -42,12 +78,13 @@ def make_mesh(num_devices: int | None) -> Mesh | None:
     if len(devices) < num_devices:
         raise ValueError(
             f"requested {num_devices} devices, only {len(devices)} visible")
-    return data_mesh(devices[:num_devices])
+    return data_mesh(devices[:num_devices], num_slices=num_slices or 1)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Leading-axis (batch) sharding over every mesh axis (data for a 1-D
+    mesh, dcn×data for a hierarchical one)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -90,6 +90,10 @@ class TrainFoldConfig:
     # data-parallel mesh size (SURVEY §2.4): params/opt-state replicated,
     # batch axis sharded over a 1-D "data" mesh. None/1 = single device.
     num_devices: int | None = None
+    # multi-slice DP: split the num_devices into this many DCN-connected
+    # slices — a hierarchical ("dcn", "data") mesh whose gradient
+    # all-reduce rides ICI within each slice first (parallel/mesh.py).
+    num_slices: int | None = None
     # short-sequence mode: fine-tune at this input frame count instead of
     # the checkpoint's (1024 for the AudioSet AST). Pretrained positional
     # embeddings are cut/extended on the time axis (the AST authors' own
@@ -377,10 +381,11 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
     mean, std, src = stats_mod.load_fold_normalization(cfg.data_dir, fold)
     print(f"[Normalization] fold {fold}: mean={mean:.6f} std={std:.6f} ({src})")
 
-    mesh = pmesh.make_mesh(cfg.num_devices)
+    mesh = pmesh.make_mesh(cfg.num_devices, cfg.num_slices)
     if mesh is not None:
+        topo = " x ".join(f"{mesh.shape[a]} ({a})" for a in mesh.axis_names)
         print(f"[Mesh] data-parallel training over "
-              f"{mesh.devices.size} devices")
+              f"{mesh.devices.size} devices: {topo}")
 
     def _shard(x):
         """Batch to device: sharded over the mesh when it divides evenly,
