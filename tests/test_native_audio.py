@@ -64,3 +64,26 @@ def test_load_audio_native_matches_python(tmp_path, rng):
     ref = R.resample(wav.mean(axis=0), sr, 16000)
     np.testing.assert_allclose(nat, ref, atol=2e-6)
     assert len(nat) == 16000
+
+
+def test_native_vocoder_matches_numpy_oracle(rng):
+    """native/vocoder.cpp vs the numpy phase vocoder (same algorithm,
+    different FFT + libm): agreement to FFT rounding error across stretch
+    rates, including the rates pitch_shift uses (2^(±4/12))."""
+    from zenker_audio_detection_tpu.data import augment as A
+
+    if native.phase_vocoder_stretch(np.zeros(2048), 1.1) is None:
+        pytest.skip("libaudioio.so predates the vocoder symbol")
+    x = rng.standard_normal(16000)
+    for rate in (0.8, 0.93, 1.07, 1.2, 2 ** (4 / 12), 2 ** (-4 / 12)):
+        got = native.phase_vocoder_stretch(x, rate)
+        ref = A._numpy_phase_vocoder_stretch(x, rate)
+        assert got is not None
+        assert len(got) == len(ref)
+        np.testing.assert_allclose(got, ref, atol=1e-8)
+
+
+def test_native_vocoder_short_input_falls_back():
+    """Inputs shorter than the analysis pad take the numpy zero-pad edge
+    path (native returns None)."""
+    assert native.phase_vocoder_stretch(np.zeros(512), 1.1) is None

@@ -57,6 +57,14 @@ def load_library():
         ctypes.POINTER(ctypes.c_float), ctypes.c_longlong, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
     lib.audioio_resample.restype = ctypes.c_int
+    if hasattr(lib, "audioio_phase_vocoder_stretch"):  # newer .so builds
+        lib.audioio_stretch_out_length.argtypes = [
+            ctypes.c_longlong, ctypes.c_double]
+        lib.audioio_stretch_out_length.restype = ctypes.c_longlong
+        lib.audioio_phase_vocoder_stretch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+        lib.audioio_phase_vocoder_stretch.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -97,6 +105,29 @@ def resample(x: np.ndarray, orig_freq: int, new_freq: int) -> np.ndarray | None:
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
         orig_freq, new_freq,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out if rc == 0 else None
+
+
+def phase_vocoder_stretch(x: np.ndarray, rate: float) -> np.ndarray | None:
+    """Native STFT phase-vocoder time stretch (native/vocoder.cpp), ~1.5x
+    the vectorized numpy path per call on one core and OpenMP-parallel over
+    STFT frames on multi-core hosts; agrees with the numpy oracle to
+    ~1e-10 (test_augment.py). None when the lib is missing, predates the
+    symbol, or the input is shorter than the analysis pad (the numpy path
+    handles that edge)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "audioio_phase_vocoder_stretch"):
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    if len(x) < 1024:  # < n_fft//2: numpy path's zero-pad edge case
+        return None
+    n_out = lib.audioio_stretch_out_length(len(x), float(rate))
+    if n_out < 0:
+        return None
+    out = np.empty(n_out, dtype=np.float64)
+    rc = lib.audioio_phase_vocoder_stretch(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(x),
+        float(rate), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out if rc == 0 else None
 
 

@@ -64,12 +64,26 @@ def _istft(D: np.ndarray, length: int) -> np.ndarray:
 def phase_vocoder_stretch(x: np.ndarray, rate: float) -> np.ndarray:
     """Time-stretch by `rate` (>1 = faster/shorter), librosa-style.
 
-    Fully vectorized (the per-step python loop made this the training
-    featurization hot spot): the phase accumulator is a prefix sum of the
-    per-step wrapped phase deltas, so all output frames are built at once.
+    Dispatches to the native C++ vocoder (native/vocoder.cpp — same
+    algorithm, ~1.5x on one core, OpenMP over STFT frames on many) when
+    libaudioio.so is built; the numpy body below is the fallback and the
+    numerics oracle (agreement ~1e-10, test_native_audio.py).
     """
     if abs(rate - 1.0) < 1e-9:
         return x.copy()
+    from ..audio import native
+
+    out = native.phase_vocoder_stretch(x, rate)
+    if out is not None:
+        return out
+    return _numpy_phase_vocoder_stretch(x, rate)
+
+
+def _numpy_phase_vocoder_stretch(x: np.ndarray, rate: float) -> np.ndarray:
+    """Fully vectorized numpy vocoder (the per-step python loop made this
+    the training featurization hot spot): the phase accumulator is a prefix
+    sum of the per-step wrapped phase deltas, so all output frames are
+    built at once."""
     D = _stft(x)
     n_freq, n_frames = D.shape
     time_steps = np.arange(0, n_frames, rate)
