@@ -78,14 +78,18 @@ def bench_cpu_reference(n_windows_sample=8):
         feats = fx(windows[:2], sampling_rate=16000,
                    return_tensors="pt")["input_values"]
         model1(feats)
-    t0 = time.perf_counter()
-    with torch.inference_mode():
-        feats = fx(windows, sampling_rate=16000,
-                   return_tensors="pt")["input_values"]
-        torch.softmax(model1(feats).logits, -1)
-        torch.softmax(model2(feats).logits, -1)
-    dt = time.perf_counter() - t0
-    return n_windows_sample / dt
+    # best of 2 passes: the denominator must not be deflated by transient
+    # host load (a single pass once halved under a concurrent test run)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with torch.inference_mode():
+            feats = fx(windows, sampling_rate=16000,
+                       return_tensors="pt")["input_values"]
+            torch.softmax(model1(feats).logits, -1)
+            torch.softmax(model2(feats).logits, -1)
+        best = min(best, time.perf_counter() - t0)
+    return n_windows_sample / best
 
 
 def main():
