@@ -51,6 +51,14 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
                          "slices: hierarchical (dcn, data) mesh, gradient "
                          "all-reduce rides ICI within a slice first "
                          "(default: one slice)")
+    ap.add_argument("--parallel-folds", action="store_true",
+                    help="train all target folds concurrently in ONE "
+                         "vmapped step, fold axis sharded over "
+                         "--num-devices (one or more folds per chip) — the "
+                         "TPU-native replacement for the reference's "
+                         "sequential fold loop; per-fold numerics match "
+                         "sequential training exactly. Incompatible with "
+                         "--streaming and --resume")
     ap.add_argument("--streaming", action="store_true",
                     help="stream train featurization per batch (O(batch) "
                          "host memory, background prefetch, identical "
@@ -100,4 +108,8 @@ def validate_train_args(args) -> list[int]:
         raise SystemExit(
             f"--optim {args.optim!r}: only AdamW identifiers are supported "
             "(the training step is a fused optax.adamw update)")
+    if args.parallel_folds and (args.streaming or args.resume):
+        raise SystemExit("--parallel-folds is incompatible with "
+                         "--streaming/--resume (eager featurization only; "
+                         "resume folds with the sequential path)")
     return [args.fold] if args.fold else list(range(1, args.num_folds + 1))

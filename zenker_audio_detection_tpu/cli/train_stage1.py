@@ -37,6 +37,7 @@ def main(argv=None):
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         num_devices=args.num_devices,
         num_slices=args.num_slices,
+        fold_parallel=args.parallel_folds,
         max_length=args.max_length,
         streaming=args.streaming,
     )

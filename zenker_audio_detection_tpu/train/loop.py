@@ -107,6 +107,11 @@ class TrainFoldConfig:
     # identical (FeatureStream docstring). Use for corpora past the eager
     # path's ~5 GB/10k-clip ceiling.
     streaming: bool = False
+    # train all target folds concurrently in one vmapped step, fold axis
+    # sharded over num_devices (train/fold_parallel.py) — the TPU-native
+    # answer to the reference's sequential 5-fold loop. Per-fold numerics
+    # identical to sequential training; incompatible with streaming/resume.
+    fold_parallel: bool = False
 
 
 def backup_existing_run_dir(path: str) -> str | None:
@@ -808,21 +813,37 @@ def run_cross_validation(folds, cfg: TrainFoldConfig,
     if run is not None:
         run.log_artifact(config_path)
 
-    all_metrics = []
-    for fold in folds:
-        fold_run = (make_run(f"{run_config['run_id']}_fold{fold}")
-                    if per_fold_runs else run)
+    def fold_tracker(fold):
+        fr = (make_run(f"{run_config['run_id']}_fold{fold}")
+              if per_fold_runs else run)
         if per_fold_runs:
-            fold_run.log_artifact(config_path)
-        m = train_fold(fold, cfg, tracker=fold_run)
+            fr.log_artifact(config_path)
+        return fr
+
+    def fold_done(fold, fold_run, m):
         shutil.copy2(config_path,
                      os.path.join(cfg.output_root, f"fold{fold}",
                                   "run_config.json"))
-        all_metrics.append(m)
         fold_run.log(m)
         if per_fold_runs:
             fold_run.summary(**m)
             fold_run.finish()
+
+    all_metrics = []
+    if cfg.fold_parallel:
+        from . import fold_parallel
+
+        fold_runs = {fold: fold_tracker(fold) for fold in folds}
+        all_metrics = fold_parallel.train_folds_parallel(
+            list(folds), cfg, trackers=fold_runs)
+        for fold, m in zip(folds, all_metrics):
+            fold_done(fold, fold_runs[fold], m)
+    else:
+        for fold in folds:
+            fold_run = fold_tracker(fold)
+            m = train_fold(fold, cfg, tracker=fold_run)
+            all_metrics.append(m)
+            fold_done(fold, fold_run, m)
 
     aggregate: dict[str, float] = {}
     names = {k.split("_test_", 1)[1] for d in all_metrics

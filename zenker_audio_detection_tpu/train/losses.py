@@ -36,21 +36,33 @@ def torch_smoothed_ce(logits, labels, label_smoothing: float = 0.0):
     return (1.0 - label_smoothing) * nll + label_smoothing * smooth
 
 
+def _masked_mean(per_sample, mask):
+    return jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
 def stage1_loss(logits, labels, focal_gamma: float = 0.0,
-                label_smoothing: float = 0.0):
-    """FocalLossTrainer.compute_loss, mean-reduced scalar."""
+                label_smoothing: float = 0.0, sample_mask=None):
+    """FocalLossTrainer.compute_loss, mean-reduced scalar.
+
+    sample_mask (0/1 per row): masked mean over the valid rows — identical
+    to running the plain mean on just those rows. Used by the fold-parallel
+    trainer, whose fixed-shape stacked batches pad tail batches with dummy
+    rows (train/fold_parallel.py)."""
     ce = torch_smoothed_ce(logits, labels, label_smoothing)
-    if focal_gamma > 0:
-        pt = jnp.exp(-ce)
-        return jnp.mean((1.0 - pt) ** focal_gamma * ce)
-    return jnp.mean(ce)
+    per = (1.0 - jnp.exp(-ce)) ** focal_gamma * ce if focal_gamma > 0 else ce
+    if sample_mask is None:
+        return jnp.mean(per)
+    return _masked_mean(per, sample_mask)
 
 
 def stage2_focal_loss(logits, labels, class_weights=None,
                       focal_alpha: float | None = 0.25,
                       focal_gamma: float = 2.0,
-                      label_smoothing: float = 0.1):
-    """ImprovedWeightedTrainer.focal_loss_with_smoothing (:421-469)."""
+                      label_smoothing: float = 0.1, sample_mask=None):
+    """ImprovedWeightedTrainer.focal_loss_with_smoothing (:421-469).
+
+    sample_mask: masked mean as in stage1_loss; the batch-level α uses the
+    masked label mean, so padded rows can't flip it."""
     logp = _log_softmax(logits)
     probs = jnp.exp(logp)
     C = logits.shape[-1]
@@ -69,30 +81,39 @@ def stage2_focal_loss(logits, labels, class_weights=None,
         loss = loss * jnp.asarray(class_weights, jnp.float32)[labels]
 
     if focal_alpha is not None:
-        alpha_t = jnp.where(jnp.mean(labels.astype(jnp.float32)) < 0.5,
-                            focal_alpha, 1.0 - focal_alpha)
+        labf = labels.astype(jnp.float32)
+        lab_mean = (jnp.mean(labf) if sample_mask is None
+                    else _masked_mean(labf, sample_mask))
+        alpha_t = jnp.where(lab_mean < 0.5, focal_alpha, 1.0 - focal_alpha)
         loss = loss * alpha_t
-    return jnp.mean(loss)
+    if sample_mask is None:
+        return jnp.mean(loss)
+    return _masked_mean(loss, sample_mask)
 
 
 def stage2_weighted_ce(logits, labels, class_weights=None,
-                       label_smoothing: float = 0.1):
+                       label_smoothing: float = 0.1, sample_mask=None):
     """`--no-focal-loss` path (:404-417): torch CrossEntropyLoss(weight=w,
     label_smoothing=ls) semantics (verified empirically vs torch 2.13):
     per-sample = (1-ls)·w[y]·nll + ls·(-Σ_c w_c·logp_c)/C, mean reduction
-    normalized by Σ w[y]."""
+    normalized by Σ w[y]. sample_mask: both sums run over valid rows only."""
     logp = _log_softmax(logits)
     C = logits.shape[-1]
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     if class_weights is None:
         smooth = -jnp.mean(logp, axis=-1)
-        return jnp.mean((1.0 - label_smoothing) * nll
-                        + label_smoothing * smooth)
+        per = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+        if sample_mask is None:
+            return jnp.mean(per)
+        return _masked_mean(per, sample_mask)
     w = jnp.asarray(class_weights, jnp.float32)
     wi = w[labels]
     smooth = -jnp.sum(logp * w[None, :], axis=-1) / C
     num = (1.0 - label_smoothing) * wi * nll + label_smoothing * smooth
-    return jnp.sum(num) / jnp.sum(wi)
+    if sample_mask is None:
+        return jnp.sum(num) / jnp.sum(wi)
+    return (jnp.sum(num * sample_mask)
+            / jnp.maximum(jnp.sum(wi * sample_mask), 1e-9))
 
 
 def inverse_frequency_weights(labels, num_classes: int = 2):
