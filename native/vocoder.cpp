@@ -38,17 +38,20 @@ constexpr int kBins = kNFFT / 2 + 1;
 // access and std::complex aliasing made the naive version ~10x slower than
 // pocketfft; this one is within ~2x, enough to win overall).
 struct FftTables {
-  std::vector<int> rev;
-  // stage s (len = 2^(s+1)): half = 2^s twiddles, stored contiguously
+  // stage s (len = 2^(s+1)): half = 2^s twiddles, stored contiguously;
+  // twiddles depend only on len, so the kNFFT/2-point transforms used by
+  // the real pack/unpack just read the prefix of stages
   std::vector<double> tw_re, tw_im;  // forward sign; inverse negates im
   std::vector<int> tw_off;           // offset of stage s's table
-  FftTables() : rev(kNFFT) {
+  std::vector<int> half_rev;         // bit-reverse permutation for kNFFT/2
+  FftTables() : half_rev(kNFFT / 2) {
+    constexpr int H = kNFFT / 2;
     int lg = 0;
-    while ((1 << lg) < kNFFT) ++lg;
-    for (int i = 0; i < kNFFT; ++i) {
+    while ((1 << lg) < H) ++lg;
+    for (int i = 0; i < H; ++i) {
       int r = 0;
       for (int b = 0; b < lg; ++b) r |= ((i >> b) & 1) << (lg - 1 - b);
-      rev[i] = r;
+      half_rev[i] = r;
     }
     int off = 0;
     for (int len = 2; len <= kNFFT; len <<= 1) {
@@ -73,34 +76,16 @@ const FftTables& tables() {
 // (even/odd packing), writing kBins magnitudes/phases directly.
 void rfft_real(const double* x, double* out_re, double* out_im) {
   constexpr int H = kNFFT / 2;
-  // pack: z[i] = x[2i] + j*x[2i+1], FFT of size H
-  // (reuse fft_split on H by running the kNFFT tables' prefix — tables are
-  // per-stage by len, so a dedicated H-size transform needs its own rev;
-  // simplest correct route: do the packing trick with a full-size FFT is
-  // wrong, so keep a second static table set for H)
-  struct HalfTables {
-    std::vector<int> rev;
-    HalfTables() : rev(H) {
-      int lg = 0;
-      while ((1 << lg) < H) ++lg;
-      for (int i = 0; i < H; ++i) {
-        int r = 0;
-        for (int b = 0; b < lg; ++b) r |= ((i >> b) & 1) << (lg - 1 - b);
-        rev[i] = r;
-      }
-    }
-  };
-  static const HalfTables ht;
   const FftTables& t = tables();
 
+  // pack: z[i] = x[2i] + j*x[2i+1], FFT of size H
   double zr[H], zi[H];
   for (int i = 0; i < H; ++i) {
     zr[i] = x[2 * i];
     zi[i] = x[2 * i + 1];
   }
-  // bit-reverse for size H
   for (int i = 0; i < H; ++i) {
-    int j = ht.rev[i];
+    int j = t.half_rev[i];
     if (i < j) {
       std::swap(zr[i], zr[j]);
       std::swap(zi[i], zi[j]);
@@ -156,19 +141,6 @@ long long round_half_even(double v) {
 // x = interleave(IFFT_H(Z)).
 void irfft_real(const double* Xre, const double* Xim, double* out) {
   constexpr int H = kNFFT / 2;
-  struct HalfRev {
-    std::vector<int> rev;
-    HalfRev() : rev(H) {
-      int lg = 0;
-      while ((1 << lg) < H) ++lg;
-      for (int i = 0; i < H; ++i) {
-        int r = 0;
-        for (int b = 0; b < lg; ++b) r |= ((i >> b) & 1) << (lg - 1 - b);
-        rev[i] = r;
-      }
-    }
-  };
-  static const HalfRev hr;
   const FftTables& t = tables();
 
   double zr[H], zi[H];
@@ -187,7 +159,7 @@ void irfft_real(const double* Xre, const double* Xim, double* out) {
     zi[k] = ei + orr;
   }
   for (int i = 0; i < H; ++i) {
-    int j = hr.rev[i];
+    int j = t.half_rev[i];
     if (i < j) {
       std::swap(zr[i], zr[j]);
       std::swap(zi[i], zi[j]);
@@ -228,11 +200,13 @@ long long audioio_stretch_out_length(long long n, double rate) {
   return round_half_even(static_cast<double>(n) / rate);
 }
 
-// Time-stretch x (length n >= kPad) by `rate`; out must hold
-// audioio_stretch_out_length(n, rate) doubles. Returns 0 on success.
+// Time-stretch x by `rate`; out must hold audioio_stretch_out_length(n,
+// rate) doubles. Requires n > kPad: the single reflection below indexes
+// x[kPad] and x[n-1-kPad], and numpy's np.pad switches to multi-reflection
+// when pad >= n — that edge stays on the Python path. Returns 0 on success.
 int audioio_phase_vocoder_stretch(const double* x, long long n, double rate,
                                   double* out) {
-  if (rate <= 0.0 || n < kPad) return 1;
+  if (rate <= 0.0 || n <= kPad) return 1;
   long long target_len = audioio_stretch_out_length(n, rate);
   if (target_len <= 0) return 1;
 

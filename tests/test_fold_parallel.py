@@ -138,6 +138,12 @@ def test_parallel_rejects_streaming_and_resume(tree):
         train_folds_parallel([1], _cfg(tree, "x1", streaming=True))
     with pytest.raises(ValueError, match="resume"):
         train_folds_parallel([1], _cfg(tree, "x2", resume=True))
+    with pytest.raises(ValueError, match="num-slices"):
+        train_folds_parallel([1, 2], _cfg(tree, "x3", num_devices=2,
+                                          num_slices=2))
+    with pytest.raises(ValueError, match="on_epoch_end"):
+        train_folds_parallel([1], _cfg(tree, "x4",
+                                       on_epoch_end=lambda e, m: False))
 
 
 def test_run_cross_validation_dispatches_fold_parallel(tree):

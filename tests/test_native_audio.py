@@ -83,7 +83,18 @@ def test_native_vocoder_matches_numpy_oracle(rng):
         np.testing.assert_allclose(got, ref, atol=1e-8)
 
 
-def test_native_vocoder_short_input_falls_back():
-    """Inputs shorter than the analysis pad take the numpy zero-pad edge
-    path (native returns None)."""
+def test_native_vocoder_short_input_falls_back(rng):
+    """Inputs of length <= n_fft//2 take the numpy path (native returns
+    None): below 1024 numpy zero-pads, and AT 1024 np.pad 'reflect' needs
+    a multi-reflection the single-reflection C++ padding doesn't do (it
+    would read out of bounds)."""
     assert native.phase_vocoder_stretch(np.zeros(512), 1.1) is None
+    assert native.phase_vocoder_stretch(np.zeros(1024), 1.1) is None
+    # 1025 is the smallest single-reflection length: parity must hold there
+    from zenker_audio_detection_tpu.data import augment as A
+
+    x = rng.standard_normal(1025)
+    got = native.phase_vocoder_stretch(x, 1.1)
+    if got is not None:
+        np.testing.assert_allclose(got, A._numpy_phase_vocoder_stretch(x, 1.1),
+                                   atol=1e-8)

@@ -112,14 +112,15 @@ def phase_vocoder_stretch(x: np.ndarray, rate: float) -> np.ndarray | None:
     """Native STFT phase-vocoder time stretch (native/vocoder.cpp), ~1.5x
     the vectorized numpy path per call on one core and OpenMP-parallel over
     STFT frames on multi-core hosts; agrees with the numpy oracle to
-    ~1e-10 (test_augment.py). None when the lib is missing, predates the
-    symbol, or the input is shorter than the analysis pad (the numpy path
-    handles that edge)."""
+    ~1e-10 (test_native_audio.py). None when the lib is missing, predates
+    the symbol, or the input is not longer than the analysis pad (np.pad
+    "reflect" multi-reflects when pad >= n — that edge, and the zero-pad
+    one below it, stay on the numpy path)."""
     lib = load_library()
     if lib is None or not hasattr(lib, "audioio_phase_vocoder_stretch"):
         return None
     x = np.ascontiguousarray(x, dtype=np.float64)
-    if len(x) < 1024:  # < n_fft//2: numpy path's zero-pad edge case
+    if len(x) <= 1024:  # <= n_fft//2: single reflection needs pad < n
         return None
     n_out = lib.audioio_stretch_out_length(len(x), float(rate))
     if n_out < 0:

@@ -47,27 +47,34 @@ def data_mesh(devices=None, num_slices: int = 1) -> Mesh:
         raise ValueError(f"{len(devices)} devices not divisible by "
                          f"{num_slices} slices")
     per_slice = len(devices) // num_slices
-    try:
-        # real multi-slice topology: group by each device's slice_index
+    if all(getattr(d, "slice_index", None) is not None for d in devices):
+        # real multi-slice topology: group by each device's slice_index;
+        # errors (wrong slice count, uneven granules) must propagate — a
+        # silent fallback would put devices of different slices on the
+        # inner axis and push the per-step all-reduce onto DCN
         from jax.experimental import mesh_utils
 
         grid = mesh_utils.create_hybrid_device_mesh(
             (1, per_slice), (num_slices, 1), devices=devices)
-    except Exception:
-        # flat/virtual device sets carry no slice topology; contiguous
-        # blocks keep the inner axis "as local as it gets"
+    else:
+        # flat/virtual device sets (CPU tests) carry no slice topology;
+        # contiguous blocks keep the inner axis "as local as it gets"
         grid = np.asarray(devices).reshape(num_slices, per_slice)
     return Mesh(grid, (DCN_AXIS, DATA_AXIS))
 
 
-def make_mesh(num_devices: int | None,
-              num_slices: int | None = None) -> Mesh | None:
+def make_mesh(num_devices: int | None, num_slices: int | None = None,
+              axis_name: str = DATA_AXIS) -> Mesh | None:
     """Mesh over the first `num_devices` devices; None when <= 1 requested
     (single-device mode). The CLI-facing constructor: validates availability
     instead of silently shrinking. `num_slices` > 1 builds the hierarchical
-    dcn×data mesh (see module docstring)."""
+    dcn×data mesh (see module docstring). `axis_name` renames the 1-D axis
+    (e.g. "fold" for fold-parallel training); hierarchical meshes keep the
+    canonical (dcn, data) names."""
     if num_slices is not None and num_slices < 1:
         raise ValueError(f"num_slices must be >= 1, got {num_slices}")
+    if num_slices is not None and num_slices > 1 and axis_name != DATA_AXIS:
+        raise ValueError("num_slices > 1 only applies to the data axis")
     if num_devices is None or num_devices == 1:
         if num_slices is not None and num_slices > 1:
             raise ValueError("num_slices > 1 requires num_devices > 1")
@@ -78,7 +85,10 @@ def make_mesh(num_devices: int | None,
     if len(devices) < num_devices:
         raise ValueError(
             f"requested {num_devices} devices, only {len(devices)} visible")
-    return data_mesh(devices[:num_devices], num_slices=num_slices or 1)
+    if num_slices is None or num_slices <= 1:
+        return Mesh(np.asarray(devices[:num_devices]).reshape(-1),
+                    (axis_name,))
+    return data_mesh(devices[:num_devices], num_slices=num_slices)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

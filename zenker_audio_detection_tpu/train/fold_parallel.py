@@ -56,7 +56,6 @@ is pinned by tests/test_fold_parallel.py.
 from __future__ import annotations
 
 import dataclasses
-import json
 import math
 import os
 import shutil
@@ -67,7 +66,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data import stats as stats_mod
 from ..models import ast as ast_mod, convert
 from . import loop as L, losses, metrics as metrics_mod, optim, steps
 
@@ -106,36 +104,13 @@ class _FoldData:
 
 def _prepare_fold(fold: int, cfg: L.TrainFoldConfig,
                   model_cfg) -> _FoldData:
-    """Per-fold data prep, mirroring train_fold's head
-    (train/loop.py:374-462) minus model init (identical across folds —
-    same seed, same pretrained dir — so it happens once in the caller)."""
-    fold_dir = os.path.join(cfg.output_root, f"fold{fold}")
-    if L.backup_existing_run_dir(fold_dir):
-        shutil.rmtree(fold_dir)
-        print(f"[RunBackup] Cleared original run dir '{fold_dir}' after backup.")
-    os.makedirs(fold_dir, exist_ok=True)
-
-    mean, std, src = stats_mod.load_fold_normalization(cfg.data_dir, fold)
-    print(f"[Normalization] fold {fold}: mean={mean:.6f} std={std:.6f} ({src})")
-
-    train_x, train_y = L._load_split(cfg.data_dir, "train", fold)
-    test_x, test_y = L._load_split(cfg.data_dir, "test", fold)
-    val_x, val_y = L._load_split(cfg.data_dir, "val", fold)
-    if train_x is None or test_x is None:
-        raise FileNotFoundError(
-            f"missing train/test npy files for fold {fold} in {cfg.data_dir}")
-    if cfg.dry_run:
-        train_x, train_y = train_x[:32], train_y[:32]
-        test_x, test_y = test_x[:32], test_y[:32]
-        if val_x is not None:
-            val_x, val_y = val_x[:32], val_y[:32]
-    for name, arr in [("train_y", train_y), ("test_y", test_y)] + (
-            [("val_y", val_y)] if val_x is not None else []):
-        uniq = sorted(set(arr.tolist()))
-        if any(v not in (0, 1) for v in uniq):
-            raise ValueError(f"Unexpected labels in {name} fold {fold}: {uniq}")
-        if len(uniq) < 2:
-            print(f"[WARN] Fold {fold} {name} single class: {uniq}")
+    """Per-fold data prep through the helpers shared with the sequential
+    trainer (loop.prepare_fold_dir / load_fold_splits); model init is
+    excluded — identical across folds (same seed, same pretrained dir), so
+    it happens once in the caller."""
+    fold_dir, mean, std = L.prepare_fold_dir(fold, cfg)
+    train_x, train_y, test_x, test_y, val_x, val_y = L.load_fold_splits(
+        fold, cfg)
 
     aug_rng = np.random.default_rng(cfg.seed) if cfg.augment else None
     mf = model_cfg.max_length
@@ -269,29 +244,19 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
     if cfg.resume:
         raise ValueError("fold-parallel training does not support --resume; "
                          "resume individual folds with the sequential path")
+    if cfg.num_slices and cfg.num_slices > 1:
+        raise ValueError("fold-parallel training shards the fold axis over "
+                         "a flat mesh; --num-slices is not supported here")
+    if cfg.on_epoch_end is not None:
+        raise ValueError("fold-parallel training does not support the "
+                         "on_epoch_end hook (sweep trials cut per trial; "
+                         "use the sequential path)")
     trackers = trackers or {}
     print(f"\n===== {cfg.stage} folds {list(folds)} (fold-parallel) =====")
 
     # model init once — identical for every fold (same seed/pretrained),
     # exactly as each sequential train_fold call would produce
-    # (train/loop.py:400-416)
-    rng_key = jax.random.PRNGKey(cfg.seed)
-    if cfg.pretrained_model_dir:
-        params0, model_cfg = convert.load_hf_model_dir(
-            cfg.pretrained_model_dir)
-        if model_cfg.num_labels != 2:
-            model_cfg = dataclasses.replace(model_cfg, num_labels=2)
-        params0 = ast_mod.reinit_head(rng_key, params0, model_cfg, 2)
-        if cfg.max_length and cfg.max_length != model_cfg.max_length:
-            params0, model_cfg = ast_mod.adapt_max_length(
-                params0, model_cfg, cfg.max_length)
-            print(f"[MaxLength] adapted positional embeddings to "
-                  f"{cfg.max_length} frames ({model_cfg.seq_length} tokens)")
-    else:
-        print("[WARN] no pretrained model dir; random init")
-        model_cfg = ast_mod.ASTConfig(num_labels=2,
-                                      max_length=cfg.max_length or 1024)
-        params0 = ast_mod.init_params(rng_key, model_cfg)
+    params0, model_cfg = L.init_model(cfg)
 
     folds_data = [_prepare_fold(f, cfg, model_cfg) for f in folds]
     F = len(folds_data)
@@ -301,20 +266,17 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
     checkpoint_limit = 1 if cfg.dry_run else max(2, (cfg.num_epochs + 1) // 2)
 
     # fold axis over the mesh: one (or more) folds per device
-    mesh = None
-    if cfg.num_devices and cfg.num_devices > 1:
-        devices = jax.devices()
-        if len(devices) < cfg.num_devices:
-            raise ValueError(f"requested {cfg.num_devices} devices, only "
-                             f"{len(devices)} visible")
-        if F % cfg.num_devices:
-            raise ValueError(f"{F} folds not divisible by "
-                             f"{cfg.num_devices} devices")
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ..parallel import mesh as pmesh
 
-        mesh = Mesh(np.asarray(devices[: cfg.num_devices]), (FOLD_AXIS,))
+    mesh = pmesh.make_mesh(cfg.num_devices, axis_name=FOLD_AXIS)
+    if mesh is not None:
+        if F % mesh.devices.size:
+            raise ValueError(f"{F} folds not divisible by "
+                             f"{mesh.devices.size} devices")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         fold_sharding = NamedSharding(mesh, P(FOLD_AXIS))
-        print(f"[Mesh] {F} folds over {cfg.num_devices} devices "
+        print(f"[Mesh] {F} folds over {mesh.devices.size} devices "
               f"(axis '{FOLD_AXIS}')")
         shard = lambda x: jax.device_put(x, fold_sharding)  # pytrees too
     else:
@@ -442,56 +404,16 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
         if all(stopped):
             break
 
-    # finalize each fold: best export + metrics + CM artifacts, mirroring
-    # train_fold's tail (train/loop.py:588-632)
+    # finalize each fold through the helper shared with the sequential
+    # trainer: best export + metrics + CM artifacts
     all_metrics = []
     single_eval = steps.make_eval_step(model_cfg, dtype=cfg.dtype)
     for f, fd in enumerate(folds_data):
         if best_params[f] is None:
             best_params[f] = _slice_fold(params, f)
-        print(f"[Best] fold {fd.fold}: epoch {best_epoch[f]} "
-              f"eval_f1={best_f1[f]:.4f}")
-        best_dir = os.path.join(fd.fold_dir, "best")
-        labels_map = {i: name for i, name in
-                      enumerate(L.STAGE_LABELS[cfg.stage])}
-        convert.save_hf_model_dir(best_params[f], model_cfg, best_dir,
-                                  labels_map)
-        L.save_feature_extractor_config(best_dir, fd.mean, fd.std,
-                                        max_length=model_cfg.max_length)
-
-        metrics: dict[str, float] = {}
-        prefix = "val" if fd.has_val else "test_during_train"
-        logits = L._predict(single_eval, best_params[f], fd.eval_feats,
-                            cfg.eval_batch_size)
-        for k, v in metrics_mod.compute_metrics_from_logits(
-                logits, fd.eval_y).items():
-            metrics[f"fold{fd.fold}_{prefix}_{k}"] = v
-        test_logits = L._predict(single_eval, best_params[f], fd.test_feats,
-                                 cfg.eval_batch_size)
-        for k, v in metrics_mod.compute_metrics_from_logits(
-                test_logits, fd.test_y).items():
-            metrics[f"fold{fd.fold}_test_{k}"] = v
-
-        if not cfg.dry_run:
-            splits = [("test", test_logits, fd.test_y)]
-            if fd.has_val:
-                splits.append(("val", logits, fd.eval_y))
-            for split_name, lg, yy in splits:
-                cm, report = metrics_mod.confusion_and_report(
-                    yy, lg.argmax(1), L.STAGE_LABELS[cfg.stage])
-                eval_dir = os.path.join(best_dir, f"evaluation_{split_name}")
-                os.makedirs(eval_dir, exist_ok=True)
-                np.save(os.path.join(eval_dir, "confusion_matrix.npy"), cm)
-                with open(os.path.join(eval_dir,
-                                       "classification_report.txt"),
-                          "w") as fh:
-                    fh.write(report)
-                tr = trackers.get(fd.fold)
-                if tr is not None:
-                    L._track_split_report(tr, cfg.stage, fd.fold, split_name,
-                                          cm, yy, lg.argmax(1), eval_dir)
-
-        with open(os.path.join(fd.fold_dir, "history.json"), "w") as fh:
-            json.dump(history[f], fh, indent=2)
-        all_metrics.append(metrics)
+        all_metrics.append(L.finalize_fold(
+            fd.fold, cfg, fd.fold_dir, model_cfg, fd.mean, fd.std,
+            best_params[f], best_epoch[f], best_f1[f], fd.eval_feats,
+            fd.eval_y, fd.has_val, fd.test_feats, fd.test_y, single_eval,
+            jnp.asarray, trackers.get(fd.fold), history[f]))
     return all_metrics

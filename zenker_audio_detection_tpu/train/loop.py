@@ -370,39 +370,25 @@ def _predict(eval_step, params, feats, batch: int,
     return np.concatenate(outs) if outs else np.zeros((0, 2))
 
 
-def train_fold(fold: int, cfg: TrainFoldConfig,
-               tracker=None) -> dict[str, float]:
-    """`tracker`: optional utils.tracking.Run; receives per-epoch metrics,
-    confusion-matrix plots, and classification-report tables (the
-    reference's W&B channels, src/train_ast_stage1_cross_validation.py:
-    564-637)."""
-    print(f"\n===== {cfg.stage} Fold {fold} =====")
+def prepare_fold_dir(fold: int, cfg: TrainFoldConfig
+                     ) -> tuple[str, float, float]:
+    """Run-dir backup + normalization-stat resolution shared by the
+    sequential and fold-parallel trainers (reference :433-443, :235-282)."""
     fold_dir = os.path.join(cfg.output_root, f"fold{fold}")
     if not cfg.resume and backup_existing_run_dir(fold_dir):
         shutil.rmtree(fold_dir)
         print(f"[RunBackup] Cleared original run dir '{fold_dir}' after backup.")
     os.makedirs(fold_dir, exist_ok=True)
-
     mean, std, src = stats_mod.load_fold_normalization(cfg.data_dir, fold)
     print(f"[Normalization] fold {fold}: mean={mean:.6f} std={std:.6f} ({src})")
+    return fold_dir, mean, std
 
-    mesh = pmesh.make_mesh(cfg.num_devices, cfg.num_slices)
-    if mesh is not None:
-        topo = " x ".join(f"{mesh.shape[a]} ({a})" for a in mesh.axis_names)
-        print(f"[Mesh] data-parallel training over "
-              f"{mesh.devices.size} devices: {topo}")
 
-    def _shard(x):
-        """Batch to device: sharded over the mesh when it divides evenly,
-        plain single-device array otherwise (tail batches; params stay
-        mesh-replicated through them — GSPMD reshards transparently)."""
-        x = np.asarray(x)
-        if mesh is not None and len(x) % mesh.devices.size == 0:
-            return pmesh.shard_batch(x, mesh)
-        return jnp.asarray(x)
-
-    # model init: pretrained + fresh 2-class head (the reference's
-    # ignore_mismatched_sizes + init_weights dance)
+def init_model(cfg: TrainFoldConfig):
+    """(params, model_cfg): pretrained load + fresh 2-class head (the
+    reference's ignore_mismatched_sizes + init_weights dance), with optional
+    short-sequence positional-embedding adaptation. Deterministic in
+    cfg.seed, so every fold starts from the identical tree."""
     rng_key = jax.random.PRNGKey(cfg.seed)
     if cfg.pretrained_model_dir:
         params, model_cfg = convert.load_hf_model_dir(cfg.pretrained_model_dir)
@@ -419,8 +405,12 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
         model_cfg = ast_mod.ASTConfig(num_labels=2,
                                       max_length=cfg.max_length or 1024)
         params = ast_mod.init_params(rng_key, model_cfg)
+    return params, model_cfg
 
-    # datasets
+
+def load_fold_splits(fold: int, cfg: TrainFoldConfig):
+    """(train_x, train_y, test_x, test_y, val_x, val_y) with dry-run
+    truncation and the reference's label sanity checks (:355-369)."""
     train_x, train_y = _load_split(cfg.data_dir, "train", fold)
     test_x, test_y = _load_split(cfg.data_dir, "test", fold)
     val_x, val_y = _load_split(cfg.data_dir, "val", fold)
@@ -439,6 +429,85 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
             raise ValueError(f"Unexpected labels in {name} fold {fold}: {uniq}")
         if len(uniq) < 2:
             print(f"[WARN] Fold {fold} {name} single class: {uniq}")
+    return train_x, train_y, test_x, test_y, val_x, val_y
+
+
+def finalize_fold(fold: int, cfg: TrainFoldConfig, fold_dir: str, model_cfg,
+                  mean: float, std: float, best_params, best_epoch: int,
+                  best_f1: float, eval_feats, eval_y, has_val: bool,
+                  test_feats, test_y, eval_step, shard, tracker,
+                  history) -> dict[str, float]:
+    """Best-model export + final metrics + CM artifacts, shared by both
+    trainers (mirrors the reference's fold{k}/best export and per-split
+    reports, :521-524, :542-644)."""
+    print(f"[Best] fold {fold}: epoch {best_epoch} eval_f1={best_f1:.4f}")
+    best_dir = os.path.join(fold_dir, "best")
+    labels_map = {i: name for i, name in enumerate(STAGE_LABELS[cfg.stage])}
+    convert.save_hf_model_dir(best_params, model_cfg, best_dir, labels_map)
+    save_feature_extractor_config(best_dir, mean, std,
+                                  max_length=model_cfg.max_length)
+
+    metrics: dict[str, float] = {}
+    prefix = "val" if has_val else "test_during_train"
+    logits = _predict(eval_step, best_params, eval_feats, cfg.eval_batch_size,
+                      shard=shard)
+    for k, v in metrics_mod.compute_metrics_from_logits(logits, eval_y).items():
+        metrics[f"fold{fold}_{prefix}_{k}"] = v
+    test_logits = _predict(eval_step, best_params, test_feats,
+                           cfg.eval_batch_size, shard=shard)
+    for k, v in metrics_mod.compute_metrics_from_logits(
+            test_logits, test_y).items():
+        metrics[f"fold{fold}_test_{k}"] = v
+
+    if not cfg.dry_run:
+        splits = [("test", test_logits, test_y)]
+        if has_val:
+            splits.append(("val", logits, eval_y))
+        for split_name, lg, yy in splits:
+            cm, report = metrics_mod.confusion_and_report(
+                yy, lg.argmax(1), STAGE_LABELS[cfg.stage])
+            eval_dir = os.path.join(best_dir, f"evaluation_{split_name}")
+            os.makedirs(eval_dir, exist_ok=True)
+            np.save(os.path.join(eval_dir, "confusion_matrix.npy"), cm)
+            with open(os.path.join(eval_dir, "classification_report.txt"),
+                      "w") as f:
+                f.write(report)
+            if tracker is not None:
+                _track_split_report(tracker, cfg.stage, fold, split_name, cm,
+                                    yy, lg.argmax(1), eval_dir)
+
+    with open(os.path.join(fold_dir, "history.json"), "w") as f:
+        json.dump(history, f, indent=2)
+    return metrics
+
+
+def train_fold(fold: int, cfg: TrainFoldConfig,
+               tracker=None) -> dict[str, float]:
+    """`tracker`: optional utils.tracking.Run; receives per-epoch metrics,
+    confusion-matrix plots, and classification-report tables (the
+    reference's W&B channels, src/train_ast_stage1_cross_validation.py:
+    564-637)."""
+    print(f"\n===== {cfg.stage} Fold {fold} =====")
+    fold_dir, mean, std = prepare_fold_dir(fold, cfg)
+
+    mesh = pmesh.make_mesh(cfg.num_devices, cfg.num_slices)
+    if mesh is not None:
+        topo = " x ".join(f"{mesh.shape[a]} ({a})" for a in mesh.axis_names)
+        print(f"[Mesh] data-parallel training over "
+              f"{mesh.devices.size} devices: {topo}")
+
+    def _shard(x):
+        """Batch to device: sharded over the mesh when it divides evenly,
+        plain single-device array otherwise (tail batches; params stay
+        mesh-replicated through them — GSPMD reshards transparently)."""
+        x = np.asarray(x)
+        if mesh is not None and len(x) % mesh.devices.size == 0:
+            return pmesh.shard_batch(x, mesh)
+        return jnp.asarray(x)
+
+    params, model_cfg = init_model(cfg)
+    train_x, train_y, test_x, test_y, val_x, val_y = load_fold_splits(fold,
+                                                                      cfg)
 
     aug_rng = np.random.default_rng(cfg.seed) if cfg.augment else None
     mf = model_cfg.max_length
@@ -594,47 +663,10 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
         train_feats.close()
     if best_params is None:
         best_params = jax.tree.map(np.asarray, params)
-    print(f"[Best] epoch {best_epoch} eval_f1={best_f1:.4f}")
-
-    # export best as HF dir + fx config (the reference's fold{k}/best/)
-    best_dir = os.path.join(fold_dir, "best")
-    labels_map = {i: name for i, name in enumerate(STAGE_LABELS[cfg.stage])}
-    convert.save_hf_model_dir(best_params, model_cfg, best_dir, labels_map)
-    save_feature_extractor_config(best_dir, mean, std,
-                                  max_length=model_cfg.max_length)
-
-    metrics: dict[str, float] = {}
-    prefix = "val" if has_val else "test_during_train"
-    logits = _predict(eval_step, best_params, eval_feats, cfg.eval_batch_size,
-                      shard=_shard)
-    for k, v in metrics_mod.compute_metrics_from_logits(logits, eval_y).items():
-        metrics[f"fold{fold}_{prefix}_{k}"] = v
-    test_logits = _predict(eval_step, best_params, test_feats,
-                           cfg.eval_batch_size, shard=_shard)
-    for k, v in metrics_mod.compute_metrics_from_logits(
-            test_logits, test_y).items():
-        metrics[f"fold{fold}_test_{k}"] = v
-
-    if not cfg.dry_run:
-        splits = [("test", test_logits, test_y)]
-        if has_val:
-            splits.append(("val", logits, eval_y))
-        for split_name, lg, yy in splits:
-            cm, report = metrics_mod.confusion_and_report(
-                yy, lg.argmax(1), STAGE_LABELS[cfg.stage])
-            eval_dir = os.path.join(best_dir, f"evaluation_{split_name}")
-            os.makedirs(eval_dir, exist_ok=True)
-            np.save(os.path.join(eval_dir, "confusion_matrix.npy"), cm)
-            with open(os.path.join(eval_dir, "classification_report.txt"),
-                      "w") as f:
-                f.write(report)
-            if tracker is not None:
-                _track_split_report(tracker, cfg.stage, fold, split_name, cm,
-                                    yy, lg.argmax(1), eval_dir)
-
-    with open(os.path.join(fold_dir, "history.json"), "w") as f:
-        json.dump(history, f, indent=2)
-    return metrics
+    return finalize_fold(fold, cfg, fold_dir, model_cfg, mean, std,
+                         best_params, best_epoch, best_f1, eval_feats,
+                         eval_y, has_val, test_feats, test_y, eval_step,
+                         _shard, tracker, history)
 
 
 def _track_split_report(tracker, stage: str, fold: int, split_name: str,

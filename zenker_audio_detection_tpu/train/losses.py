@@ -28,7 +28,6 @@ def torch_smoothed_ce(logits, labels, label_smoothing: float = 0.0):
     label_smoothing=ls, reduction="none")`: target distribution puts
     (1 - ls) + ls/C on the true class and ls/C elsewhere."""
     logp = _log_softmax(logits)
-    C = logits.shape[-1]
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     if label_smoothing == 0.0:
         return nll
