@@ -137,3 +137,55 @@ def test_decay_mask_excludes_ln_and_bias():
     assert mask["head"]["dense"]["kernel"] is True
     assert mask["cls_token"] is True  # HF decays plain Parameters
     assert mask["pos_embed"] is True
+
+
+def test_traced_losses_match_branch_losses(rng):
+    """The *_traced variants (trial-parallel sweep) must equal the original
+    branchy losses at every hyperparameter, INCLUDING the branch points
+    gamma=0 and ls=0, with and without a sample mask."""
+    import jax.numpy as jnp
+
+    logits = jnp.asarray(rng.standard_normal((8, 2)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 2, 8).astype(np.int32))
+    mask = jnp.asarray((rng.random(8) > 0.3).astype(np.float32))
+    cw = jnp.asarray([0.7, 1.4], jnp.float32)
+
+    for gamma in (0.0, 0.5, 2.0):
+        for ls in (0.0, 0.07, 0.15):
+            for m in (None, mask):
+                a = losses.stage1_loss(logits, labels, gamma, ls,
+                                       sample_mask=m)
+                b = losses.stage1_loss_traced(
+                    logits, labels, jnp.float32(gamma), jnp.float32(ls),
+                    sample_mask=m)
+                np.testing.assert_allclose(float(a), float(b), atol=1e-7,
+                                           err_msg=f"stage1 {gamma} {ls}")
+                a = losses.stage2_focal_loss(logits, labels, cw, 0.25,
+                                             gamma, ls, sample_mask=m)
+                b = losses.stage2_focal_loss_traced(
+                    logits, labels, cw, 0.25, jnp.float32(gamma),
+                    jnp.float32(ls), sample_mask=m)
+                np.testing.assert_allclose(float(a), float(b), atol=1e-7,
+                                           err_msg=f"stage2 {gamma} {ls}")
+            a = losses.stage2_weighted_ce(logits, labels, cw, ls)
+            b = losses.stage2_weighted_ce_traced(logits, labels, cw,
+                                                 jnp.float32(ls))
+            np.testing.assert_allclose(float(a), float(b), atol=1e-7)
+
+
+def test_traced_stage1_gradient_finite_at_branch_points(rng):
+    """gamma=0 with a perfectly-confident example (ce ~= 0) must not NaN
+    the gradient (the _safe_focal_base where-guard)."""
+    import jax
+    import jax.numpy as jnp
+
+    labels = jnp.asarray([1, 0], jnp.int32)
+
+    def f(w, gamma):
+        logits = jnp.asarray([[-30.0, 30.0], [0.5, -0.5]]) * w
+        return losses.stage1_loss_traced(logits, labels, gamma,
+                                         jnp.float32(0.0))
+
+    for gamma in (0.0, 2.0):
+        g = jax.grad(f)(jnp.float32(1.0), jnp.float32(gamma))
+        assert np.isfinite(float(g)), f"gamma={gamma}"

@@ -107,3 +107,45 @@ def test_schedule_matches_hf_lambda():
     for step in range(TOTAL + 2):
         np.testing.assert_allclose(float(sched(step)),
                                    LR * _hf_lr_lambda(step), rtol=1e-6)
+
+
+@pytest.mark.parametrize("lr,wd,b2,warmup", [
+    (3.7e-5, 0.013, 0.97, 0.2),
+    (1e-3, 0.0, 0.999, 0.05),
+    (5e-4, 0.1, 0.95, 0.0),
+])
+def test_traced_adamw_apply_matches_optax(lr, wd, b2, warmup):
+    """optim.adamw_apply (traced hyperparams, used by the trial-parallel
+    sweep) must reproduce make_optimizer's optax chain step for step,
+    including grad clipping, bias correction, decay mask, and the linear
+    schedule applied as a step-indexed lr."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    params_ref = jax.tree.map(jnp.asarray, _tree(rng))
+    params_new = jax.tree.map(jnp.asarray, _tree(np.random.default_rng(0)))
+    total = 8
+    tx = optim.make_optimizer(lr, total, warmup, wd, beta2=b2)
+    opt_state = tx.init(params_ref)
+    state = optim.adamw_init(params_new)
+    sched = optim.linear_schedule(lr, total, warmup)
+    mask_tree = optim.decay_mask(params_new)
+
+    for step in range(total):
+        # one big-grad step to exercise the clip path, then normal grads
+        scale = 50.0 if step == 1 else 1.0
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                np.random.default_rng(100 + step).standard_normal(p.shape)
+                .astype(np.float32)) * scale, params_ref)
+        updates, opt_state = tx.update(grads, opt_state, params_ref)
+        params_ref = jax.tree.map(lambda p, u: p + u, params_ref, updates)
+
+        params_new, state = optim.adamw_apply(
+            params_new, state, grads, lr=sched(step), weight_decay=wd,
+            beta2=b2, mask_tree=mask_tree)
+        for a, b in zip(jax.tree.leaves(params_ref),
+                        jax.tree.leaves(params_new)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, err_msg=f"step {step}")

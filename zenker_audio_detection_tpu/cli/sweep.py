@@ -28,8 +28,20 @@ def main(argv=None):
     ap.add_argument("--streaming", action="store_true",
                     help="stream train featurization per batch")
     ap.add_argument("--num-devices", type=int, default=None,
-                    help="data-parallel devices per trial")
+                    help="data-parallel devices per trial (or the trial "
+                         "mesh size with --parallel-trials)")
+    ap.add_argument("--parallel-trials", action="store_true",
+                    help="train ALL trials concurrently in one vmapped "
+                         "step, trial axis sharded over --num-devices "
+                         "(train/trial_parallel.py): the trials share one "
+                         "data batch per step, only params/opt-state/"
+                         "hyperparameters are per-trial; Hyperband cuts "
+                         "use the simultaneous-median rule. Incompatible "
+                         "with --streaming")
     args = ap.parse_args(argv)
+    if args.parallel_trials and args.streaming:
+        raise SystemExit("--parallel-trials is incompatible with "
+                         "--streaming (eager featurization only)")
 
     import jax.numpy as jnp
 
@@ -48,7 +60,8 @@ def main(argv=None):
         num_devices=args.num_devices,
     )
     out = sweep_mod.run_sweep(args.sweep_config, base, count=args.count,
-                              seed=args.seed, output_dir=args.output_dir)
+                              seed=args.seed, output_dir=args.output_dir,
+                              parallel_trials=args.parallel_trials)
     best = out["best"]
     print(f"\nBest trial {best['trial']}: value={best['value']:.4f} "
           f"params={best['params']}")

@@ -115,6 +115,65 @@ def stage2_weighted_ce(logits, labels, class_weights=None,
             / jnp.maximum(jnp.sum(wi * sample_mask), 1e-9))
 
 
+def _safe_focal_base(x, gamma):
+    """(x)**gamma with a clean gradient at gamma == 0 (where the sequential
+    losses take the plain-CE branch): the where keeps x out of the power's
+    gradient when the exponent is zero, avoiding 0**-1 NaNs at x == 0."""
+    return jnp.where(gamma > 0, x, 1.0) ** gamma
+
+
+def stage1_loss_traced(logits, labels, focal_gamma, label_smoothing,
+                       sample_mask=None):
+    """stage1_loss with focal_gamma / label_smoothing as TRACED scalars —
+    the per-trial form the trial-parallel sweep vmaps over (no Python
+    branches). Identical to stage1_loss at every (γ, ls), including the
+    branch points γ=0 (focal factor collapses to 1) and ls=0 (plain NLL);
+    pinned by test_losses.py."""
+    logp = _log_softmax(logits)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    ce = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    per = _safe_focal_base(1.0 - jnp.exp(-ce), focal_gamma) * ce
+    if sample_mask is None:
+        return jnp.mean(per)
+    return _masked_mean(per, sample_mask)
+
+
+def stage2_focal_loss_traced(logits, labels, class_weights, focal_alpha,
+                             focal_gamma, label_smoothing, sample_mask=None):
+    """stage2_focal_loss with focal_gamma / label_smoothing traced
+    (class_weights may be a traced array; focal_alpha stays static — the
+    reference sweeps never touch it)."""
+    logp = _log_softmax(logits)
+    probs = jnp.exp(logp)
+    C = logits.shape[-1]
+    smooth = jnp.full_like(logp, 1.0) * (label_smoothing / (C - 1))
+    onehot = jax.nn.one_hot(labels, C, dtype=logp.dtype)
+    smooth = smooth * (1.0 - onehot) + (1.0 - label_smoothing) * onehot
+    p_t = jnp.take_along_axis(probs, labels[:, None], axis=-1)[:, 0]
+    loss = _safe_focal_base(1.0 - p_t, focal_gamma) * (
+        -jnp.sum(smooth * logp, axis=-1))
+    if class_weights is not None:
+        loss = loss * jnp.asarray(class_weights, jnp.float32)[labels]
+    if focal_alpha is not None:
+        labf = labels.astype(jnp.float32)
+        lab_mean = (jnp.mean(labf) if sample_mask is None
+                    else _masked_mean(labf, sample_mask))
+        loss = loss * jnp.where(lab_mean < 0.5, focal_alpha,
+                                1.0 - focal_alpha)
+    if sample_mask is None:
+        return jnp.mean(loss)
+    return _masked_mean(loss, sample_mask)
+
+
+def stage2_weighted_ce_traced(logits, labels, class_weights, label_smoothing,
+                              sample_mask=None):
+    """stage2_weighted_ce with label_smoothing traced (its formula is
+    already branch-free; this wrapper exists for a uniform traced API)."""
+    return stage2_weighted_ce(logits, labels, class_weights,
+                              label_smoothing, sample_mask=sample_mask)
+
+
 def inverse_frequency_weights(labels, num_classes: int = 2):
     """Class weights from train labels: n_total / (n_classes * count_c)
     (src/train_ast_stage2_cross_validation.py:355-366)."""

@@ -63,3 +63,59 @@ def make_optimizer(learning_rate: float, total_steps: int,
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     return tx
+
+
+# ---------------------------------------------------------------------------
+# Traced-hyperparameter AdamW for trial-parallel sweeps
+# ---------------------------------------------------------------------------
+#
+# `make_optimizer` bakes (b2, weight_decay, schedule) into the optax
+# transformation at trace time — fine when every step uses one config, but
+# the trial-parallel sweep (train/trial_parallel.py) vmaps ONE update over
+# N trials whose hyperparameters differ, so they must be traced values.
+# These functions re-state the exact optax composition
+# clip_by_global_norm(1.0) -> scale_by_adam -> add_decayed_weights(mask) ->
+# scale(-lr) with (lr, b2, wd) as arguments; parity with make_optimizer is
+# pinned to ~1e-7 over multi-step runs by test_optim_parity.py.
+
+
+def adamw_init(params):
+    import jax.numpy as jnp
+
+    return {"count": jnp.zeros((), jnp.int32),
+            "mu": jax.tree.map(jnp.zeros_like, params),
+            "nu": jax.tree.map(jnp.zeros_like, params)}
+
+
+def adamw_apply(params, state, grads, *, lr, weight_decay, beta2,
+                beta1: float = 0.9, eps: float = 1e-8,
+                max_grad_norm: float = 1.0, mask_tree=None):
+    """(new_params, new_state). lr/weight_decay/beta2 may be traced scalars
+    (e.g. per-vmapped-trial); lr is the already-scheduled step size.
+    mask_tree: decay_mask(params)-shaped bool pytree (computed statically by
+    the caller)."""
+    import jax.numpy as jnp
+
+    if mask_tree is None:
+        mask_tree = decay_mask(params)
+
+    # optax.clip_by_global_norm semantics
+    g_norm = optax.global_norm(grads)
+    grads = jax.tree.map(
+        lambda g: jnp.where(g_norm < max_grad_norm, g,
+                            (g / g_norm.astype(g.dtype)) * max_grad_norm),
+        grads)
+
+    count = state["count"] + 1
+    mu = jax.tree.map(lambda m, g: beta1 * m + (1.0 - beta1) * g,
+                      state["mu"], grads)
+    nu = jax.tree.map(lambda v, g: beta2 * v + (1.0 - beta2) * g * g,
+                      state["nu"], grads)
+    bc1 = 1.0 - beta1 ** count.astype(jnp.float32)
+    bc2 = 1.0 - beta2 ** count.astype(jnp.float32)
+    new_params = jax.tree.map(
+        lambda p, m, v, use_wd: p - lr * (
+            (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            + jnp.where(use_wd, weight_decay, 0.0) * p),
+        params, mu, nu, mask_tree)
+    return new_params, {"count": count, "mu": mu, "nu": nu}

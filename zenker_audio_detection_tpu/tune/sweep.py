@@ -140,11 +140,22 @@ def _log_trial_to_wandb(wb_run, sampled: dict, metric: str, value: float,
         print(f"[Sweep][WARN] wandb trial log failed: {exc}")
 
 
+def _objective_value(metrics: dict, fold: int) -> float:
+    """The sweep objective: validation F1 (eval_f1 in the reference)."""
+    key = (f"fold{fold}_val_f1" if f"fold{fold}_val_f1" in metrics
+           else f"fold{fold}_test_during_train_f1")
+    return metrics[key]
+
+
 def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
-              seed: int = 0, output_dir: str = "sweep_results") -> dict:
+              seed: int = 0, output_dir: str = "sweep_results",
+              parallel_trials: bool = False) -> dict:
     """Random-search agent: `count` trials of train_fold with sampled
     hyperparameters. `base_cfg` is a TrainFoldConfig providing everything
-    the sweep doesn't set."""
+    the sweep doesn't set. With `parallel_trials`, every trial trains
+    concurrently in one vmapped step over the device mesh
+    (train/trial_parallel.py; the rung cut becomes the true simultaneous
+    Hyperband median instead of the sequential streaming median)."""
     from ..train import loop as train_loop
 
     sweep = load_sweep_config(sweep_config_path)
@@ -161,21 +172,9 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
     results = []
     best = None
 
-    for trial in range(count):
-        sampled = sample_parameters(sweep["parameters"], rng)
-        fold = int(sampled.pop("fold", 3))
-        overrides = {_PARAM_MAP[k]: v for k, v in sampled.items()
-                     if k in _PARAM_MAP}
-        cfg = dataclasses.replace(
-            base_cfg, **overrides,
-            output_root=os.path.join(output_dir, f"trial{trial}"),
-            on_epoch_end=cutter.callback() if cutter else None)
-        print(f"\n[Sweep trial {trial}] fold={fold} {overrides}")
-        metrics = train_loop.train_fold(fold, cfg)
-        # the sweep objective: validation F1 (eval_f1 in the reference)
-        key = (f"fold{fold}_val_f1" if f"fold{fold}_val_f1" in metrics
-               else f"fold{fold}_test_during_train_f1")
-        value = metrics[key]
+    def record_trial(trial, fold, sampled, metrics):
+        nonlocal best
+        value = _objective_value(metrics, fold)
         record = {"trial": trial, "fold": fold, "params": sampled,
                   "objective": metric, "value": value, "metrics": metrics}
         results.append(record)
@@ -193,5 +192,48 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
                 json.dump(record, f, indent=2)
         print(f"[Sweep trial {trial}] {metric}={value:.4f} "
               f"(best={best['value']:.4f})")
+
+    if parallel_trials:
+        from ..train import trial_parallel
+
+        samples = [sample_parameters(sweep["parameters"], rng)
+                   for _ in range(count)]
+        folds = {int(s.get("fold", 3)) for s in samples}
+        if len(folds) > 1:
+            raise ValueError("trial-parallel sweeps need a single fold; "
+                             f"sampled {sorted(folds)} — pin 'fold' in the "
+                             "sweep config or run sequentially")
+        fold = folds.pop()
+        cfgs = []
+        for trial, sampled in enumerate(samples):
+            overrides = {_PARAM_MAP[k]: v for k, v in sampled.items()
+                         if k in _PARAM_MAP and k != "fold"}
+            unsupported = set(overrides) - set(trial_parallel.SWEPT_FIELDS)
+            if unsupported:
+                raise ValueError(f"trial-parallel sweeps cannot vary "
+                                 f"{sorted(unsupported)}; run sequentially")
+            cfgs.append(dataclasses.replace(
+                base_cfg, **overrides,
+                output_root=os.path.join(output_dir, f"trial{trial}")))
+            print(f"[Sweep trial {trial}] fold={fold} {overrides}")
+        all_metrics = trial_parallel.train_trials_parallel(
+            fold, cfgs, rungs=rungs, goal=goal)
+        for trial, (sampled, metrics) in enumerate(zip(samples, all_metrics)):
+            record_trial(trial, fold, {k: v for k, v in sampled.items()
+                                       if k != "fold"}, metrics)
+        return {"results": results, "best": best}
+
+    for trial in range(count):
+        sampled = sample_parameters(sweep["parameters"], rng)
+        fold = int(sampled.pop("fold", 3))
+        overrides = {_PARAM_MAP[k]: v for k, v in sampled.items()
+                     if k in _PARAM_MAP}
+        cfg = dataclasses.replace(
+            base_cfg, **overrides,
+            output_root=os.path.join(output_dir, f"trial{trial}"),
+            on_epoch_end=cutter.callback() if cutter else None)
+        print(f"\n[Sweep trial {trial}] fold={fold} {overrides}")
+        metrics = train_loop.train_fold(fold, cfg)
+        record_trial(trial, fold, sampled, metrics)
 
     return {"results": results, "best": best}
