@@ -91,14 +91,12 @@ class HyperbandCut:
 
     def callback(self):
         """Per-trial on_epoch_end(epoch, metrics) -> stop?"""
-        recorded: dict[int, float] = {}
 
         def on_epoch_end(epoch: int, metrics: dict) -> bool:
             if epoch not in self.rungs:
                 return False
             value = metrics["f1"]
             prior = self.history[epoch]
-            recorded[epoch] = value
             self.history[epoch].append(value)
             if len(prior) >= 2:
                 med = float(np.median(prior))
