@@ -87,7 +87,17 @@ def _trunc_normal(key, shape, std, dtype=jnp.float32):
 
 
 def init_params(key: jax.Array, config: ASTConfig, dtype=jnp.float32) -> Params:
-    """Random init matching HF's scheme in distribution (not bitwise)."""
+    """Random init matching HF's scheme in distribution (not bitwise).
+
+    One jitted program (config/dtype static; ASTConfig is frozen, hence
+    hashable): the body is ~25 array ops, and eager dispatch compiles each
+    separately — ~100 s over a remote-compile tunnel vs one cacheable
+    compile (this stalled the quickstart's first step on TPU)."""
+    return _init_params_jit(key, config, dtype)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _init_params_jit(key: jax.Array, config: ASTConfig, dtype) -> Params:
     h, i = config.hidden_size, config.intermediate_size
     L = config.num_hidden_layers
     ks = jax.random.split(key, 12)
