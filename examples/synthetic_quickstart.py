@@ -12,6 +12,11 @@ dataset, no downloaded model, no network.
     python examples/synthetic_quickstart.py --tpu      # default JAX platform
     python examples/synthetic_quickstart.py --workdir /tmp/zq --keep
 
+The --tpu path exercises every stage on real hardware (verified end-to-end
+on a v5e: ~8 min with a warm persistent compile cache). The FIRST TPU run
+compiles each of the pipeline's programs once — importing the package
+enables the persistent XLA cache, so later runs skip all of it.
+
 This mirrors tests/test_cli_workflow.py as user-runnable documentation:
 every command below is exactly what you would run on real data (with a
 real dataset root and the MIT AST checkpoint dir as --pretrained-model-dir).
