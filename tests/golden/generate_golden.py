@@ -106,6 +106,31 @@ def gen_fbank():
           transformers.__version__ + ")")
 
 
+def gen_vocoder():
+    """vocoder_golden.npz — frozen outputs of the numpy STFT phase vocoder
+    (data/augment.py:_numpy_phase_vocoder_stretch). Unlike the resample
+    goldens these are NOT an independent re-derivation (librosa is absent
+    from this environment, and SURVEY §7 hard-part 5 sets the augmentation
+    bar at distribution-level parity, not bit-exactness vs librosa): they
+    are a REGRESSION guard pinning both the numpy path and the C++ port
+    (native/vocoder.cpp) to the implementation that was validated against
+    librosa's algorithm, so a refactor of either cannot silently drift."""
+    import sys
+
+    sys.path.insert(0, os.path.join(HERE, "..", ".."))
+    from zenker_audio_detection_tpu.data.augment import (
+        _numpy_phase_vocoder_stretch)
+
+    rng = np.random.default_rng(2024)
+    x = rng.standard_normal(16000)
+    out = {"input": x}
+    for rate in (0.8, 1.07, 1.2, 2 ** (4 / 12), 2 ** (-4 / 12)):
+        out[f"rate_{rate:.6f}"] = _numpy_phase_vocoder_stretch(x, rate)
+    np.savez_compressed(os.path.join(HERE, "vocoder_golden.npz"), **out)
+    print("wrote vocoder_golden.npz")
+
+
 if __name__ == "__main__":
     gen_resample()
     gen_fbank()
+    gen_vocoder()

@@ -79,3 +79,41 @@ def test_fbank_normalized_matches_golden(fbank_golden):
     # pad rows are normalized zeros, not raw zeros (HF pad-then-normalize)
     pad_value = (0.0 - mean) / (2.0 * std)
     np.testing.assert_allclose(got[200:], pad_value, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Phase-vocoder goldens: regression guard pinning BOTH the numpy path and
+# the C++ port to the validated implementation (generate_golden.py explains
+# why these are a drift guard, not an independent re-derivation).
+# ---------------------------------------------------------------------------
+
+
+VOCODER_RATES = (0.8, 1.07, 1.2, 2 ** (4 / 12), 2 ** (-4 / 12))
+
+
+@pytest.fixture(scope="module")
+def vocoder_golden():
+    return np.load(os.path.join(GOLDEN, "vocoder_golden.npz"))
+
+
+@pytest.mark.parametrize("rate", VOCODER_RATES)
+def test_numpy_vocoder_matches_golden(vocoder_golden, rate):
+    from zenker_audio_detection_tpu.data.augment import (
+        _numpy_phase_vocoder_stretch)
+
+    ref = vocoder_golden[f"rate_{rate:.6f}"]
+    got = _numpy_phase_vocoder_stretch(vocoder_golden["input"], rate)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("rate", VOCODER_RATES)
+def test_native_vocoder_matches_golden(vocoder_golden, rate):
+    from zenker_audio_detection_tpu.audio import native
+
+    got = native.phase_vocoder_stretch(vocoder_golden["input"], rate)
+    if got is None:
+        pytest.skip("native lib unavailable or predates the vocoder")
+    ref = vocoder_golden[f"rate_{rate:.6f}"]
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-8)
