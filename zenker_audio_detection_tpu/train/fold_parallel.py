@@ -57,8 +57,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import os
-import shutil
 from typing import Any
 
 import jax
@@ -66,7 +64,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models import ast as ast_mod, convert
+from ..models import ast as ast_mod
 from . import loop as L, losses, metrics as metrics_mod, optim, steps
 
 FOLD_AXIS = "fold"
@@ -251,6 +249,11 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
         raise ValueError("fold-parallel training does not support the "
                          "on_epoch_end hook (sweep trials cut per trial; "
                          "use the sequential path)")
+    if (cfg.num_devices and cfg.num_devices > 1
+            and len(folds) % cfg.num_devices):
+        # validate BEFORE run dirs are backed up / data is featurized
+        raise ValueError(f"{len(folds)} folds not divisible by "
+                         f"{cfg.num_devices} devices")
     trackers = trackers or {}
     print(f"\n===== {cfg.stage} folds {list(folds)} (fold-parallel) =====")
 
@@ -270,9 +273,6 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
 
     mesh = pmesh.make_mesh(cfg.num_devices, axis_name=FOLD_AXIS)
     if mesh is not None:
-        if F % mesh.devices.size:
-            raise ValueError(f"{F} folds not divisible by "
-                             f"{mesh.devices.size} devices")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         fold_sharding = NamedSharding(mesh, P(FOLD_AXIS))
@@ -302,20 +302,15 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
                                 np.float32))
     cw_arr = shard(np.stack([fd.class_weights for fd in folds_data]))
 
-    # host-side per-fold loop state (mirrors train_fold's locals)
+    # host-side per-fold loop state (loop.FoldProgress, shared bookkeeping)
     epoch_rngs = [np.random.default_rng(cfg.seed) for _ in folds_data]
-    best_f1 = [-1.0] * F
-    best_params: list[Any] = [None] * F
-    best_epoch = [-1] * F
-    patience_left = [cfg.early_stopping_patience] * F
-    stopped = [False] * F
-    history: list[list[dict]] = [[] for _ in folds_data]
-    checkpoints: list[list[str]] = [[] for _ in folds_data]
+    progs = [L.FoldProgress(patience_left=cfg.early_stopping_patience)
+             for _ in folds_data]
 
     feat_shape = folds_data[0].train_feats.shape[1:]
     for epoch in range(1, num_epochs + 1):
         orders = [rng.permutation(len(fd.train_feats))
-                  if not stopped[f] else None
+                  if not progs[f].stopped else None
                   for f, (rng, fd) in enumerate(zip(epoch_rngs, folds_data))]
         epoch_loss = np.zeros(F)
         for s_idx in range(max_steps):
@@ -326,7 +321,7 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
             step_idx = np.zeros(F, np.float32)
             counts = np.zeros(F, int)
             for f, fd in enumerate(folds_data):
-                if stopped[f] or s_idx >= fd.steps_per_epoch:
+                if progs[f].stopped or s_idx >= fd.steps_per_epoch:
                     continue
                 idx = orders[f][s_idx * bs: (s_idx + 1) * bs]
                 feats[f, : len(idx)] = fd.train_feats[idx]
@@ -346,12 +341,13 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
         eval_logits = _stacked_eval(eval_step, params, folds_data,
                                     cfg.eval_batch_size, shard)
         for f, fd in enumerate(folds_data):
-            if stopped[f]:
+            prog = progs[f]
+            if prog.stopped:
                 continue
             m = metrics_mod.compute_metrics_from_logits(eval_logits[f],
                                                         fd.eval_y)
             m["loss"] = float(epoch_loss[f] / len(fd.train_feats))
-            history[f].append({"epoch": epoch, **m})
+            prog.history.append({"epoch": epoch, **m})
             print(f"[Fold {fd.fold} Epoch {epoch}/{num_epochs}] "
                   f"loss={m['loss']:.4f} eval_f1={m['f1']:.4f} "
                   f"acc={m['accuracy']:.4f}")
@@ -361,47 +357,14 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
                         **{f"eval_{k}" if k != "loss" else "train_loss": v
                            for k, v in m.items()}})
 
-            # best/patience bookkeeping — identical to train_fold:547-582
-            if m["f1"] > best_f1[f] + (cfg.early_stopping_threshold
-                                       if best_f1[f] >= 0 else 0):
-                best_f1[f] = m["f1"]
-                best_params[f] = _slice_fold(params, f)
-                best_epoch[f] = epoch
-                patience_left[f] = cfg.early_stopping_patience
-            else:
-                if m["f1"] > best_f1[f]:
-                    best_f1[f] = m["f1"]
-                    best_params[f] = _slice_fold(params, f)
-                    best_epoch[f] = epoch
-                patience_left[f] -= 1
-
-            if best_epoch[f] == epoch:
-                convert.write_safetensors(
-                    {k: np.asarray(v, np.float32) for k, v in
-                     L._flatten(best_params[f]).items()},
-                    os.path.join(fd.fold_dir, "best_params.safetensors"))
-
-            ck = os.path.join(fd.fold_dir,
-                              f"checkpoint-{epoch * fd.steps_per_epoch}")
-            L.save_checkpoint(ck, _slice_fold(params, f),
-                              _slice_fold(opt_state, f), {
-                "epoch": epoch, "best_f1": best_f1[f],
-                "best_epoch": best_epoch[f],
-                "patience_left": patience_left[f],
-                "rng_state": epoch_rngs[f].bit_generator.state,
-                "history": history[f],
-            })
-            checkpoints[f].append(ck)
-            while len(checkpoints[f]) > checkpoint_limit:
-                shutil.rmtree(checkpoints[f].pop(0), ignore_errors=True)
-
-            if (fd.has_val and cfg.enable_early_stopping
-                    and patience_left[f] <= 0):
-                print(f"[EarlyStop] fold {fd.fold}: no f1 improvement > "
-                      f"{cfg.early_stopping_threshold} for "
-                      f"{cfg.early_stopping_patience} epochs")
-                stopped[f] = True
-        if all(stopped):
+            L.epoch_bookkeeping(
+                cfg, fd.fold_dir, epoch, fd.steps_per_epoch,
+                checkpoint_limit, m, fd.has_val, prog,
+                snapshot=lambda f=f: (_slice_fold(params, f),
+                                      _slice_fold(opt_state, f)),
+                rng_state=epoch_rngs[f].bit_generator.state,
+                label=f" fold {fd.fold}:")
+        if all(p.stopped for p in progs):
             break
 
     # finalize each fold through the helper shared with the sequential
@@ -409,11 +372,12 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
     all_metrics = []
     single_eval = steps.make_eval_step(model_cfg, dtype=cfg.dtype)
     for f, fd in enumerate(folds_data):
-        if best_params[f] is None:
-            best_params[f] = _slice_fold(params, f)
+        prog = progs[f]
+        if prog.best_params is None:
+            prog.best_params = _slice_fold(params, f)
         all_metrics.append(L.finalize_fold(
             fd.fold, cfg, fd.fold_dir, model_cfg, fd.mean, fd.std,
-            best_params[f], best_epoch[f], best_f1[f], fd.eval_feats,
+            prog.best_params, prog.best_epoch, prog.best_f1, fd.eval_feats,
             fd.eval_y, fd.has_val, fd.test_feats, fd.test_y, single_eval,
-            jnp.asarray, trackers.get(fd.fold), history[f]))
+            jnp.asarray, trackers.get(fd.fold), prog.history))
     return all_metrics

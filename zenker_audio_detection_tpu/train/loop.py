@@ -481,6 +481,67 @@ def finalize_fold(fold: int, cfg: TrainFoldConfig, fold_dir: str, model_cfg,
     return metrics
 
 
+@dataclasses.dataclass
+class FoldProgress:
+    """Per-fold/trial epoch-end bookkeeping state, shared by the
+    sequential, fold-parallel and trial-parallel trainers."""
+    patience_left: int
+    best_f1: float = -1.0
+    best_params: Any = None
+    best_epoch: int = -1
+    stopped: bool = False
+    history: list = dataclasses.field(default_factory=list)
+    checkpoints: list = dataclasses.field(default_factory=list)
+
+
+def epoch_bookkeeping(cfg: TrainFoldConfig, fold_dir: str, epoch: int,
+                      steps_per_epoch: int, checkpoint_limit: int, m: dict,
+                      has_val: bool, prog: FoldProgress, snapshot,
+                      rng_state, label: str = "") -> None:
+    """The epoch tail every trainer shares: best-F1/patience update
+    (reference load_best_model_at_end + EarlyStoppingCallback semantics),
+    best-weights persist for resume, rotating full checkpoint
+    (save_total_limit), and the early-stop decision — sets prog.stopped.
+    `snapshot()` -> (params_host, opt_state) for this fold/trial; the
+    caller appends to prog.history BEFORE calling."""
+    params_now, opt_now = snapshot()
+    f1 = m["f1"]
+    if f1 > prog.best_f1 + (cfg.early_stopping_threshold
+                            if prog.best_f1 >= 0 else 0):
+        prog.best_f1, prog.best_params, prog.best_epoch = f1, params_now, epoch
+        prog.patience_left = cfg.early_stopping_patience
+    else:
+        if f1 > prog.best_f1:
+            prog.best_f1 = f1
+            prog.best_params = params_now
+            prog.best_epoch = epoch
+        prog.patience_left -= 1
+
+    if prog.best_epoch == epoch:  # persist best weights for resume
+        convert.write_safetensors(
+            {k: np.asarray(v, np.float32)
+             for k, v in _flatten(prog.best_params).items()},
+            os.path.join(fold_dir, "best_params.safetensors"))
+
+    ck = os.path.join(fold_dir, f"checkpoint-{epoch * steps_per_epoch}")
+    save_checkpoint(ck, params_now, opt_now, {
+        "epoch": epoch, "best_f1": prog.best_f1,
+        "best_epoch": prog.best_epoch,
+        "patience_left": prog.patience_left,
+        "rng_state": rng_state,
+        "history": prog.history,
+    })
+    prog.checkpoints.append(ck)
+    while len(prog.checkpoints) > checkpoint_limit:
+        shutil.rmtree(prog.checkpoints.pop(0), ignore_errors=True)
+
+    if has_val and cfg.enable_early_stopping and prog.patience_left <= 0:
+        print(f"[EarlyStop]{label} no f1 improvement > "
+              f"{cfg.early_stopping_threshold} for "
+              f"{cfg.early_stopping_patience} epochs")
+        prog.stopped = True
+
+
 def train_fold(fold: int, cfg: TrainFoldConfig,
                tracker=None) -> dict[str, float]:
     """`tracker`: optional utils.tracking.Run; receives per-epoch metrics,
@@ -544,12 +605,7 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
     eval_feats = val_feats if has_val else test_feats
     eval_y = val_y if has_val else test_y
 
-    best_f1 = -1.0
-    best_params = None
-    best_epoch = -1
-    patience_left = cfg.early_stopping_patience
-    history = []
-    checkpoints: list[str] = []
+    prog = FoldProgress(patience_left=cfg.early_stopping_patience)
     start_epoch = 1
 
     if cfg.resume:
@@ -557,23 +613,23 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
         if ck:
             params, opt_state, st = load_checkpoint(ck, params, opt_state)
             start_epoch = st["epoch"] + 1
-            best_f1 = st["best_f1"]
-            best_epoch = st["best_epoch"]
-            patience_left = st["patience_left"]
+            prog.best_f1 = st["best_f1"]
+            prog.best_epoch = st["best_epoch"]
+            prog.patience_left = st["patience_left"]
             epoch_rng.bit_generator.state = st["rng_state"]
-            history = st.get("history", [])
+            prog.history = st.get("history", [])
             bp = os.path.join(fold_dir, "best_params.safetensors")
-            if best_epoch > 0 and os.path.exists(bp):
+            if prog.best_epoch > 0 and os.path.exists(bp):
                 flat = convert.read_safetensors(bp)
-                best_params = jax.tree.map(np.asarray, params)
+                prog.best_params = jax.tree.map(np.asarray, params)
                 for key, arr in flat.items():
-                    node = best_params
+                    node = prog.best_params
                     ks = key.split(".")
                     for k in ks[:-1]:
                         node = node[k]
                     node[ks[-1]] = arr
             print(f"[Resume] from {ck}: next epoch {start_epoch}, "
-                  f"best_f1={best_f1:.4f} @ epoch {best_epoch}")
+                  f"best_f1={prog.best_f1:.4f} @ epoch {prog.best_epoch}")
         else:
             print("[Resume] no checkpoint found; training from scratch")
 
@@ -607,7 +663,7 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
                           shard=_shard)
         m = metrics_mod.compute_metrics_from_logits(logits, eval_y)
         m["loss"] = epoch_loss
-        history.append({"epoch": epoch, **m})
+        prog.history.append({"epoch": epoch, **m})
         print(f"[Epoch {epoch}/{num_epochs}] loss={epoch_loss:.4f} "
               f"eval_f1={m['f1']:.4f} acc={m['accuracy']:.4f}")
         if tracker is not None:
@@ -618,41 +674,12 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
                          **{f"eval_{k}" if k != "loss" else "train_loss": v
                             for k, v in m.items()}})
 
-        if m["f1"] > best_f1 + (cfg.early_stopping_threshold
-                                if best_f1 >= 0 else 0):
-            best_f1 = m["f1"]
-            best_params = jax.tree.map(np.asarray, params)
-            best_epoch = epoch
-            patience_left = cfg.early_stopping_patience
-        else:
-            if m["f1"] > best_f1:
-                best_f1 = m["f1"]
-                best_params = jax.tree.map(np.asarray, params)
-                best_epoch = epoch
-            patience_left -= 1
-
-        if best_epoch == epoch:  # persist best weights for resume
-            convert.write_safetensors(
-                {k: np.asarray(v, np.float32)
-                 for k, v in _flatten(best_params).items()},
-                os.path.join(fold_dir, "best_params.safetensors"))
-
-        # full checkpoint per epoch with save_total_limit
-        ck = os.path.join(fold_dir, f"checkpoint-{epoch * steps_per_epoch}")
-        save_checkpoint(ck, params, opt_state, {
-            "epoch": epoch, "best_f1": best_f1, "best_epoch": best_epoch,
-            "patience_left": patience_left,
-            "rng_state": epoch_rng.bit_generator.state,
-            "history": history,
-        })
-        checkpoints.append(ck)
-        while len(checkpoints) > checkpoint_limit:
-            shutil.rmtree(checkpoints.pop(0), ignore_errors=True)
-
-        if has_val and cfg.enable_early_stopping and patience_left <= 0:
-            print(f"[EarlyStop] no f1 improvement > "
-                  f"{cfg.early_stopping_threshold} for "
-                  f"{cfg.early_stopping_patience} epochs")
+        epoch_bookkeeping(cfg, fold_dir, epoch, steps_per_epoch,
+                          checkpoint_limit, m, has_val, prog,
+                          snapshot=lambda: (jax.tree.map(np.asarray, params),
+                                            opt_state),
+                          rng_state=epoch_rng.bit_generator.state)
+        if prog.stopped:
             break
 
         if cfg.on_epoch_end is not None and cfg.on_epoch_end(epoch, m):
@@ -661,12 +688,12 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
 
     if is_stream:
         train_feats.close()
-    if best_params is None:
-        best_params = jax.tree.map(np.asarray, params)
+    if prog.best_params is None:
+        prog.best_params = jax.tree.map(np.asarray, params)
     return finalize_fold(fold, cfg, fold_dir, model_cfg, mean, std,
-                         best_params, best_epoch, best_f1, eval_feats,
-                         eval_y, has_val, test_feats, test_y, eval_step,
-                         _shard, tracker, history)
+                         prog.best_params, prog.best_epoch, prog.best_f1,
+                         eval_feats, eval_y, has_val, test_feats, test_y,
+                         eval_step, _shard, tracker, prog.history)
 
 
 def _track_split_report(tracker, stage: str, fold: int, split_name: str,

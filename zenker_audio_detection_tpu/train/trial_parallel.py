@@ -40,15 +40,11 @@ tests/test_trial_parallel.py.
 from __future__ import annotations
 
 import math
-import os
-import shutil
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models import convert
 from . import loop as L, losses, metrics as metrics_mod, optim, steps
 from .fold_parallel import _lr_factor, _slice_fold
 
@@ -112,8 +108,17 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
     if any(cfg.on_epoch_end is not None for cfg in cfgs):
         raise ValueError("on_epoch_end is not supported in trial-parallel "
                          "mode (Hyperband cuts run via `rungs`)")
-
+    roots = [cfg.output_root for cfg in cfgs]
+    if len(set(roots)) != len(roots):
+        raise ValueError("trial configs must have distinct output_root "
+                         "dirs (colliding trials would overwrite each "
+                         "other's run artifacts)")
     T = len(cfgs)
+    if (base.num_devices and base.num_devices > 1
+            and T % base.num_devices):
+        # validate BEFORE run dirs are backed up / data is featurized
+        raise ValueError(f"{T} trials not divisible by "
+                         f"{base.num_devices} devices")
     print(f"\n===== {base.stage} fold {fold}: {T} trials "
           f"(trial-parallel) =====")
 
@@ -157,9 +162,6 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
 
     mesh = pmesh.make_mesh(base.num_devices, axis_name=TRIAL_AXIS)
     if mesh is not None:
-        if T % mesh.devices.size:
-            raise ValueError(f"{T} trials not divisible by "
-                             f"{mesh.devices.size} devices")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         trial_sharding = NamedSharding(mesh, P(TRIAL_AXIS))
@@ -219,20 +221,15 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
 
     # host-side per-trial loop state (mirrors train_fold's locals)
     epoch_rng = np.random.default_rng(base.seed)  # shared: same batch order
-    best_f1 = [-1.0] * T
-    best_params: list[Any] = [None] * T
-    best_epoch = [-1] * T
-    patience_left = [base.early_stopping_patience] * T
-    stopped = [False] * T
+    progs = [L.FoldProgress(patience_left=base.early_stopping_patience)
+             for _ in range(T)]
     cut_at_rung: list[int | None] = [None] * T
-    history: list[list[dict]] = [[] for _ in range(T)]
-    checkpoints: list[list[str]] = [[] for _ in range(T)]
     rungs = sorted(rungs or [])
 
     for epoch in range(1, num_epochs + 1):
         order = epoch_rng.permutation(n)
         epoch_loss = np.zeros(T)
-        active_arr = shard(np.asarray([not s for s in stopped]))
+        active_arr = shard(np.asarray([not p.stopped for p in progs]))
         for s_idx in range(steps_per_epoch):
             idx = order[s_idx * bs: (s_idx + 1) * bs]
             feats = train_feats[idx]
@@ -264,77 +261,49 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
 
         rung_values: list[tuple[int, float]] = []
         for t in range(T):
-            if stopped[t]:
+            prog = progs[t]
+            if prog.stopped:
                 continue
             m = metrics_mod.compute_metrics_from_logits(eval_logits[t],
                                                         eval_y)
             m["loss"] = float(epoch_loss[t] / n)
-            history[t].append({"epoch": epoch, **m})
+            prog.history.append({"epoch": epoch, **m})
             print(f"[Trial {t} Epoch {epoch}/{num_epochs}] "
                   f"loss={m['loss']:.4f} eval_f1={m['f1']:.4f}")
 
-            if m["f1"] > best_f1[t] + (base.early_stopping_threshold
-                                       if best_f1[t] >= 0 else 0):
-                best_f1[t] = m["f1"]
-                best_params[t] = _slice_fold(params, t)
-                best_epoch[t] = epoch
-                patience_left[t] = base.early_stopping_patience
-            else:
-                if m["f1"] > best_f1[t]:
-                    best_f1[t] = m["f1"]
-                    best_params[t] = _slice_fold(params, t)
-                    best_epoch[t] = epoch
-                patience_left[t] -= 1
-
-            if best_epoch[t] == epoch:
-                convert.write_safetensors(
-                    {k: np.asarray(v, np.float32) for k, v in
-                     L._flatten(best_params[t]).items()},
-                    os.path.join(fold_dirs[t], "best_params.safetensors"))
-            ck = os.path.join(fold_dirs[t],
-                              f"checkpoint-{epoch * steps_per_epoch}")
-            L.save_checkpoint(ck, _slice_fold(params, t),
-                              _slice_fold(opt_state, t), {
-                "epoch": epoch, "best_f1": best_f1[t],
-                "best_epoch": best_epoch[t],
-                "patience_left": patience_left[t],
-                "rng_state": epoch_rng.bit_generator.state,
-                "history": history[t],
-            })
-            checkpoints[t].append(ck)
-            while len(checkpoints[t]) > checkpoint_limit:
-                shutil.rmtree(checkpoints[t].pop(0), ignore_errors=True)
-
-            if (has_val and base.enable_early_stopping
-                    and patience_left[t] <= 0):
-                print(f"[EarlyStop] trial {t}: no f1 improvement")
-                stopped[t] = True
-            elif epoch in rungs:
+            L.epoch_bookkeeping(
+                base, fold_dirs[t], epoch, steps_per_epoch,
+                checkpoint_limit, m, has_val, prog,
+                snapshot=lambda t=t: (_slice_fold(params, t),
+                                      _slice_fold(opt_state, t)),
+                rng_state=epoch_rng.bit_generator.state,
+                label=f" trial {t}:")
+            if not prog.stopped and epoch in rungs:
                 rung_values.append((t, m["f1"]))
 
-        if rung_values and len(rung_values) >= 2:
-            vals = np.asarray([v for _, v in rung_values])
-            med = float(np.median(vals))
+        if len(rung_values) >= 2:
+            med = float(np.median([v for _, v in rung_values]))
             for t, v in rung_values:
                 worse = v < med if goal == "maximize" else v > med
                 if worse:
                     print(f"[Hyperband] cut trial {t} at rung {epoch}: "
                           f"{v:.4f} vs median {med:.4f}")
-                    stopped[t] = True
+                    progs[t].stopped = True
                     cut_at_rung[t] = epoch
-        if all(stopped):
+        if all(p.stopped for p in progs):
             break
 
     all_metrics = []
     single_eval = steps.make_eval_step(model_cfg, dtype=base.dtype)
     for t in range(T):
-        if best_params[t] is None:
-            best_params[t] = _slice_fold(params, t)
+        prog = progs[t]
+        if prog.best_params is None:
+            prog.best_params = _slice_fold(params, t)
         m = L.finalize_fold(
             fold, cfgs[t], fold_dirs[t], model_cfg, means[t], stds[t],
-            best_params[t], best_epoch[t], best_f1[t], eval_feats, eval_y,
-            has_val, test_feats, np.asarray(test_y, np.int32), single_eval,
-            jnp.asarray, None, history[t])
+            prog.best_params, prog.best_epoch, prog.best_f1, eval_feats,
+            eval_y, has_val, test_feats, np.asarray(test_y, np.int32),
+            single_eval, jnp.asarray, None, prog.history)
         if cut_at_rung[t] is not None:
             m["hyperband_cut_at_epoch"] = cut_at_rung[t]
         all_metrics.append(m)

@@ -170,6 +170,18 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
     results = []
     best = None
 
+    def trial_cfg(trial, sampled):
+        """(fold, overrides, cfg) for one sampled parameter set — shared by
+        the sequential and parallel branches so they cannot drift."""
+        fold = int(sampled.get("fold", 3))
+        overrides = {_PARAM_MAP[k]: v for k, v in sampled.items()
+                     if k in _PARAM_MAP and k != "fold"}
+        cfg = dataclasses.replace(
+            base_cfg, **overrides,
+            output_root=os.path.join(output_dir, f"trial{trial}"))
+        print(f"\n[Sweep trial {trial}] fold={fold} {overrides}")
+        return fold, cfg
+
     def record_trial(trial, fold, sampled, metrics):
         nonlocal best
         value = _objective_value(metrics, fold)
@@ -196,26 +208,20 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
 
         samples = [sample_parameters(sweep["parameters"], rng)
                    for _ in range(count)]
-        folds = {int(s.get("fold", 3)) for s in samples}
+        if not samples:
+            return {"results": results, "best": best}
+        folds_cfgs = [trial_cfg(trial, s) for trial, s in enumerate(samples)]
+        folds = {f for f, _ in folds_cfgs}
         if len(folds) > 1:
             raise ValueError("trial-parallel sweeps need a single fold; "
                              f"sampled {sorted(folds)} — pin 'fold' in the "
                              "sweep config or run sequentially")
         fold = folds.pop()
-        cfgs = []
-        for trial, sampled in enumerate(samples):
-            overrides = {_PARAM_MAP[k]: v for k, v in sampled.items()
-                         if k in _PARAM_MAP and k != "fold"}
-            unsupported = set(overrides) - set(trial_parallel.SWEPT_FIELDS)
-            if unsupported:
-                raise ValueError(f"trial-parallel sweeps cannot vary "
-                                 f"{sorted(unsupported)}; run sequentially")
-            cfgs.append(dataclasses.replace(
-                base_cfg, **overrides,
-                output_root=os.path.join(output_dir, f"trial{trial}")))
-            print(f"[Sweep trial {trial}] fold={fold} {overrides}")
+        # a parameter swept OUTSIDE trial_parallel.SWEPT_FIELDS (e.g. a
+        # varying batch-size) is rejected by train_trials_parallel's
+        # shared-field check; constants pinned via {"values": [x]} pass
         all_metrics = trial_parallel.train_trials_parallel(
-            fold, cfgs, rungs=rungs, goal=goal)
+            fold, [cfg for _, cfg in folds_cfgs], rungs=rungs, goal=goal)
         for trial, (sampled, metrics) in enumerate(zip(samples, all_metrics)):
             record_trial(trial, fold, {k: v for k, v in sampled.items()
                                        if k != "fold"}, metrics)
@@ -223,15 +229,11 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
 
     for trial in range(count):
         sampled = sample_parameters(sweep["parameters"], rng)
-        fold = int(sampled.pop("fold", 3))
-        overrides = {_PARAM_MAP[k]: v for k, v in sampled.items()
-                     if k in _PARAM_MAP}
+        fold, cfg = trial_cfg(trial, sampled)
         cfg = dataclasses.replace(
-            base_cfg, **overrides,
-            output_root=os.path.join(output_dir, f"trial{trial}"),
-            on_epoch_end=cutter.callback() if cutter else None)
-        print(f"\n[Sweep trial {trial}] fold={fold} {overrides}")
+            cfg, on_epoch_end=cutter.callback() if cutter else None)
         metrics = train_loop.train_fold(fold, cfg)
-        record_trial(trial, fold, sampled, metrics)
+        record_trial(trial, fold, {k: v for k, v in sampled.items()
+                                   if k != "fold"}, metrics)
 
     return {"results": results, "best": best}
