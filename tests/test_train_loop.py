@@ -182,7 +182,8 @@ def test_per_fold_tracking_runs(tmp_path):
         stage="stage1", data_dir=data_dir, output_root=str(out),
         pretrained_model_dir=tiny_pretrained_dir(tmp_path),
         num_epochs=2, batch_size=4, learning_rate=1e-3,
-        enable_early_stopping=False, augment=False, dtype=jnp.float32)
+        enable_early_stopping=False, augment=False, dtype=jnp.float32,
+        logging_steps=1)
     L.run_cross_validation([1], cfg, tracking_opts={"enabled": False,
                                                     "per_fold": True})
     tracking_dir = out / "tracking"
@@ -191,10 +192,12 @@ def test_per_fold_tracking_runs(tmp_path):
     assert any(d.endswith("_cv_summary") for d in run_dirs), run_dirs
     fold_run = next(p for p in tracking_dir.iterdir()
                     if p.name.endswith("_fold1"))
-    # per-epoch scalars
-    lines = (fold_run / "metrics.jsonl").read_text().splitlines()
-    assert len(lines) >= 2
-    assert json.loads(lines[0])["epoch"] == 1
+    # per-epoch scalars + per-step loss channel (reference logging_steps)
+    records = [json.loads(ln) for ln in
+               (fold_run / "metrics.jsonl").read_text().splitlines()]
+    assert any(r.get("epoch") == 1 and "eval_f1" in r for r in records)
+    step_recs = [r for r in records if "train_step_loss" in r]
+    assert step_recs and step_recs[0]["train_step"] == 1
     # CM plot + report table + config artifact channels
     media = list((fold_run / "media").glob("*confusion_matrix*"))
     assert media, "no CM plot logged"

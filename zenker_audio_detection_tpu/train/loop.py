@@ -107,6 +107,10 @@ class TrainFoldConfig:
     # identical (FeatureStream docstring). Use for corpora past the eager
     # path's ~5 GB/10k-clip ceiling.
     streaming: bool = False
+    # per-step train-loss logging cadence into the tracker (the reference's
+    # HF Trainer logging_strategy="steps", logging_steps=20,
+    # src/train_ast_stage1_cross_validation.py:490-491); 0 disables
+    logging_steps: int = 20
     # train all target folds concurrently in one vmapped step, fold axis
     # sharded over num_devices (train/fold_parallel.py) — the TPU-native
     # answer to the reference's sequential 5-fold loop. Per-fold numerics
@@ -638,6 +642,7 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
         opt_state = pmesh.replicate(opt_state, mesh)
 
     is_stream = isinstance(train_feats, FeatureStream)
+    global_step = (start_epoch - 1) * steps_per_epoch
     for epoch in range(start_epoch, num_epochs + 1):
         order = epoch_rng.permutation(n)
         epoch_loss = 0.0
@@ -657,6 +662,13 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
             params, opt_state, loss_val, _ = train_step(
                 params, opt_state, feats, labels)
             epoch_loss += float(loss_val) * len(idx)
+            global_step += 1
+            if (tracker is not None and cfg.logging_steps
+                    and global_step % cfg.logging_steps == 0):
+                # the reference's per-step loss channel (HF Trainer
+                # logging_steps=20)
+                tracker.log({"fold": fold, "train_step": global_step,
+                             "train_step_loss": float(loss_val)})
         epoch_loss /= n
 
         logits = _predict(eval_step, params, eval_feats, cfg.eval_batch_size,
