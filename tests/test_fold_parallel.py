@@ -213,3 +213,21 @@ def test_fold_sharded_step_has_no_gradient_collectives(tree):
     for op in ("all-reduce", "reduce-scatter", "all-to-all",
                "collective-permute"):
         assert op not in hlo, f"unexpected {op} in fold-sharded step"
+
+
+def test_train_cli_parallel_folds(tree):
+    """CLI-level: zenker-train-stage1 --parallel-folds --num-devices 2
+    produces the standard cv artifacts for both folds."""
+    from zenker_audio_detection_tpu.cli import train_stage1
+
+    out = tree / "runs_cli_par"
+    train_stage1.main([
+        "--num-folds", "2", "--num-epochs", "2", "--batch-size", "4",
+        "--learning-rate", "1e-3", "--f32", "--no-early-stopping",
+        "--no-augment", "--parallel-folds", "--num-devices", "2",
+        "--data-dir", str(tree / "data"), "--output-root", str(out),
+        "--pretrained-model-dir", str(tree / "pretrained"), "--no-wandb"])
+    assert (out / "cv_metrics.npy").exists()
+    for f in (1, 2):
+        assert (out / f"fold{f}" / "best" / "model.safetensors").exists()
+        assert (out / f"fold{f}" / "run_config.json").exists()

@@ -192,3 +192,33 @@ def test_run_sweep_parallel_trials_dispatch(tree, tmp_path):
     for t in range(2):  # per-trial run dirs with exported best models
         assert (tmp_path / "out" / f"trial{t}" / "fold1"
                 / "best" / "model.safetensors").exists()
+
+
+def test_sweep_cli_parallel_trials(tree, tmp_path):
+    """CLI-level: zenker-sweep --parallel-trials end-to-end over a pinned
+    fold, writing the sweep artifacts."""
+    import yaml
+
+    from zenker_audio_detection_tpu.cli import sweep as sweep_cli
+
+    sweep_yaml = tmp_path / "sweep.yaml"
+    sweep_yaml.write_text(yaml.safe_dump({
+        "method": "random",
+        "metric": {"name": "eval_f1", "goal": "maximize"},
+        "parameters": {
+            "fold": {"values": [1]},
+            "learning-rate": {"distribution": "log_uniform_values",
+                              "min": 1e-4, "max": 1e-3},
+            "label-smoothing": {"distribution": "uniform",
+                                "min": 0.0, "max": 0.1},
+        },
+    }))
+    out = tmp_path / "sw"
+    sweep_cli.main([
+        str(sweep_yaml), "--stage", "stage1", "--count", "2",
+        "--num-epochs", "1", "--batch-size", "4", "--no-augment", "--f32",
+        "--data-dir", str(tree / "data"),
+        "--pretrained-model-dir", str(tree / "pretrained"),
+        "--parallel-trials", "--output-dir", str(out)])
+    assert (out / "best_config.json").exists()
+    assert len((out / "sweep_results.jsonl").read_text().splitlines()) == 2
