@@ -76,3 +76,88 @@ def test_run_all_folds_auto_threshold_detection(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "auto-using" in out
     assert "stage2 <- 0.42" in out and "stage1 <- 0.61" in out
+
+
+def test_run_all_folds_parallel_matches_sequential(tmp_path, monkeypatch):
+    """--parallel-folds (one fold-resident engine per device, threaded)
+    produces byte-identical per-patient JSONs to the sequential loop."""
+    import jax
+
+    from zenker_audio_detection_tpu.audio import io as aio
+    from zenker_audio_detection_tpu.cli import run_all_folds
+    from zenker_audio_detection_tpu.models import ast as ast_mod, convert
+    from zenker_audio_detection_tpu.train import loop as L
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(9)
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            num_labels=2)
+    ids_root = tmp_path / "data_ast_stage2"
+    ids_root.mkdir()
+    long_root = tmp_path / "Long"
+    for fold in (1, 2):
+        for stage, seed, labels in [
+                ("stage1", fold, {0: "Idle", 1: "Swallow"}),
+                ("stage2", 10 + fold, {0: "Healthy", 1: "Zenker"})]:
+            d = tmp_path / "runs" / f"ast_classifier_{stage}" / \
+                f"fold{fold}" / "best"
+            params = ast_mod.init_params(jax.random.PRNGKey(seed), cfg)
+            convert.save_hf_model_dir(params, cfg, str(d), labels)
+            L.save_feature_extractor_config(str(d), -1.15, 3.53)
+        pid = f"ZP{fold}"
+        (ids_root / f"test_ids_fold{fold}.txt").write_text(
+            f"Zenker/{pid}\n")
+        pdir = long_root / "Zenker" / pid
+        pdir.mkdir(parents=True)
+        for fn in ("recA.wav", "recB.wav"):
+            aio.write_wav(str(pdir / fn),
+                          (rng.standard_normal(16000 * 3) * 0.3
+                           ).astype(np.float32), 16000, dtype="float32")
+
+    common = ["runs", "--long-audio-root", str(long_root),
+              "--num-folds", "2", "--f32", "--no-threshold-config"]
+    run_all_folds.main(common + ["--output-dir", str(tmp_path / "out_seq")])
+    run_all_folds.main(common + ["--output-dir", str(tmp_path / "out_par"),
+                                 "--parallel-folds"])
+
+    for fold in (1, 2):
+        seq = json.loads((tmp_path / "out_seq"
+                          / f"ZP{fold}_2stage.json").read_text())
+        par = json.loads((tmp_path / "out_par"
+                          / f"ZP{fold}_2stage.json").read_text())
+        assert seq["per_file"] == par["per_file"]
+        assert seq["aggregate"] == par["aggregate"]
+
+
+def test_run_all_folds_parallel_rejects_window_sharding(tmp_path,
+                                                        monkeypatch):
+    from zenker_audio_detection_tpu.cli import run_all_folds
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit, match="incompatible"):
+        run_all_folds.main(["runs", "--long-audio-root", "x",
+                            "--parallel-folds", "--num-devices", "2"])
+
+
+def test_default_device_is_thread_local():
+    """--parallel-folds relies on jax.default_device being thread-local:
+    each fold thread must commit its engine's params to its own chip."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    devices = jax.devices()[:2]
+    placed = {}
+
+    def place(i):
+        with jax.default_device(devices[i]):
+            placed[i] = jnp.ones(4).device
+
+    threads = [threading.Thread(target=place, args=(i,)) for i in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert placed[0] == devices[0] and placed[1] == devices[1]

@@ -1,7 +1,15 @@
 """All-folds batch driver (reference src/run_all_folds_simple_batch.sh):
 loops folds 1..N through run_batch_2stage, sourcing LONG_AUDIO_ROOT from
 .env, auto-detecting optimal_thresholds_per_fold_both_stages.json, and
-writing per-fold outputs under <model-dir>/results/patient_inference."""
+writing per-fold outputs under <model-dir>/results/patient_inference.
+
+--parallel-folds serves every fold CONCURRENTLY, each fold's resident
+model pair pinned to its own chip (thread-per-fold under the thread-local
+`jax.default_device` context): the reference runs folds strictly
+sequentially (run_all_folds_simple_batch.sh:109-156), but fold batches are
+independent — distinct models, disjoint patients — so N chips serve the
+whole study at ~one fold's wall-clock. Fold-disjoint test patients mean
+the shared output dir never collides."""
 
 import argparse
 import os
@@ -34,7 +42,16 @@ def main(argv=None):
                     help="split --num-devices into DCN-connected slices")
     ap.add_argument("--int8", action="store_true",
                     help="int8 encoder GEMMs (see infer_long_audio --int8)")
+    ap.add_argument("--parallel-folds", action="store_true",
+                    help="serve all folds concurrently, one fold-resident "
+                         "engine per chip (fold K on device (K-1) mod "
+                         "n_devices); incompatible with --num-devices/"
+                         "--num-slices window sharding")
     args = ap.parse_args(argv)
+    if args.parallel_folds and (args.num_devices or args.num_slices):
+        raise SystemExit("--parallel-folds pins one fold per device; it is "
+                         "incompatible with --num-devices/--num-slices "
+                         "window sharding")
 
     long_root = args.long_audio_root or \
         env_config.load_dataset_config()["long_audio_root"]
@@ -49,8 +66,7 @@ def main(argv=None):
             threshold_config = candidate
             print(f"[Thresholds] auto-using {candidate}")
 
-    for fold in range(1, args.num_folds + 1):
-        print(f"\n===== Fold {fold}/{args.num_folds} =====")
+    def fold_args(fold: int) -> list[str]:
         sub = ["--fold", str(fold),
                "--ids-root", args.ids_root,
                "--long-audio-root", long_root,
@@ -81,7 +97,40 @@ def main(argv=None):
             sub += ["--num-slices", str(args.num_slices)]
         if args.int8:
             sub.append("--int8")
-        run_batch_2stage.main(sub)
+        return sub
+
+    folds = list(range(1, args.num_folds + 1))
+    if args.parallel_folds and not args.dry_run:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+
+        devices = jax.devices()
+
+        def serve_fold(fold):
+            dev = devices[(fold - 1) % len(devices)]
+            print(f"\n===== Fold {fold}/{args.num_folds} on {dev} =====")
+            # thread-local default device: the fold's params commit to its
+            # chip and every dispatch follows them (host work interleaves
+            # under the GIL; device compute runs truly concurrently)
+            with jax.default_device(dev):
+                run_batch_2stage.main(fold_args(fold))
+
+        failed = []
+        with ThreadPoolExecutor(max_workers=len(folds)) as pool:
+            futures = {pool.submit(serve_fold, f): f for f in folds}
+            for fut, fold in futures.items():
+                try:
+                    fut.result()
+                except Exception as exc:  # per-fold isolation, like the
+                    failed.append(fold)   # per-patient handling inside
+                    print(f"[FAIL] fold {fold}: {exc}")
+        if failed:
+            raise SystemExit(f"folds failed: {failed}")
+    else:
+        for fold in folds:
+            print(f"\n===== Fold {fold}/{args.num_folds} =====")
+            run_batch_2stage.main(fold_args(fold))
 
 
 if __name__ == "__main__":
