@@ -117,7 +117,8 @@ def test_run_all_folds_parallel_matches_sequential(tmp_path, monkeypatch):
 
     common = ["runs", "--long-audio-root", str(long_root),
               "--num-folds", "2", "--f32", "--no-threshold-config"]
-    run_all_folds.main(common + ["--output-dir", str(tmp_path / "out_seq")])
+    run_all_folds.main(common + ["--output-dir", str(tmp_path / "out_seq"),
+                                 "--aggregate"])
     run_all_folds.main(common + ["--output-dir", str(tmp_path / "out_par"),
                                  "--parallel-folds"])
 
@@ -128,6 +129,13 @@ def test_run_all_folds_parallel_matches_sequential(tmp_path, monkeypatch):
                           / f"ZP{fold}_2stage.json").read_text())
         assert seq["per_file"] == par["per_file"]
         assert seq["aggregate"] == par["aggregate"]
+
+    # --aggregate chains the patient-level aggregator (the reference's
+    # manual step) over the finished output dir
+    agg = json.loads((tmp_path / "out_seq"
+                      / "aggregate_summary.json").read_text())
+    assert agg["summary"]["num_patient_results"] == 2
+    assert (tmp_path / "out_seq" / "per_patient_results.csv").exists()
 
 
 def test_run_all_folds_parallel_rejects_window_sharding(tmp_path,

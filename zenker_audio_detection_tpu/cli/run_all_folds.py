@@ -47,6 +47,13 @@ def main(argv=None):
                          "engine per chip (fold K on device (K-1) mod "
                          "n_devices); incompatible with --num-devices/"
                          "--num-slices window sharding")
+    ap.add_argument("--aggregate", action="store_true",
+                    help="run the per-patient aggregator over the output "
+                         "dir when all folds finish (the reference leaves "
+                         "this as a manual utils/aggregate_2stage_results"
+                         ".py step, SURVEY §3.4)")
+    ap.add_argument("--aggregate-threshold", type=float, default=0.5,
+                    help="patient ZSR decision threshold for --aggregate")
     args = ap.parse_args(argv)
     if args.parallel_folds and (args.num_devices or args.num_slices):
         raise SystemExit("--parallel-folds pins one fold per device; it is "
@@ -131,6 +138,15 @@ def main(argv=None):
         for fold in folds:
             print(f"\n===== Fold {fold}/{args.num_folds} =====")
             run_batch_2stage.main(fold_args(fold))
+
+    if args.aggregate and not args.dry_run:
+        from . import aggregate_results
+
+        print("\n===== Aggregate (patient-level ZSR decisions) =====")
+        aggregate_results.main([
+            "--outputs-dir", out_dir,
+            "--threshold", str(args.aggregate_threshold),
+            "--store-output"])
 
 
 if __name__ == "__main__":
