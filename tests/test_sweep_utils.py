@@ -172,3 +172,83 @@ def test_sweep_reuses_active_wandb_run(tmp_path, monkeypatch):
     assert payload["eval_f1"] == pytest.approx(0.8)  # sweep objective
     assert payload["test_f1"] == pytest.approx(0.75)  # duplicate test_* keys
     assert payload["test_accuracy"] == pytest.approx(0.7)
+
+
+def test_log_uniform_legacy_log_space_bounds():
+    """W&B legacy 'log_uniform' takes LOG-space min/max (exp(U(min,max)));
+    'log_uniform_values' takes value-space bounds. Both must land in
+    [1e-5, 1e-4] for equivalent specs."""
+    from zenker_audio_detection_tpu.tune import sweep as S
+
+    rng = np.random.default_rng(0)
+    legacy = {"lr": {"distribution": "log_uniform",
+                     "min": float(np.log(1e-5)), "max": float(np.log(1e-4))}}
+    values = {"lr": {"distribution": "log_uniform_values",
+                     "min": 1e-5, "max": 1e-4}}
+    for spec in (legacy, values):
+        for _ in range(20):
+            v = S.sample_parameters(spec, rng)["lr"]
+            assert 1e-5 <= v <= 1e-4, (spec, v)
+
+
+def test_objective_resolution_and_goal():
+    from zenker_audio_detection_tpu.tune import sweep as S
+
+    metrics = {"fold3_val_f1": 0.8, "fold3_val_loss": 0.4,
+               "fold3_test_f1": 0.7}
+    assert S._objective_value(metrics, 3, "eval_f1") == 0.8
+    assert S._objective_value(metrics, 3, "eval_loss") == 0.4
+    assert S._objective_value(metrics, 3, "test_f1") == 0.7
+    with pytest.raises(ValueError, match="not found"):
+        S._objective_value(metrics, 3, "eval_auroc")
+    # no-val fallback (HF eval loop falls back to the test split)
+    assert S._objective_value({"fold1_test_during_train_f1": 0.5}, 1,
+                              "eval_f1") == 0.5
+    assert S.epoch_metric_key("eval_loss") == "loss"
+    with pytest.raises(ValueError, match="unsupported"):
+        S.epoch_metric_key("eval_auroc")
+
+
+def test_hyperband_cut_honors_metric_and_goal():
+    from zenker_audio_detection_tpu.tune import sweep as S
+
+    cut = S.HyperbandCut([2], goal="minimize", metric_key="loss")
+    cbs = [cut.callback() for _ in range(3)]
+    assert cbs[0](2, {"loss": 0.5, "f1": 0.0}) is False   # first at rung
+    assert cbs[1](2, {"loss": 0.3, "f1": 0.0}) is False   # below median
+    assert cbs[2](2, {"loss": 0.9, "f1": 0.0}) is True    # worse (higher)
+
+
+def test_rungs_from_pinned_num_epochs(tmp_path):
+    """A num-epochs pinned in the sweep parameters drives the rung
+    schedule; a SWEPT num-epochs with hyperband is rejected."""
+    import yaml
+
+    from zenker_audio_detection_tpu.tune import sweep as S
+    from zenker_audio_detection_tpu.train import loop as L
+
+    base = L.TrainFoldConfig(num_epochs=10)
+
+    def write(params):
+        p = tmp_path / "s.yaml"
+        p.write_text(yaml.safe_dump({
+            "method": "random", "metric": {"name": "eval_f1",
+                                           "goal": "maximize"},
+            "early_terminate": {"type": "hyperband", "min_iter": 3,
+                                "eta": 2, "s": 2},
+            "parameters": params}))
+        return str(p)
+
+    # pinned 20 epochs -> rung at 12 exists (would be dropped under the
+    # base config's 10)
+    path = write({"fold": {"values": [1]},
+                  "num-epochs": {"values": [20]},
+                  "learning-rate": {"distribution": "uniform",
+                                    "min": 1e-5, "max": 1e-4}})
+    sweep = S.load_sweep_config(path)
+    assert S.hyperband_rungs(sweep["early_terminate"], 20) == [3, 6, 12]
+
+    with pytest.raises(ValueError, match="SWEPT num-epochs"):
+        S.run_sweep(write({"fold": {"values": [1]},
+                           "num-epochs": {"values": [5, 10]}}),
+                    base, count=0)

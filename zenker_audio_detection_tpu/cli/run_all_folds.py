@@ -107,6 +107,7 @@ def main(argv=None):
         return sub
 
     folds = list(range(1, args.num_folds + 1))
+    patient_failures = 0
     if args.parallel_folds and not args.dry_run:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -121,14 +122,14 @@ def main(argv=None):
             # chip and every dispatch follows them (host work interleaves
             # under the GIL; device compute runs truly concurrently)
             with jax.default_device(dev):
-                run_batch_2stage.main(fold_args(fold))
+                return run_batch_2stage.main(fold_args(fold))
 
         failed = []
         with ThreadPoolExecutor(max_workers=len(folds)) as pool:
             futures = {pool.submit(serve_fold, f): f for f in folds}
             for fut, fold in futures.items():
                 try:
-                    fut.result()
+                    patient_failures += fut.result()["failed"]
                 except Exception as exc:  # per-fold isolation, like the
                     failed.append(fold)   # per-patient handling inside
                     print(f"[FAIL] fold {fold}: {exc}")
@@ -137,11 +138,19 @@ def main(argv=None):
     else:
         for fold in folds:
             print(f"\n===== Fold {fold}/{args.num_folds} =====")
-            run_batch_2stage.main(fold_args(fold))
+            counts = run_batch_2stage.main(fold_args(fold))
+            if counts:
+                patient_failures += counts["failed"]
 
     if args.aggregate and not args.dry_run:
         from . import aggregate_results
 
+        if patient_failures:
+            # partial study: say so loudly (the reference's manual
+            # aggregation step implied a human had checked the batch logs)
+            print(f"\n[WARN] {patient_failures} patient(s) FAILED batch "
+                  "inference; the aggregate below covers completed "
+                  "patients only")
         print("\n===== Aggregate (patient-level ZSR decisions) =====")
         aggregate_results.main([
             "--outputs-dir", out_dir,

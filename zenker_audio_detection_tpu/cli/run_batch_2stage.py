@@ -172,6 +172,7 @@ def main(argv=None):
                 print(f"[FAIL] {pid}: {exc}")
                 traceback.print_exc()
     print(f"[Fold {args.fold}] done={done} failed={failed} skipped={skipped}")
+    return {"done": done, "failed": failed, "skipped": skipped}
 
 
 if __name__ == "__main__":

@@ -83,12 +83,14 @@ def _make_trial_loss(cfg: L.TrainFoldConfig, class_weights):
 
 def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
                           rungs: list[int] | None = None,
-                          goal: str = "maximize") -> list[dict]:
+                          goal: str = "maximize",
+                          rung_metric: str = "f1") -> list[dict]:
     """Train all trial configs concurrently on one fold; returns per-trial
     metrics dicts identical to sequential `train_fold` calls (and writes
     the same per-trial run dirs). `rungs`: Hyperband rung epochs — at each
-    rung, trials below the median eval-F1 of all surviving trials are cut
-    (masked no-op for the rest of the run)."""
+    rung, trials whose per-epoch `rung_metric` is on the wrong side of the
+    surviving trials' median (per `goal`) are cut (masked no-op for the
+    rest of the run)."""
     base = cfgs[0]
     for cfg in cfgs[1:]:
         for f in _SHARED_FIELDS:
@@ -123,12 +125,14 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
           f"(trial-parallel) =====")
 
     params0, model_cfg = L.init_model(base)
-    fold_dirs, means, stds = [], [], []
+    # every trial shares data_dir (enforced above), so the fold stats are
+    # one value; prepare_fold_dir still runs per trial for its run-dir
+    # backup semantics
+    fold_dirs = []
+    mean = std = None
     for cfg in cfgs:
         fd, mean, std = L.prepare_fold_dir(fold, cfg)
         fold_dirs.append(fd)
-        means.append(mean)
-        stds.append(std)
 
     # one shared dataset: all trials see the same fold with the same
     # featurization seed, exactly like each sequential trial would
@@ -136,10 +140,10 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
         fold, base)
     aug_rng = np.random.default_rng(base.seed) if base.augment else None
     mf = model_cfg.max_length
-    train_feats = L.featurize_paths(train_x, means[0], stds[0], aug_rng,
+    train_feats = L.featurize_paths(train_x, mean, std, aug_rng,
                                     max_frames=mf)
-    test_feats = L.featurize_paths(test_x, means[0], stds[0], max_frames=mf)
-    val_feats = (L.featurize_paths(val_x, means[0], stds[0], max_frames=mf)
+    test_feats = L.featurize_paths(test_x, mean, std, max_frames=mf)
+    val_feats = (L.featurize_paths(val_x, mean, std, max_frames=mf)
                  if val_x is not None else None)
     has_val = val_feats is not None
     eval_feats = val_feats if has_val else test_feats
@@ -279,7 +283,7 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
                 rng_state=epoch_rng.bit_generator.state,
                 label=f" trial {t}:")
             if not prog.stopped and epoch in rungs:
-                rung_values.append((t, m["f1"]))
+                rung_values.append((t, m[rung_metric]))
 
         if len(rung_values) >= 2:
             med = float(np.median([v for _, v in rung_values]))
@@ -300,7 +304,7 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
         if prog.best_params is None:
             prog.best_params = _slice_fold(params, t)
         m = L.finalize_fold(
-            fold, cfgs[t], fold_dirs[t], model_cfg, means[t], stds[t],
+            fold, cfgs[t], fold_dirs[t], model_cfg, mean, std,
             prog.best_params, prog.best_epoch, prog.best_f1, eval_feats,
             eval_y, has_val, test_feats, np.asarray(test_y, np.int32),
             single_eval, jnp.asarray, None, prog.history)

@@ -61,10 +61,14 @@ def sample_parameters(parameters: dict, rng: np.random.Generator) -> dict:
             out[name] = spec["values"][int(rng.integers(len(spec["values"])))]
         elif spec.get("distribution") == "uniform":
             out[name] = float(rng.uniform(spec["min"], spec["max"]))
-        elif spec.get("distribution") in ("log_uniform_values",
-                                          "log_uniform"):
+        elif spec.get("distribution") == "log_uniform_values":
+            # W&B: min/max in VALUE space
             lo, hi = np.log(float(spec["min"])), np.log(float(spec["max"]))
             out[name] = float(np.exp(rng.uniform(lo, hi)))
+        elif spec.get("distribution") == "log_uniform":
+            # W&B legacy: min/max already in LOG space (exp(U(min,max)))
+            out[name] = float(np.exp(rng.uniform(float(spec["min"]),
+                                                 float(spec["max"]))))
         else:
             raise ValueError(f"unsupported distribution for {name}: {spec}")
     return out
@@ -81,12 +85,25 @@ def hyperband_rungs(early_terminate: dict | None, max_epochs: int) -> list[int]:
             if min_iter * eta ** k < max_epochs]
 
 
+def epoch_metric_key(metric: str) -> str:
+    """Map a sweep objective name (eval_f1, test_loss, ...) onto the
+    per-epoch metrics dict key used for rung cuts."""
+    key = metric.split("_", 1)[1] if "_" in metric else metric
+    if key not in ("f1", "accuracy", "precision", "recall", "loss"):
+        raise ValueError(f"unsupported sweep objective {metric!r}: rung "
+                         "cuts need one of f1/accuracy/precision/recall/"
+                         "loss")
+    return key
+
+
 class HyperbandCut:
     """Median-based rung termination across trials."""
 
-    def __init__(self, rungs: list[int], goal: str = "maximize"):
+    def __init__(self, rungs: list[int], goal: str = "maximize",
+                 metric_key: str = "f1"):
         self.rungs = rungs
         self.goal = goal
+        self.metric_key = metric_key
         self.history: dict[int, list[float]] = {r: [] for r in rungs}
 
     def callback(self):
@@ -95,7 +112,7 @@ class HyperbandCut:
         def on_epoch_end(epoch: int, metrics: dict) -> bool:
             if epoch not in self.rungs:
                 return False
-            value = metrics["f1"]
+            value = metrics[self.metric_key]
             prior = self.history[epoch]
             self.history[epoch].append(value)
             if len(prior) >= 2:
@@ -138,11 +155,22 @@ def _log_trial_to_wandb(wb_run, sampled: dict, metric: str, value: float,
         print(f"[Sweep][WARN] wandb trial log failed: {exc}")
 
 
-def _objective_value(metrics: dict, fold: int) -> float:
-    """The sweep objective: validation F1 (eval_f1 in the reference)."""
-    key = (f"fold{fold}_val_f1" if f"fold{fold}_val_f1" in metrics
-           else f"fold{fold}_test_during_train_f1")
-    return metrics[key]
+def _objective_value(metrics: dict, fold: int, metric: str) -> float:
+    """Resolve the sweep objective from the trial's final metrics:
+    `eval_<m>` reads the validation split (test-during-train when no val
+    split exists, like HF's eval loop), `test_<m>` the held-out test
+    split. Unknown names fail loudly instead of silently optimizing F1."""
+    suffix = metric.split("_", 1)[1] if "_" in metric else metric
+    if metric.startswith("test_"):
+        candidates = [f"fold{fold}_test_{suffix}"]
+    else:
+        candidates = [f"fold{fold}_val_{suffix}",
+                      f"fold{fold}_test_during_train_{suffix}"]
+    for key in candidates:
+        if key in metrics:
+            return metrics[key]
+    raise ValueError(f"sweep objective {metric!r} not found in trial "
+                     f"metrics; available: {sorted(metrics)}")
 
 
 def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
@@ -161,9 +189,21 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
         raise ValueError(f"unsupported sweep method {sweep.get('method')}")
     metric = sweep.get("metric", {}).get("name", "eval_f1")
     goal = sweep.get("metric", {}).get("goal", "maximize")
-    rungs = hyperband_rungs(sweep.get("early_terminate"),
-                            base_cfg.num_epochs)
-    cutter = HyperbandCut(rungs, goal) if rungs else None
+    # rungs derive from the EFFECTIVE epoch count: a num-epochs pinned in
+    # the sweep parameters overrides base_cfg's default
+    eff_epochs = base_cfg.num_epochs
+    ne_spec = sweep["parameters"].get("num-epochs")
+    if ne_spec:
+        vals = ne_spec.get("values")
+        if vals and len(set(vals)) == 1:
+            eff_epochs = int(vals[0])
+        elif sweep.get("early_terminate"):
+            raise ValueError("hyperband rungs are global: a SWEPT "
+                             "num-epochs is unsupported with "
+                             "early_terminate (pin it to one value)")
+    rungs = hyperband_rungs(sweep.get("early_terminate"), eff_epochs)
+    cutter = (HyperbandCut(rungs, goal, epoch_metric_key(metric))
+              if rungs else None)
 
     os.makedirs(output_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -184,7 +224,7 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
 
     def record_trial(trial, fold, sampled, metrics):
         nonlocal best
-        value = _objective_value(metrics, fold)
+        value = _objective_value(metrics, fold, metric)
         record = {"trial": trial, "fold": fold, "params": sampled,
                   "objective": metric, "value": value, "metrics": metrics}
         results.append(record)
@@ -221,7 +261,8 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
         # varying batch-size) is rejected by train_trials_parallel's
         # shared-field check; constants pinned via {"values": [x]} pass
         all_metrics = trial_parallel.train_trials_parallel(
-            fold, [cfg for _, cfg in folds_cfgs], rungs=rungs, goal=goal)
+            fold, [cfg for _, cfg in folds_cfgs], rungs=rungs, goal=goal,
+            rung_metric=epoch_metric_key(metric) if rungs else "f1")
         for trial, (sampled, metrics) in enumerate(zip(samples, all_metrics)):
             record_trial(trial, fold, {k: v for k, v in sampled.items()
                                        if k != "fold"}, metrics)
