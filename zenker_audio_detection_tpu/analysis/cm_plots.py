@@ -77,11 +77,15 @@ def load_confusion_matrix_from_results(stage: str, model_root: str) -> np.ndarra
 
 def derived_stats(cm: np.ndarray) -> dict[str, float]:
     cm = np.asarray(cm, dtype=float)
+
+    def div(num, den):  # empty class/CM -> 0.0, like the overlay's guard
+        return float(num / den) if den else 0.0
+
     return {
         "total": float(cm.sum()),
-        "accuracy": float((cm[0, 0] + cm[1, 1]) / cm.sum()),
-        "positive_recall": float(cm[1, 1] / cm[1, :].sum()),
-        "positive_precision": float(cm[1, 1] / cm[:, 1].sum()),
+        "accuracy": div(cm[0, 0] + cm[1, 1], cm.sum()),
+        "positive_recall": div(cm[1, 1], cm[1, :].sum()),
+        "positive_precision": div(cm[1, 1], cm[:, 1].sum()),
     }
 
 

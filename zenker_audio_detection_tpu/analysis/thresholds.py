@@ -90,13 +90,17 @@ def build_threshold_config(stage2_metrics: str,
 
 def load_fold_thresholds(config_path: str, fold: int) -> dict:
     """Fold-specific {stage1: thr|None, stage2: thr|None} from a threshold
-    config, matching the batch driver's lookup
-    (src/run_batch_simple_2stage.py:97-118)."""
+    config, matching the batch driver's lookup INCLUDING the legacy
+    single-threshold fallback: when the per-fold key is absent, the flat
+    {"thresholds": {"stage1": {...}, ...}} shape applies to every fold
+    (src/run_batch_simple_2stage.py:97-118). The canonical implementation —
+    cli/run_batch_2stage.resolve_thresholds delegates here."""
     with open(config_path) as f:
         config = json.load(f)
-    fold_cfg = config.get("folds", {}).get(str(fold), {})
+    fold_cfg = config.get("folds", {}).get(str(fold))
+    source = fold_cfg if fold_cfg else config.get("thresholds", {})
     out = {}
     for stage in ("stage1", "stage2"):
-        thr = fold_cfg.get(stage, {}).get("threshold")
+        thr = (source or {}).get(stage, {}).get("threshold")
         out[stage] = float(thr) if thr is not None else None
     return out

@@ -27,18 +27,12 @@ def read_ids(ids_path: str) -> list[str]:
 def resolve_thresholds(config_path: str | None, fold: int):
     """(stage1_thr, stage2_thr) from per-fold or single-threshold config
     (reference :97-118); None where unspecified."""
-    import json
-
     if not config_path or not os.path.exists(config_path):
         return None, None
-    with open(config_path) as f:
-        cfg = json.load(f)
-    fold_cfg = cfg.get("folds", {}).get(str(fold))
-    source = fold_cfg if fold_cfg else cfg.get("thresholds", {})
-    s1 = source.get("stage1", {}).get("threshold") if source else None
-    s2 = source.get("stage2", {}).get("threshold") if source else None
-    return (float(s1) if s1 is not None else None,
-            float(s2) if s2 is not None else None)
+    from ..analysis import thresholds as thr_mod
+
+    out = thr_mod.load_fold_thresholds(config_path, fold)
+    return out["stage1"], out["stage2"]
 
 
 def main(argv=None):

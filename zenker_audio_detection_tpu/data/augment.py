@@ -145,16 +145,23 @@ def gain(x, rng, min_gain_db=-6.0, max_gain_db=6.0):
 
 def gain_transition(x, rng, min_gain_db=-6.0, max_gain_db=6.0,
                     min_duration=0.01, max_duration=0.3):
-    """Linear-in-dB ramp from 0 dB to a random target gain over a random
-    span (duration as fraction of length); target gain held afterwards."""
+    """Linear-in-dB ramp between TWO random gains over a random span
+    (duration as fraction of length): start gain before/into the ramp, end
+    gain held afterwards — audiomentations' GainTransition randomizes both
+    endpoints ("gradually change volume from one gain to another"), so
+    pinning the start at 0 dB would narrow the augmentation distribution.
+    (audiomentations is not importable in this environment; semantics
+    follow its documented behavior.)"""
     n = len(x)
     dur = int(rng.uniform(min_duration, max_duration) * n)
     dur = max(1, min(dur, n))
     t0 = rng.integers(0, n - dur + 1)
-    g_db = rng.uniform(min_gain_db, max_gain_db)
-    env_db = np.zeros(n)
-    env_db[t0: t0 + dur] = np.linspace(0.0, g_db, dur)
-    env_db[t0 + dur:] = g_db
+    g0_db = rng.uniform(min_gain_db, max_gain_db)
+    g1_db = rng.uniform(min_gain_db, max_gain_db)
+    env_db = np.empty(n)
+    env_db[:t0] = g0_db
+    env_db[t0: t0 + dur] = np.linspace(g0_db, g1_db, dur)
+    env_db[t0 + dur:] = g1_db
     return x * 10.0 ** (env_db / 20.0)
 
 

@@ -48,13 +48,19 @@ def _reorganize(root_dir: str, save_path: str, *, subfolder_tag: str,
                 continue
             src_dir = os.path.join(root_dir, cl, specimen, subfolders[0])
             for file in os.listdir(src_dir):
-                if not file.lower().endswith(".wav"):
+                # reference filter is a substring test, not a suffix test
+                # (utils/PrepareDataset.py: ".wav" in f or ".WAV" in f) —
+                # keep it so the same raw tree organizes identically
+                if ".wav" not in file and ".WAV" not in file:
                     continue
                 wav, sr = aio.read_wav(os.path.join(src_dir, file))
                 mono = wav.mean(axis=0) if wav.shape[0] > 1 else wav[0]
                 base, _ = os.path.splitext(file)
+                # PCM16 like the reference's soundfile.write default — also
+                # what keeps organized trees on the engine's int16
+                # transfer fast path (audio/io.py load_audio_compact)
                 aio.write_wav(os.path.join(out_folder, base + ".wav"),
-                              mono, sr, dtype="float32")
+                              mono, sr, dtype="int16")
                 count += 1
     return count
 

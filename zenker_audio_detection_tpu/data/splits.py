@@ -123,7 +123,9 @@ def make_base_cv_splits(dataset_root: str, output_dir: str,
         for cls in PATHO_CLASSES:
             for side, subjects in (("train", train_subjects), ("test", test_subjects)):
                 x, y, ids = split[side]
-                for specimen in sorted(s for s in class_specimens[cls]
+                # .get: a missing pathology class dir proceeds with
+                # one-class folds like the reference's defaultdict(list)
+                for specimen in sorted(s for s in class_specimens.get(cls, [])
                                        if s in subjects):
                     files = folder_files(cls, specimen)
                     x.extend(files)

@@ -42,6 +42,10 @@ class Run:
         self.config = dict(config or {})
         self._summary: dict[str, Any] = {}
         self._metrics_path = os.path.join(self.dir, "metrics.jsonl")
+        # fresh history per run: a rerun under the same name replaces the
+        # previous run's files wholesale (last-run-wins, like config.json /
+        # summary.json below) instead of appending mixed metric streams
+        open(self._metrics_path, "w").close()
         with open(os.path.join(self.dir, "config.json"), "w") as f:
             json.dump(self.config, f, indent=2, default=str)
 
