@@ -78,10 +78,11 @@ def bench_cpu_reference(n_windows_sample=8):
         feats = fx(windows[:2], sampling_rate=16000,
                    return_tensors="pt")["input_values"]
         model1(feats)
-    # best of 2 passes: the denominator must not be deflated by transient
-    # host load (a single pass once halved under a concurrent test run)
+    # best of 3 passes: the denominator must not be deflated by transient
+    # host load (a single pass once halved under a concurrent test run;
+    # best-of-2 still drifted ~8% between rounds — VERDICT r2 weak #5)
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         with torch.inference_mode():
             feats = fx(windows, sampling_rate=16000,
@@ -109,11 +110,14 @@ def main():
     # separately because its work depends on the gate pass-rate
     gated_wps, _ = bench_tpu(build_engine(stage2_mode="gated"), repeats=3)
     cpu_wps = bench_cpu_reference()
+    # cpu_windows_per_sec rides inside the one-line contract so the driver
+    # can see denominator drift instead of a silently moving vs_baseline
     print(json.dumps({
         "metric": "e2e_2stage_windows_per_sec_per_chip",
         "value": round(tpu_wps, 2),
         "unit": "windows/s",
         "vs_baseline": round(tpu_wps / cpu_wps, 2),
+        "cpu_windows_per_sec": round(cpu_wps, 3),
     }))
     print(f"# windows={n_windows} cpu_reference={cpu_wps:.2f} windows/s "
           f"gated_mode={gated_wps:.2f} windows/s", file=sys.stderr)

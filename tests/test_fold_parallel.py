@@ -146,6 +146,49 @@ def test_parallel_rejects_streaming_and_resume(tree):
                                        on_epoch_end=lambda e, m: False))
 
 
+def test_parallel_checkpoint_resumable_by_sequential(tree):
+    """Fold-parallel checkpoints must restore into the sequential trainer's
+    optimizer template (round-2 advisor finding: the parallel tx lacked the
+    trailing ScaleByScheduleState count leaf, so sequential --resume raised
+    KeyError on leaf_NNNN). sequential_opt_layout appends it; assert both
+    the raw load_checkpoint roundtrip and an actual sequential resume run."""
+    import jax
+
+    from zenker_audio_detection_tpu.train import optim
+
+    cfg_par = _cfg(tree, "ck_interop", num_epochs=2,
+                   enable_early_stopping=False)
+    train_folds_parallel([1], cfg_par)
+    fold_dir = str(tree / "runs_ck_interop" / "fold1")
+    ck = L.latest_checkpoint(fold_dir)
+    assert ck is not None
+
+    # raw restore into the sequential template
+    params_t, model_cfg = L.init_model(cfg_par)
+    n_train = 10  # fold 1 train size in this fixture
+    steps = -(-n_train // cfg_par.batch_size)
+    tx = optim.make_optimizer(cfg_par.learning_rate,
+                              steps * cfg_par.num_epochs,
+                              cfg_par.warmup_ratio, cfg_par.weight_decay,
+                              beta2=cfg_par.adam_beta2)
+    params, opt_state, st = L.load_checkpoint(ck, params_t, tx.init(params_t))
+    counts = [np.asarray(l) for l in jax.tree.leaves(opt_state)
+              if hasattr(l, "shape") and np.asarray(l).ndim == 0
+              and np.asarray(l).dtype == np.int32]
+    # trailing schedule count == leading adam count == steps taken
+    assert len(counts) == 2 and int(counts[0]) == int(counts[1]) > 0
+    assert st["epoch"] == 2
+
+    # and a real sequential --resume continues from epoch 3
+    cfg_seq = _cfg(tree, "ck_interop", num_epochs=4, resume=True,
+                   enable_early_stopping=False)
+    L.train_fold(1, cfg_seq)
+    hist = json.loads((tree / "runs_ck_interop" / "fold1"
+                       / "history.json").read_text())
+    assert [h["epoch"] for h in hist] == [1, 2, 3, 4]
+    assert all(np.isfinite(h["loss"]) for h in hist)
+
+
 def test_run_cross_validation_dispatches_fold_parallel(tree):
     """cv entry point with fold_parallel=True writes cv_metrics + per-fold
     run_config and logs through the tracker plumbing."""

@@ -24,6 +24,20 @@ def test_dryrun_multichip_8(capsys):
     G.dryrun_multichip(8)
     out = capsys.readouterr().out
     assert "ok" in out and "loss=" in out
+    assert "ok (dcn)" in out and "ok (fold-parallel)" in out
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_dryrun_multichip_small_counts(n, capsys):
+    """n=2 and n=3 are the counts that crashed in round 2 (UnboundLocalError
+    on hloss: the dcn print lived outside its guard). The driver contract is
+    success for ALL n >= 1 — the dcn block only runs for even n >= 4."""
+    G.dryrun_multichip(n)
+    out = capsys.readouterr().out
+    assert f"dryrun_multichip({n}): ok" in out
+    assert "ok (dcn)" not in out  # dcn layout requires even n >= 4
+    if n >= 2:
+        assert "ok (fold-parallel)" in out
 
 
 @pytest.mark.slow

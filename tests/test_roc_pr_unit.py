@@ -60,6 +60,72 @@ def test_plot_payload_outputs(tmp_path, scored):
     assert (tmp_path / "stage2_fold2.pdf").exists()
 
 
+def test_to_waveform_payload_types(tmp_path):
+    """Reference payload contract (analyze_ROC_PR_stage1.py:132-155): path,
+    ndarray (assumed 16 kHz), and dict with array + sampling-rate keys,
+    resampling non-16k dict payloads."""
+    from zenker_audio_detection_tpu.audio import io as aio
+    from zenker_audio_detection_tpu.train import loop as train_loop
+
+    rng = np.random.default_rng(0)
+    wav = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+    p = str(tmp_path / "clip.wav")
+    aio.write_wav(p, wav, 16000, dtype="float32")
+
+    np.testing.assert_allclose(train_loop.to_waveform(p), wav, atol=1e-7)
+    np.testing.assert_array_equal(train_loop.to_waveform(wav), wav)
+    np.testing.assert_array_equal(
+        train_loop.to_waveform({"array": wav, "sampling_rate": 16000}), wav)
+    # alternate key spellings
+    np.testing.assert_array_equal(
+        train_loop.to_waveform({"audio": wav}), wav)
+    np.testing.assert_array_equal(
+        train_loop.to_waveform({"values": wav, "sampling_rate_hz": 16000}),
+        wav)
+    # non-16k dict payload is resampled to 16 kHz
+    wav48 = (0.2 * rng.standard_normal(48000)).astype(np.float32)
+    out = train_loop.to_waveform({"array": wav48, "sampling_rate": 48000})
+    assert abs(len(out) - 16000) <= 1
+    with pytest.raises(ValueError):
+        train_loop.to_waveform({"sampling_rate": 16000})
+    with pytest.raises(TypeError):
+        train_loop.to_waveform(3.14)
+
+
+def test_positive_scores_accepts_mixed_payloads(tmp_path):
+    """The analyzer pipeline itself (positive_scores -> featurize_paths)
+    must accept split npys storing paths, raw arrays, dict payloads, and
+    MIXED lengths — the reference defends against all of these."""
+    import jax
+
+    from zenker_audio_detection_tpu.audio import io as aio
+    from zenker_audio_detection_tpu.models import ast as ast_mod, convert
+    from zenker_audio_detection_tpu.train import loop as train_loop
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            max_length=128, num_labels=2)
+    params = ast_mod.init_params(jax.random.PRNGKey(0), cfg)
+    mdir = str(tmp_path / "model")
+    convert.save_hf_model_dir(params, cfg, mdir)
+    train_loop.save_feature_extractor_config(mdir, -1.0, 3.0,
+                                             max_length=cfg.max_length)
+
+    rng = np.random.default_rng(1)
+    wav = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+    p = str(tmp_path / "c.wav")
+    aio.write_wav(p, wav, 16000, dtype="float32")
+    longer = (0.1 * rng.standard_normal(24000)).astype(np.float32)
+
+    entries = [p, wav, {"array": wav, "sampling_rate": 16000}, longer]
+    scores = roc_pr.positive_scores(mdir, entries, batch_size=2)
+    assert scores.shape == (4,)
+    assert np.isfinite(scores).all() and ((0 <= scores) & (scores <= 1)).all()
+    # identical audio through path / ndarray / dict gives identical scores
+    assert scores[0] == pytest.approx(scores[1], abs=1e-5)
+    assert scores[1] == pytest.approx(scores[2], abs=1e-5)
+
+
 def test_load_split_val_fallback(tmp_path):
     d = tmp_path
     np.save(d / "test_x_fold1.npy", np.asarray(["a.wav"], object))

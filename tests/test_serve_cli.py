@@ -122,6 +122,31 @@ def test_serve_wav_simulation(model_dirs, tmp_path):
         np.array([w["stage1_probs"] for w in windows]), p1_ref, atol=1e-5)
 
 
+def test_serve_summary_nan_serialized_as_null(model_dirs):
+    """Swallow windows present but none passing an unreachable stage-1 gate:
+    summary()'s reference-exact NaN sentinel must hit the wire as null, not
+    the non-standard JSON token NaN (strict JSONL consumers)."""
+    audio = make_audio(8.0)
+    out = io.StringIO()
+    rc = serve.main(
+        ["--stage1-model-root", model_dirs[0],
+         "--stage2-model-root", model_dirs[1],
+         "--f32", "--chunk-windows", "4", "--stage1-threshold", "1.01"],
+        stdin_buffer=io.BytesIO(audio.tobytes()), stdout=out)
+    assert rc == 0
+
+    def reject_constant(_s):
+        raise AssertionError("non-standard JSON constant on the wire")
+
+    lines = [json.loads(l, parse_constant=reject_constant)
+             for l in out.getvalue().splitlines()]
+    summary = [l for l in lines if l["type"] == "summary"][0]
+    # the quirk: swallow windows counted by argmax, gate by threshold
+    assert summary["stage1_swallow_windows"] > 0
+    assert summary["stage2_swallow_windows_evaluated"] == 0
+    assert summary["stage2_mean_probs_over_swallow"] is None
+
+
 def test_serve_requires_model_roots():
     with pytest.raises(ValueError, match="Model roots"):
         serve.main([], stdin_buffer=io.BytesIO(b""), stdout=io.StringIO())

@@ -276,3 +276,38 @@ def test_streaming_validation_errors():
         C.CascadeConfig(dtype=jnp.float32, hop_sec=0.0))
     with pytest.raises(ValueError, match="must be > 0"):
         StreamingCascade(zero_hop)
+
+
+def test_concurrent_streams_fold_per_device():
+    """Fleet serving smoke test (the --parallel-folds recipe, module
+    docstring): one stream per device on its own thread under thread-local
+    jax.default_device — each stream's numerics must equal its own offline
+    engine run with no cross-stream interference, and each fold's params
+    must have committed to its assigned chip."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    devices = jax.devices()
+    n_streams = min(3, len(devices))
+    assert n_streams >= 2, "conftest provisions 8 virtual devices"
+
+    def serve(fold):
+        dev = devices[fold % len(devices)]
+        with jax.default_device(dev):
+            # per-fold model pair (distinct seeds = distinct weights)
+            s1 = tiny_spec(2 * fold, MEAN1, STD1, ("Idle", "Swallow"))
+            s2 = tiny_spec(2 * fold + 1, MEAN2, STD2, ("Healthy", "Zenker"))
+            engine = C.TwoStageEngine(s1, s2, C.CascadeConfig(
+                dtype=jnp.float32, batch_size=64, stage2_mode="gated"))
+            audio = make_audio(5.0, seed=100 + fold)
+            stream = StreamingCascade(engine, chunk_windows=4)
+            results = feed_in_chunks(stream, audio,
+                                     np.random.default_rng(fold))
+            return engine, audio, results, stream, dev
+
+    with ThreadPoolExecutor(max_workers=n_streams) as pool:
+        outs = list(pool.map(serve, range(n_streams)))
+
+    for engine, audio, results, stream, dev in outs:
+        assert_stream_matches_offline(engine, audio, results, stream)
+        leaf = jax.tree.leaves(engine.stage1.params)[0]
+        assert getattr(leaf, "devices", lambda: {dev})() == {dev}

@@ -191,9 +191,27 @@ def main(argv=None, stdin_buffer=None, stdout=None):
         emit(stream.feed(chunk))
     emit(stream.flush())
     if not args.no_summary:
-        print(json.dumps({"type": "summary", **stream.summary()}),
+        print(json.dumps(_json_safe({"type": "summary", **stream.summary()})),
               file=out, flush=True)
     return 0
+
+
+def _json_safe(obj):
+    """Replace NaN floats with None for the wire protocol.
+
+    ``streaming.summary()`` keeps the reference-exact NaN sentinel for
+    stage2_mean_probs_over_swallow when swallow windows exist but none passed
+    the stage-1 gate (test_long_audio_windows_2stage.py:176-183 semantics);
+    ``json.dumps`` would serialize that as the non-standard token ``NaN``,
+    breaking strict JSONL consumers of the one-object-per-line protocol, so
+    the wire form is ``null`` while on-disk summaries keep NaN."""
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, float) and obj != obj:
+        return None
+    return obj
 
 
 if __name__ == "__main__":

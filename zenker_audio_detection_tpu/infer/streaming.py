@@ -32,11 +32,22 @@ Latency model: a window is dispatched once ``chunk_windows`` new windows
 complete (or on ``flush``); with the 0.5 s hop the added buffering latency
 is ``chunk_windows / 2`` seconds of audio plus one cascade round-trip.
 
-Scope: single-device (latency-oriented); multi-chip serving shards whole
-recordings in batch mode instead (``TwoStageEngine(mesh=...)``). The hop
-must sit on the 10 ms frame grid (the engine's frame-reuse condition) —
-off-grid hops are rejected at construction; use the offline engine (whose
-per-window fbank path handles them) instead.
+Scope: each StreamingCascade is single-device (latency-oriented);
+multi-chip serving shards whole recordings in batch mode instead
+(``TwoStageEngine(mesh=...)``). The hop must sit on the 10 ms frame grid
+(the engine's frame-reuse condition) — off-grid hops are rejected at
+construction; use the offline engine (whose per-window fbank path handles
+them) instead.
+
+Fleet throughput (N concurrent streams): run one stream per chip with the
+same thread-per-fold machinery as ``zenker-run-all-folds --parallel-folds``
+(cli/run_all_folds.py:111-137) — build each fold's engine + StreamingCascade
+inside ``with jax.default_device(dev):`` on its own thread, so that stream's
+params, ring buffer, and every ``feed()`` dispatch commit to its chip. Host
+chunk-prep interleaves under the GIL; device compute runs truly
+concurrently, so N chips sustain ~N x the single-stream windows/s at
+unchanged per-stream latency. Smoke-tested in
+tests/test_streaming.py::test_concurrent_streams_fold_per_device.
 """
 
 from __future__ import annotations

@@ -360,8 +360,9 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
             L.epoch_bookkeeping(
                 cfg, fd.fold_dir, epoch, fd.steps_per_epoch,
                 checkpoint_limit, m, fd.has_val, prog,
-                snapshot=lambda f=f: (_slice_fold(params, f),
-                                      _slice_fold(opt_state, f)),
+                snapshot=lambda f=f: (
+                    _slice_fold(params, f),
+                    L.sequential_opt_layout(_slice_fold(opt_state, f))),
                 rng_state=epoch_rngs[f].bit_generator.state,
                 label=f" fold {fd.fold}:")
         if all(p.stopped for p in progs):

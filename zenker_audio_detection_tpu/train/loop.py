@@ -756,6 +756,23 @@ def _flatten(tree, prefix="") -> dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
+def sequential_opt_layout(opt_state):
+    """Re-layout a parallel trainer's per-fold/per-trial optimizer-state
+    slice into the sequential `make_optimizer` checkpoint layout.
+
+    The parallel paths carry AdamW state without a schedule count (their lr
+    schedule is a traced per-fold factor applied outside tx.update):
+    fold-parallel uses chain(clip, adamw(1.0)) and trial-parallel uses
+    optim.adamw_init's dict — both flatten to [adam_count, mu..., nu...].
+    The sequential template chain(clip, adamw(schedule)) flattens to the
+    same leaves plus a TRAILING ScaleByScheduleState count. load_checkpoint
+    restores positionally, so appending one int32 count equal to the number
+    of update steps taken (== the leading scale_by_adam count) makes these
+    checkpoints resumable by the sequential trainer's --resume."""
+    leaves = [l for l in jax.tree.leaves(opt_state) if hasattr(l, "shape")]
+    return (opt_state, np.asarray(leaves[0], np.int32))
+
+
 def save_checkpoint(ck_dir: str, params, opt_state, state: dict) -> None:
     """Full training checkpoint: params + opt state (leaves in pytree order,
     restored into a freshly tx.init'd structure) + json loop state."""
@@ -788,12 +805,25 @@ def load_checkpoint(ck_dir: str, params_template, opt_state_template):
     opt_flat = convert.read_safetensors(
         os.path.join(ck_dir, "opt_state.safetensors"))
     leaves, treedef = jax.tree.flatten(opt_state_template)
+    n_template = sum(1 for l in leaves if hasattr(l, "shape"))
+    if n_template != len(opt_flat):
+        raise ValueError(
+            f"optimizer-state layout mismatch in {ck_dir}: checkpoint has "
+            f"{len(opt_flat)} array leaves, template expects {n_template}. "
+            "Checkpoints written before the sequential_opt_layout fix by "
+            "--parallel-folds/--parallel-trials lack the trailing schedule "
+            "count; re-save with the current version or resume with the "
+            "path that wrote them.")
     new_leaves = []
     array_idx = 0
     for leaf in leaves:
         if hasattr(leaf, "shape"):
             arr = opt_flat[f"leaf_{array_idx:04d}"]
-            new_leaves.append(jnp.asarray(arr, getattr(leaf, "dtype", None)))
+            # the safetensors writer promotes 0-d to (1,) via
+            # ascontiguousarray; restore the template leaf's true shape so
+            # scalar counts stay scalars (schedule/bias-correction shapes)
+            new_leaves.append(jnp.asarray(arr, getattr(leaf, "dtype", None))
+                              .reshape(np.shape(leaf)))
             array_idx += 1
         else:
             new_leaves.append(leaf)

@@ -278,8 +278,9 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
             L.epoch_bookkeeping(
                 base, fold_dirs[t], epoch, steps_per_epoch,
                 checkpoint_limit, m, has_val, prog,
-                snapshot=lambda t=t: (_slice_fold(params, t),
-                                      _slice_fold(opt_state, t)),
+                snapshot=lambda t=t: (
+                    _slice_fold(params, t),
+                    L.sequential_opt_layout(_slice_fold(opt_state, t))),
                 rng_state=epoch_rng.bit_generator.state,
                 label=f" trial {t}:")
             if not prog.stopped and epoch in rungs:
