@@ -27,16 +27,24 @@ def main(argv=None):
                     "(positional-embedding time-axis cut/extend).")
     ap.add_argument("model_dir", help="source HF AST model dir")
     ap.add_argument("output_dir", help="destination dir (HF format)")
-    ap.add_argument("--max-length", type=int, required=True,
+    ap.add_argument("--max-length", type=int, default=None,
                     help="target input frame count (e.g. 128 for 1 s windows)")
+    ap.add_argument("--int8", action="store_true",
+                    help="write the framework's int8 export "
+                         "(model_int8.safetensors, ~4x smaller on disk; "
+                         "served transparently by every infer CLI — "
+                         "models/convert.py:save_int8_model_dir)")
     args = ap.parse_args(argv)
+    if args.max_length is None and not args.int8:
+        ap.error("nothing to do: pass --max-length and/or --int8")
 
     params, config = convert.load_hf_model_dir(args.model_dir)
-    if args.max_length == config.max_length:
-        print(f"[Adapt] model already at max_length={config.max_length}; "
-              f"copying through")
-    params, config = ast_mod.adapt_max_length(params, config,
-                                              args.max_length)
+    if args.max_length is not None:
+        if args.max_length == config.max_length:
+            print(f"[Adapt] model already at max_length={config.max_length};"
+                  f" copying through")
+        params, config = ast_mod.adapt_max_length(params, config,
+                                                  args.max_length)
 
     id2label = None
     cfg_path = os.path.join(args.model_dir, "config.json")
@@ -44,7 +52,11 @@ def main(argv=None):
         d = json.load(f)
     if "id2label" in d:
         id2label = {int(k): v for k, v in d["id2label"].items()}
-    convert.save_hf_model_dir(params, config, args.output_dir, id2label)
+    if args.int8:
+        convert.save_int8_model_dir(params, config, args.output_dir, id2label)
+        print(f"[Adapt] int8 export -> {args.output_dir}")
+    else:
+        convert.save_hf_model_dir(params, config, args.output_dir, id2label)
 
     fx_path = os.path.join(args.model_dir, "preprocessor_config.json")
     if os.path.exists(fx_path):

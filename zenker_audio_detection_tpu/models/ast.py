@@ -183,6 +183,8 @@ def quantize_params(params: Params) -> Params:
     """
 
     def quant(leaf_dict):
+        if "kernel_int8" in leaf_dict:  # already quantized (e.g. loaded
+            return leaf_dict            # from an int8 model dir) — idempotent
         w = np.asarray(leaf_dict["kernel"], np.float32)
         scale = np.max(np.abs(w), axis=-2, keepdims=True) / 127.0
         scale = np.maximum(scale, 1e-12)

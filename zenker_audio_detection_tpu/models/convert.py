@@ -222,9 +222,19 @@ def to_hf_state_dict(params: Params) -> dict[str, np.ndarray]:
 
 
 def load_hf_model_dir(model_dir: str) -> tuple[Params, ASTConfig]:
-    """Load an HF model directory (config.json + safetensors/bin)."""
+    """Load an HF model directory (config.json + safetensors/bin).
+
+    Also loads this framework's int8 export format transparently: when
+    `model_int8.safetensors` is present (written by `save_int8_model_dir`),
+    the returned params carry the quantized encoder leaves
+    ({kernel_int8, scale, bias}) that `models.ast._dense` dispatches on —
+    serving code needs no changes and pays no load-time quantization."""
     with open(os.path.join(model_dir, "config.json")) as f:
         config = config_from_hf_dict(json.load(f))
+
+    int8_path = os.path.join(model_dir, "model_int8.safetensors")
+    if os.path.exists(int8_path):
+        return _unflatten_tree(read_safetensors(int8_path)), config
 
     st = os.path.join(model_dir, "model.safetensors")
     bin_path = os.path.join(model_dir, "pytorch_model.bin")
@@ -271,3 +281,73 @@ def save_hf_model_dir(params: Params, config: ASTConfig, model_dir: str,
     with open(os.path.join(model_dir, "config.json"), "w") as f:
         json.dump(hf_config, f, indent=2, sort_keys=True)
     write_safetensors(to_hf_state_dict(params), os.path.join(model_dir, "model.safetensors"))
+
+
+def save_int8_model_dir(params: Params, config: ASTConfig, model_dir: str,
+                        id2label: Mapping[int, str] | None = None) -> None:
+    """Export an int8-quantized model directory (framework format).
+
+    Quantizes the encoder GEMM kernels per `models.ast.quantize_params`
+    (idempotent — already-quantized params pass through) and writes
+    `model_int8.safetensors` holding the framework pytree flattened to
+    dotted keys, with int8 kernels stored as I8 — **~4x smaller on disk**
+    than the f32 HF export. `config.json` keeps the HF shape (plus a
+    `"zenker_int8": true` marker) so fx configs and tooling that only read
+    the config keep working; `load_hf_model_dir` detects the int8 file and
+    returns ready-to-serve quantized params. The HF `model.safetensors`
+    is intentionally NOT written: this format is for this framework's
+    serving fleet, not for torch interop (quantization is lossy)."""
+    from .ast import quantize_params
+
+    os.makedirs(model_dir, exist_ok=True)
+    qparams = quantize_params(params)
+    labels = id2label or {i: f"LABEL_{i}" for i in range(config.num_labels)}
+    hf_config = {
+        "architectures": ["ASTForAudioClassification"],
+        "model_type": "audio-spectrogram-transformer",
+        "hidden_size": config.hidden_size,
+        "num_hidden_layers": config.num_hidden_layers,
+        "num_attention_heads": config.num_attention_heads,
+        "intermediate_size": config.intermediate_size,
+        "hidden_act": "gelu",
+        "hidden_dropout_prob": 0.0,
+        "attention_probs_dropout_prob": 0.0,
+        "initializer_range": config.initializer_range,
+        "layer_norm_eps": config.layer_norm_eps,
+        "patch_size": config.patch_size,
+        "frequency_stride": config.frequency_stride,
+        "time_stride": config.time_stride,
+        "max_length": config.max_length,
+        "num_mel_bins": config.num_mel_bins,
+        "qkv_bias": config.qkv_bias,
+        "id2label": {str(k): v for k, v in labels.items()},
+        "label2id": {v: int(k) for k, v in labels.items()},
+        "zenker_int8": True,
+    }
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(hf_config, f, indent=2, sort_keys=True)
+    flat = {k: np.asarray(v) for k, v in _flatten_tree(qparams).items()}
+    write_safetensors(flat, os.path.join(model_dir,
+                                         "model_int8.safetensors"))
+
+
+def _flatten_tree(tree: Mapping[str, Any], prefix: str = "") -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, Mapping):
+            out.update(_flatten_tree(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten_tree(flat: Mapping[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, arr in flat.items():
+        node = tree
+        ks = key.split(".")
+        for k in ks[:-1]:
+            node = node.setdefault(k, {})
+        node[ks[-1]] = arr
+    return tree

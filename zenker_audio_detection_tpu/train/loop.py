@@ -396,6 +396,11 @@ def init_model(cfg: TrainFoldConfig):
     rng_key = jax.random.PRNGKey(cfg.seed)
     if cfg.pretrained_model_dir:
         params, model_cfg = convert.load_hf_model_dir(cfg.pretrained_model_dir)
+        if "kernel_int8" in params.get("encoder", {}).get("q", {}):
+            raise ValueError(
+                f"{cfg.pretrained_model_dir} is an int8 inference export "
+                "(model_int8.safetensors) — quantization is lossy and not "
+                "trainable; fine-tune from the f32 dir and re-export")
         if model_cfg.num_labels != 2:
             model_cfg = dataclasses.replace(model_cfg, num_labels=2)
         params = ast_mod.reinit_head(rng_key, params, model_cfg, 2)
