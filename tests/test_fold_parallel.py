@@ -121,6 +121,39 @@ def test_stage1_parallel_sharded_over_mesh(tree):
             assert abs(es["loss"] - ep["loss"]) < 1e-4
 
 
+def test_fold_data_mesh_matches_sequential(tree):
+    """2-D (fold, data) mesh — 2 folds x 2 data-parallel devices each:
+    fold batches shard across each fold's device group (XLA inserts the
+    per-group gradient all-reduce), numerics must still equal the
+    sequential trainer's."""
+    seq = [json.loads((tree / "runs_seq1" / f"fold{f}"
+                       / "history.json").read_text()) for f in (1, 2)]
+    cfg_par = _cfg(tree, "par_fd", num_devices=4, data_per_fold=2)
+    train_folds_parallel([1, 2], cfg_par)
+    for f, hist_seq in zip((1, 2), seq):
+        hist_par = json.loads((tree / "runs_par_fd" / f"fold{f}"
+                               / "history.json").read_text())
+        assert len(hist_seq) == len(hist_par)
+        for es, ep in zip(hist_seq, hist_par):
+            assert abs(es["f1"] - ep["f1"]) < 1e-4
+            assert abs(es["loss"] - ep["loss"]) < 1e-4
+
+
+def test_data_per_fold_validation(tree):
+    with pytest.raises(ValueError, match="requires num_devices"):
+        train_folds_parallel([1], _cfg(tree, "v1", data_per_fold=2))
+    with pytest.raises(ValueError, match="not divisible into groups"):
+        train_folds_parallel([1], _cfg(tree, "v2", num_devices=3,
+                                       data_per_fold=2))
+    with pytest.raises(ValueError, match="batch_size"):
+        train_folds_parallel([1, 2], _cfg(tree, "v3", num_devices=6,
+                                          data_per_fold=3, batch_size=4))
+    with pytest.raises(ValueError, match="folds not divisible"):
+        # 4 devices / 2 per fold = 2 fold groups; 3 folds don't fit
+        train_folds_parallel([1, 2, 3], _cfg(tree, "v4", num_devices=4,
+                                             data_per_fold=2))
+
+
 def test_stage2_focal_class_weights_parallel_matches_sequential(tree):
     """Stage-2 loss (class weights + batch-level alpha quirk) through the
     masked path: the alpha flip must use the masked label mean."""

@@ -25,6 +25,7 @@ def test_dryrun_multichip_8(capsys):
     out = capsys.readouterr().out
     assert "ok" in out and "loss=" in out
     assert "ok (dcn)" in out and "ok (fold-parallel)" in out
+    assert "ok (fold x data)" in out
 
 
 @pytest.mark.parametrize("n", [1, 2, 3])
@@ -35,7 +36,8 @@ def test_dryrun_multichip_small_counts(n, capsys):
     G.dryrun_multichip(n)
     out = capsys.readouterr().out
     assert f"dryrun_multichip({n}): ok" in out
-    assert "ok (dcn)" not in out  # dcn layout requires even n >= 4
+    assert "ok (dcn)" not in out  # dcn/fold-x-data layouts need even n >= 4
+    assert "ok (fold x data)" not in out
     if n >= 2:
         assert "ok (fold-parallel)" in out
 

@@ -59,6 +59,13 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
                          "sequential fold loop; per-fold numerics match "
                          "sequential training exactly. Incompatible with "
                          "--streaming and --resume")
+    ap.add_argument("--data-per-fold", type=int, default=None,
+                    help="with --parallel-folds: give each concurrent fold "
+                         "its own group of this many devices and shard the "
+                         "fold's batch across the group (2-D fold x data "
+                         "mesh; each fold's gradient all-reduce stays on "
+                         "its group's ICI). --num-devices must be "
+                         "group-size * group-count")
     ap.add_argument("--streaming", action="store_true",
                     help="stream train featurization per batch (O(batch) "
                          "host memory, background prefetch, identical "
@@ -112,4 +119,12 @@ def validate_train_args(args) -> list[int]:
         raise SystemExit("--parallel-folds is incompatible with "
                          "--streaming/--resume (eager featurization only; "
                          "resume folds with the sequential path)")
+    if args.data_per_fold is not None:
+        if not args.parallel_folds:
+            raise SystemExit("--data-per-fold requires --parallel-folds")
+        if args.data_per_fold < 1:
+            raise SystemExit("--data-per-fold must be >= 1")
+        if (args.num_devices or 1) % args.data_per_fold:
+            raise SystemExit("--num-devices must be a multiple of "
+                             "--data-per-fold")
     return [args.fold] if args.fold else list(range(1, args.num_folds + 1))

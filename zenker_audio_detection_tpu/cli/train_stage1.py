@@ -38,6 +38,7 @@ def main(argv=None):
         num_devices=args.num_devices,
         num_slices=args.num_slices,
         fold_parallel=args.parallel_folds,
+        data_per_fold=args.data_per_fold,
         max_length=args.max_length,
         streaming=args.streaming,
     )

@@ -91,6 +91,34 @@ def make_mesh(num_devices: int | None, num_slices: int | None = None,
     return data_mesh(devices[:num_devices], num_slices=num_slices)
 
 
+FOLD_AXIS = "fold"
+
+
+def fold_data_mesh(num_devices: int, data_per_fold: int) -> Mesh:
+    """2-D ("fold", "data") mesh: groups of `data_per_fold` devices, one
+    group per concurrently-trained fold (train/fold_parallel.py).
+
+    Within a group the fold's batch rows are sharded over the "data" axis
+    and its weights replicated, so XLA inserts that fold's gradient
+    all-reduce over the group's ICI only; across groups there are NO
+    collectives (independent weight sets) — CV wall-clock scales with the
+    group count while each fold also gets data-parallel throughput.
+    Contiguous device blocks keep each group's all-reduce as local as the
+    platform allows (same policy as the dcn mesh's inner axis)."""
+    if data_per_fold < 1:
+        raise ValueError(f"data_per_fold must be >= 1, got {data_per_fold}")
+    if num_devices % data_per_fold:
+        raise ValueError(f"{num_devices} devices not divisible into "
+                         f"groups of {data_per_fold}")
+    devices = jax.devices()
+    if len(devices) < num_devices:
+        raise ValueError(
+            f"requested {num_devices} devices, only {len(devices)} visible")
+    grid = np.asarray(devices[:num_devices]).reshape(
+        num_devices // data_per_fold, data_per_fold)
+    return Mesh(grid, (FOLD_AXIS, DATA_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over every mesh axis (data for a 1-D
     mesh, dcn×data for a hierarchical one)."""

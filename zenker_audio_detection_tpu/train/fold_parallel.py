@@ -249,11 +249,27 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
         raise ValueError("fold-parallel training does not support the "
                          "on_epoch_end hook (sweep trials cut per trial; "
                          "use the sequential path)")
-    if (cfg.num_devices and cfg.num_devices > 1
-            and len(folds) % cfg.num_devices):
+    data_per_fold = cfg.data_per_fold or 1
+    if data_per_fold > 1 and not (cfg.num_devices and cfg.num_devices > 1):
+        raise ValueError("data_per_fold > 1 requires num_devices > 1")
+    fold_groups = ((cfg.num_devices or 1) // data_per_fold
+                   if cfg.num_devices else None)
+    if (cfg.num_devices and cfg.num_devices > 1):
         # validate BEFORE run dirs are backed up / data is featurized
-        raise ValueError(f"{len(folds)} folds not divisible by "
-                         f"{cfg.num_devices} devices")
+        if cfg.num_devices % data_per_fold:
+            raise ValueError(f"{cfg.num_devices} devices not divisible "
+                             f"into groups of {data_per_fold}")
+        if len(folds) % fold_groups:
+            raise ValueError(f"{len(folds)} folds not divisible by "
+                             f"{fold_groups} fold groups "
+                             f"({cfg.num_devices} devices / "
+                             f"{data_per_fold} per fold)")
+        if data_per_fold > 1 and cfg.batch_size % data_per_fold:
+            raise ValueError(f"batch_size {cfg.batch_size} not divisible "
+                             f"by data_per_fold {data_per_fold}")
+        if data_per_fold > 1 and cfg.eval_batch_size % data_per_fold:
+            raise ValueError(f"eval_batch_size {cfg.eval_batch_size} not "
+                             f"divisible by data_per_fold {data_per_fold}")
     trackers = trackers or {}
     print(f"\n===== {cfg.stage} folds {list(folds)} (fold-parallel) =====")
 
@@ -268,19 +284,37 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
     max_steps = max(fd.steps_per_epoch for fd in folds_data)
     checkpoint_limit = 1 if cfg.dry_run else max(2, (cfg.num_epochs + 1) // 2)
 
-    # fold axis over the mesh: one (or more) folds per device
+    # fold axis over the mesh: one (or more) folds per device / device group
     from ..parallel import mesh as pmesh
 
-    mesh = pmesh.make_mesh(cfg.num_devices, axis_name=FOLD_AXIS)
+    if data_per_fold > 1:
+        mesh = pmesh.fold_data_mesh(cfg.num_devices, data_per_fold)
+    else:
+        mesh = pmesh.make_mesh(cfg.num_devices, axis_name=FOLD_AXIS)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # per-fold state (stacked params/opt, per-fold scalars): sharded on
+        # the fold axis, replicated across any data axis
         fold_sharding = NamedSharding(mesh, P(FOLD_AXIS))
-        print(f"[Mesh] {F} folds over {mesh.devices.size} devices "
-              f"(axis '{FOLD_AXIS}')")
         shard = lambda x: jax.device_put(x, fold_sharding)  # pytrees too
+        if data_per_fold > 1:
+            # batch-carrying stacks (F, bs, ...): each fold's rows sharded
+            # across its group's data axis -> XLA inserts that fold's
+            # gradient all-reduce over the group's ICI only
+            batch_sharding = NamedSharding(mesh, P(FOLD_AXIS,
+                                                   pmesh.DATA_AXIS))
+            shard_b = lambda x: jax.device_put(x, batch_sharding)
+            print(f"[Mesh] {F} folds over {mesh.devices.size} devices: "
+                  f"{mesh.shape[FOLD_AXIS]} fold groups x "
+                  f"{data_per_fold} data-parallel devices each")
+        else:
+            shard_b = shard
+            print(f"[Mesh] {F} folds over {mesh.devices.size} devices "
+                  f"(axis '{FOLD_AXIS}')")
     else:
         shard = lambda x: jax.tree.map(jnp.asarray, x)
+        shard_b = shard
 
     # stacked params / optimizer state; tx carries lr=1.0 (per-fold schedule
     # factor is applied inside the step — module docstring)
@@ -333,13 +367,14 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
             if not active.any():
                 continue
             params, opt_state, loss_vals = train_step(
-                params, opt_state, shard(feats), shard(labels), shard(mask),
-                shard(active), shard(step_idx), total_arr, warm_arr, cw_arr)
+                params, opt_state, shard_b(feats), shard_b(labels),
+                shard_b(mask), shard(active), shard(step_idx), total_arr,
+                warm_arr, cw_arr)
             loss_np = np.asarray(loss_vals)
             epoch_loss += np.where(active, loss_np * counts, 0.0)
 
         eval_logits = _stacked_eval(eval_step, params, folds_data,
-                                    cfg.eval_batch_size, shard)
+                                    cfg.eval_batch_size, shard_b)
         for f, fd in enumerate(folds_data):
             prog = progs[f]
             if prog.stopped:

@@ -116,6 +116,13 @@ class TrainFoldConfig:
     # answer to the reference's sequential 5-fold loop. Per-fold numerics
     # identical to sequential training; incompatible with streaming/resume.
     fold_parallel: bool = False
+    # fold_parallel only: give each concurrent fold its own group of this
+    # many devices and shard the fold's batch across the group — a 2-D
+    # ("fold", "data") mesh (parallel/mesh.py:fold_data_mesh). Each fold's
+    # gradient all-reduce stays inside its group's ICI; across groups there
+    # are no collectives. num_devices must be group_size * group_count.
+    # None/1 = the flat 1-D fold mesh.
+    data_per_fold: int | None = None
 
 
 def backup_existing_run_dir(path: str) -> str | None:
