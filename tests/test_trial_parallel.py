@@ -132,6 +132,40 @@ def test_trials_parallel_sharded_over_mesh(tree):
             assert abs(a["loss"] - b["loss"]) < 1e-4
 
 
+def test_trials_trial_data_mesh_matches(tree):
+    """2-D (trial, data) mesh — 3 trials x 2 data-parallel devices each:
+    the SHARED batch shards across each trial's device group (per-group
+    gradient all-reduce), histories must match the pinned parallel run."""
+    cfgs = _trial_cfgs(tree, "par_td")
+    cfgs = [dataclasses.replace(c, num_devices=6, data_per_fold=2)
+            for c in cfgs]
+    train_trials_parallel(1, cfgs)
+    for t in range(len(TRIALS)):
+        hp = json.loads((tree / f"runs_par_td_t{t}" / "fold1"
+                         / "history.json").read_text())
+        hs = json.loads((tree / f"runs_par_stage1_t{t}" / "fold1"
+                         / "history.json").read_text())
+        assert len(hp) == len(hs)
+        for a, b in zip(hp, hs):
+            assert abs(a["f1"] - b["f1"]) < 1e-4
+            assert abs(a["loss"] - b["loss"]) < 1e-4
+
+
+def test_trials_data_per_trial_validation(tree):
+    cfgs = _trial_cfgs(tree, "tdv")
+    bad = [dataclasses.replace(c, num_devices=4, data_per_fold=2)
+           for c in cfgs]
+    with pytest.raises(ValueError, match="not divisible by 2 trial groups"):
+        train_trials_parallel(1, bad)  # 3 trials, 2 groups
+    bad = [dataclasses.replace(c, data_per_fold=2) for c in cfgs]
+    with pytest.raises(ValueError, match="requires num_devices"):
+        train_trials_parallel(1, bad)
+    bad = [dataclasses.replace(c, num_devices=3, data_per_fold=3)
+           for c in cfgs]
+    with pytest.raises(ValueError, match="batch_size 4 not divisible"):
+        train_trials_parallel(1, bad)  # 1 group of 3; bs 4 % 3 != 0
+
+
 def test_hyperband_rung_cut_masks_trials(tree):
     """With a rung at epoch 1, below-median trials stop training: their
     history freezes at the rung and the cut is recorded in the metrics."""

@@ -30,6 +30,13 @@ def main(argv=None):
     ap.add_argument("--num-devices", type=int, default=None,
                     help="data-parallel devices per trial (or the trial "
                          "mesh size with --parallel-trials)")
+    ap.add_argument("--data-per-trial", type=int, default=None,
+                    help="with --parallel-trials: give each concurrent "
+                         "trial its own group of this many devices and "
+                         "shard the shared batch across the group (2-D "
+                         "trial x data mesh; per-group gradient all-reduce "
+                         "on ICI). --num-devices must be group-size * "
+                         "group-count")
     ap.add_argument("--parallel-trials", action="store_true",
                     help="train ALL trials concurrently in one vmapped "
                          "step, trial axis sharded over --num-devices "
@@ -42,6 +49,14 @@ def main(argv=None):
     if args.parallel_trials and args.streaming:
         raise SystemExit("--parallel-trials is incompatible with "
                          "--streaming (eager featurization only)")
+    if args.data_per_trial is not None:
+        if not args.parallel_trials:
+            raise SystemExit("--data-per-trial requires --parallel-trials")
+        if args.data_per_trial < 1:
+            raise SystemExit("--data-per-trial must be >= 1")
+        if (args.num_devices or 1) % args.data_per_trial:
+            raise SystemExit("--num-devices must be a multiple of "
+                             "--data-per-trial")
 
     import jax.numpy as jnp
 
@@ -58,6 +73,7 @@ def main(argv=None):
         max_length=args.max_length,
         streaming=args.streaming,
         num_devices=args.num_devices,
+        data_per_fold=args.data_per_trial,
     )
     out = sweep_mod.run_sweep(args.sweep_config, base, count=args.count,
                               seed=args.seed, output_dir=args.output_dir,

@@ -94,9 +94,11 @@ def make_mesh(num_devices: int | None, num_slices: int | None = None,
 FOLD_AXIS = "fold"
 
 
-def fold_data_mesh(num_devices: int, data_per_fold: int) -> Mesh:
-    """2-D ("fold", "data") mesh: groups of `data_per_fold` devices, one
-    group per concurrently-trained fold (train/fold_parallel.py).
+def fold_data_mesh(num_devices: int, data_per_fold: int,
+                   axis_name: str = FOLD_AXIS) -> Mesh:
+    """2-D (`axis_name`, "data") mesh: groups of `data_per_fold` devices,
+    one group per concurrently-trained fold (train/fold_parallel.py) or
+    sweep trial (train/trial_parallel.py, axis_name="trial").
 
     Within a group the fold's batch rows are sharded over the "data" axis
     and its weights replicated, so XLA inserts that fold's gradient
@@ -116,7 +118,7 @@ def fold_data_mesh(num_devices: int, data_per_fold: int) -> Mesh:
             f"requested {num_devices} devices, only {len(devices)} visible")
     grid = np.asarray(devices[:num_devices]).reshape(
         num_devices // data_per_fold, data_per_fold)
-    return Mesh(grid, (FOLD_AXIS, DATA_AXIS))
+    return Mesh(grid, (axis_name, DATA_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

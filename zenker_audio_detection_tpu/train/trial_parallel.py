@@ -59,7 +59,8 @@ _SHARED_FIELDS = (
     "eval_batch_size", "dry_run", "enable_early_stopping",
     "early_stopping_patience", "early_stopping_threshold", "augment",
     "seed", "dtype", "use_class_weights", "use_focal_loss", "focal_alpha",
-    "max_length", "streaming", "resume", "num_devices", "num_slices")
+    "max_length", "streaming", "resume", "num_devices", "num_slices",
+    "data_per_fold")
 
 
 def _make_trial_loss(cfg: L.TrainFoldConfig, class_weights):
@@ -116,11 +117,25 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
                          "dirs (colliding trials would overwrite each "
                          "other's run artifacts)")
     T = len(cfgs)
-    if (base.num_devices and base.num_devices > 1
-            and T % base.num_devices):
+    data_per_trial = base.data_per_fold or 1
+    if data_per_trial > 1 and not (base.num_devices
+                                   and base.num_devices > 1):
+        raise ValueError("data_per_fold > 1 requires num_devices > 1")
+    if (base.num_devices and base.num_devices > 1):
         # validate BEFORE run dirs are backed up / data is featurized
-        raise ValueError(f"{T} trials not divisible by "
-                         f"{base.num_devices} devices")
+        if base.num_devices % data_per_trial:
+            raise ValueError(f"{base.num_devices} devices not divisible "
+                             f"into groups of {data_per_trial}")
+        trial_groups = base.num_devices // data_per_trial
+        if T % trial_groups:
+            raise ValueError(f"{T} trials not divisible by "
+                             f"{trial_groups} trial groups")
+        if data_per_trial > 1 and base.batch_size % data_per_trial:
+            raise ValueError(f"batch_size {base.batch_size} not divisible "
+                             f"by data_per_fold {data_per_trial}")
+        if data_per_trial > 1 and base.eval_batch_size % data_per_trial:
+            raise ValueError(f"eval_batch_size {base.eval_batch_size} not "
+                             f"divisible by data_per_fold {data_per_trial}")
     print(f"\n===== {base.stage} fold {fold}: {T} trials "
           f"(trial-parallel) =====")
 
@@ -164,16 +179,30 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
 
     from ..parallel import mesh as pmesh
 
-    mesh = pmesh.make_mesh(base.num_devices, axis_name=TRIAL_AXIS)
+    if data_per_trial > 1:
+        mesh = pmesh.fold_data_mesh(base.num_devices, data_per_trial,
+                                    axis_name=TRIAL_AXIS)
+    else:
+        mesh = pmesh.make_mesh(base.num_devices, axis_name=TRIAL_AXIS)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         trial_sharding = NamedSharding(mesh, P(TRIAL_AXIS))
         replicated = NamedSharding(mesh, P())
-        print(f"[Mesh] {T} trials over {mesh.devices.size} devices "
-              f"(axis '{TRIAL_AXIS}')")
         shard = lambda x: jax.device_put(x, trial_sharding)
-        shard_shared = lambda x: jax.device_put(x, replicated)
+        if data_per_trial > 1:
+            # the SHARED batch: rows sharded across each group's data axis,
+            # replicated across trial groups -> every trial's gradient
+            # all-reduce stays inside its own group's ICI
+            data_sharding = NamedSharding(mesh, P(pmesh.DATA_AXIS))
+            shard_shared = lambda x: jax.device_put(x, data_sharding)
+            print(f"[Mesh] {T} trials over {mesh.devices.size} devices: "
+                  f"{mesh.shape[TRIAL_AXIS]} trial groups x "
+                  f"{data_per_trial} data-parallel devices each")
+        else:
+            shard_shared = lambda x: jax.device_put(x, replicated)
+            print(f"[Mesh] {T} trials over {mesh.devices.size} devices "
+                  f"(axis '{TRIAL_AXIS}')")
     else:
         shard = lambda x: jax.tree.map(jnp.asarray, x)
         shard_shared = jnp.asarray
