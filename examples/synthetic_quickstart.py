@@ -8,7 +8,7 @@ threshold extraction -> batch patient inference -> aggregation -> CM plots
 checkpoint, inside a scratch directory. Nothing external is needed: no
 dataset, no downloaded model, no network.
 
-    python examples/synthetic_quickstart.py            # CPU, ~2-3 min
+    python examples/synthetic_quickstart.py            # CPU, ~6-10 min
     python examples/synthetic_quickstart.py --tpu      # default JAX platform
     python examples/synthetic_quickstart.py --workdir /tmp/zq --keep
 
@@ -46,7 +46,7 @@ def synthesize_dataset(root):
 
     rng = np.random.default_rng(0)
     short, long_dir = os.path.join(root, "Short"), os.path.join(root, "Long")
-    for cls, n_pat, amp in [("Healthy", 6, 0.01), ("Zenker", 6, 0.4)]:
+    for cls, n_pat, amp in [("Healthy", 6, 0.05), ("Zenker", 6, 0.4)]:
         for i in range(n_pat):
             pid = f"{cls[0]}{i:02d}"
             d = os.path.join(short, cls, pid)
@@ -58,18 +58,18 @@ def synthesize_dataset(root):
             ld = os.path.join(long_dir, cls, pid)
             os.makedirs(ld, exist_ok=True)
             for fn in ("recA.wav", "recB.wav"):
-                quiet = rng.standard_normal(16000) * 0.003
-                active = rng.standard_normal(32000) * max(amp, 0.2)
+                quiet = rng.standard_normal(8000) * 0.001
+                active = rng.standard_normal(40000) * amp
                 aio.write_wav(os.path.join(ld, fn),
                               np.concatenate([quiet, active]
                                              ).astype(np.float32),
                               16000, dtype="float32")
-    for pid in ["H00", "H01", "Z00", "Z01"]:
+    for pid in [f"{c}{i:02d}" for c in "HZ" for i in range(6)]:
         d = os.path.join(short, "Idle", pid)
         os.makedirs(d, exist_ok=True)
         for k in range(2):
             aio.write_wav(os.path.join(d, f"i{k}.wav"),
-                          (rng.standard_normal(16000) * 0.003
+                          (rng.standard_normal(16000) * 0.001
                            ).astype(np.float32), 16000, dtype="float32")
     return short, long_dir
 
@@ -79,8 +79,8 @@ def make_tiny_pretrained(path):
 
     from zenker_audio_detection_tpu.models import ast as ast_mod, convert
 
-    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
-                            num_attention_heads=2, intermediate_size=32,
+    cfg = ast_mod.ASTConfig(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=4, intermediate_size=64,
                             num_labels=527)  # AudioSet-shaped head
     convert.save_hf_model_dir(ast_mod.init_params(jax.random.PRNGKey(3), cfg),
                               cfg, path)
@@ -126,8 +126,8 @@ def main(argv=None):
     compute_stats.main(["--stage", "stage2", "--folds", "1"])
     log("3/9", "per-fold normalization stats computed")
 
-    common = ["--fold", "1", "--num-epochs", "3", "--batch-size", "8",
-              "--learning-rate", "1e-3", "--no-augment", "--f32",
+    common = ["--fold", "1", "--num-epochs", "8", "--batch-size", "8",
+              "--learning-rate", "1e-2", "--no-augment", "--f32",
               "--no-early-stopping", "--pretrained-model-dir", pretrained]
     train_stage1.main(common)
     train_stage2.main(common)
@@ -152,7 +152,7 @@ def main(argv=None):
     summary = json.load(open("outputs/aggregate_summary.json"))["summary"]
     log("7/9", f"patient-level inference + aggregation: "
         f"{summary['num_patient_results']} patients, "
-        f"accuracy={summary.get('accuracy')}")
+        f"accuracy={summary['metrics']['accuracy']:.3f}")
 
     plot_confusion_matrices.main(["--model-root", "runs"])
     infer_long_audio.main(["--fold", "1", "--patient-id", "Z00",
