@@ -40,6 +40,13 @@ def dataset(workdir):
     # active segments use the SAME class amplitude as the training clips,
     # so the calibrated cascade can be judged on recovering the planted
     # patient labels (not just on producing well-formed JSON).
+    # (Amplitude is the strongest cue a RANDOM-INIT tiny AST can learn at
+    # the 1024-frame parity config: a measured round-3 probe showed
+    # equal-loudness spectral-only separation (300 vs 3000 Hz tones) stays
+    # at chance there — pad dilution averages mel-bin patterns away while
+    # global level survives — though it learns fine at --max-length 128.
+    # Real pretrained weights don't have this limit; model math is pinned
+    # separately by the HF logit-parity tests.)
     for cls, n_pat, amp in [("Healthy", 6, 0.05), ("Zenker", 6, 0.4)]:
         for i in range(n_pat):
             pid = f"{cls[0]}{i:02d}"
