@@ -46,7 +46,7 @@ def synthesize_dataset(root):
 
     rng = np.random.default_rng(0)
     short, long_dir = os.path.join(root, "Short"), os.path.join(root, "Long")
-    for cls, n_pat, amp in [("Healthy", 6, 0.05), ("Zenker", 6, 0.4)]:
+    for cls, n_pat, amp in [("Healthy", 6, 0.1), ("Zenker", 6, 0.8)]:
         for i in range(n_pat):
             pid = f"{cls[0]}{i:02d}"
             d = os.path.join(short, cls, pid)
@@ -126,7 +126,7 @@ def main(argv=None):
     compute_stats.main(["--stage", "stage2", "--folds", "1"])
     log("3/9", "per-fold normalization stats computed")
 
-    common = ["--fold", "1", "--num-epochs", "8", "--batch-size", "8",
+    common = ["--fold", "1", "--num-epochs", "12", "--batch-size", "8",
               "--learning-rate", "1e-2", "--no-augment", "--f32",
               "--no-early-stopping", "--pretrained-model-dir", pretrained]
     train_stage1.main(common)
