@@ -122,13 +122,24 @@ def test_run_all_folds_parallel_matches_sequential(tmp_path, monkeypatch):
     run_all_folds.main(common + ["--output-dir", str(tmp_path / "out_par"),
                                  "--parallel-folds"])
 
+    # fold-group serving: each fold's engine shards window chunks across
+    # its own 2-device group (run_all_folds --data-per-fold); numerics
+    # must still be byte-identical
+    run_all_folds.main(common + ["--output-dir", str(tmp_path / "out_fd"),
+                                 "--parallel-folds", "--data-per-fold",
+                                 "2"])
+
     for fold in (1, 2):
         seq = json.loads((tmp_path / "out_seq"
                           / f"ZP{fold}_2stage.json").read_text())
         par = json.loads((tmp_path / "out_par"
                           / f"ZP{fold}_2stage.json").read_text())
+        fd = json.loads((tmp_path / "out_fd"
+                         / f"ZP{fold}_2stage.json").read_text())
         assert seq["per_file"] == par["per_file"]
         assert seq["aggregate"] == par["aggregate"]
+        assert seq["per_file"] == fd["per_file"]
+        assert seq["aggregate"] == fd["aggregate"]
 
     # --aggregate chains the patient-level aggregator (the reference's
     # manual step) over the finished output dir

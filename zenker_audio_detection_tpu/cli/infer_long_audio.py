@@ -128,8 +128,12 @@ def build_engine(args) -> tuple[C.TwoStageEngine, str, str]:
     )
     from ..parallel import mesh as pmesh
 
-    mesh = pmesh.make_mesh(getattr(args, "num_devices", None),
-                           getattr(args, "num_slices", None))
+    # a prebuilt mesh (fold-group serving, run_all_folds --data-per-fold)
+    # takes precedence over constructing one from --num-devices
+    mesh = getattr(args, "mesh", None)
+    if mesh is None:
+        mesh = pmesh.make_mesh(getattr(args, "num_devices", None),
+                               getattr(args, "num_slices", None))
     return (C.TwoStageEngine(spec1, spec2, config, mesh=mesh),
             args.stage1_model_root, args.stage2_model_root)
 

@@ -47,6 +47,12 @@ def main(argv=None):
                          "engine per chip (fold K on device (K-1) mod "
                          "n_devices); incompatible with --num-devices/"
                          "--num-slices window sharding")
+    ap.add_argument("--data-per-fold", type=int, default=None,
+                    help="with --parallel-folds: give each fold's resident "
+                         "engine its own group of this many devices and "
+                         "shard its window chunks across the group — "
+                         "fleet throughput AND per-fold DP at once "
+                         "(fold K on device group (K-1) mod n_groups)")
     ap.add_argument("--aggregate", action="store_true",
                     help="run the per-patient aggregator over the output "
                          "dir when all folds finish (the reference leaves "
@@ -56,9 +62,15 @@ def main(argv=None):
                     help="patient ZSR decision threshold for --aggregate")
     args = ap.parse_args(argv)
     if args.parallel_folds and (args.num_devices or args.num_slices):
-        raise SystemExit("--parallel-folds pins one fold per device; it is "
+        raise SystemExit("--parallel-folds pins one fold per device (or "
+                         "device group with --data-per-fold); it is "
                          "incompatible with --num-devices/--num-slices "
                          "window sharding")
+    if args.data_per_fold is not None:
+        if not args.parallel_folds:
+            raise SystemExit("--data-per-fold requires --parallel-folds")
+        if args.data_per_fold < 1:
+            raise SystemExit("--data-per-fold must be >= 1")
 
     long_root = args.long_audio_root or \
         env_config.load_dataset_config()["long_audio_root"]
@@ -114,15 +126,35 @@ def main(argv=None):
         import jax
 
         devices = jax.devices()
+        D = args.data_per_fold or 1
+        if D > len(devices):
+            raise SystemExit(f"--data-per-fold {D}: only {len(devices)} "
+                             "devices visible")
+        n_groups = len(devices) // D
 
         def serve_fold(fold):
-            dev = devices[(fold - 1) % len(devices)]
-            print(f"\n===== Fold {fold}/{args.num_folds} on {dev} =====")
+            g = (fold - 1) % n_groups
+            group = devices[g * D: (g + 1) * D]
+            mesh = None
+            if D > 1:
+                from jax.sharding import Mesh
+
+                import numpy as _np
+
+                mesh = Mesh(_np.asarray(group), ("data",))
+                print(f"\n===== Fold {fold}/{args.num_folds} on group {g} "
+                      f"({D} devices) =====")
+            else:
+                print(f"\n===== Fold {fold}/{args.num_folds} on "
+                      f"{group[0]} =====")
             # thread-local default device: the fold's params commit to its
-            # chip and every dispatch follows them (host work interleaves
-            # under the GIL; device compute runs truly concurrently)
-            with jax.default_device(dev):
-                return run_batch_2stage.main(fold_args(fold))
+            # chip/group and every dispatch follows them (host work
+            # interleaves under the GIL; device compute runs truly
+            # concurrently). With a group mesh the engine's sharded
+            # device_puts target the group explicitly; default_device
+            # covers the remaining un-meshed host->device ops.
+            with jax.default_device(group[0]):
+                return run_batch_2stage.main(fold_args(fold), mesh=mesh)
 
         failed = []
         with ThreadPoolExecutor(max_workers=len(folds)) as pool:

@@ -35,7 +35,11 @@ def resolve_thresholds(config_path: str | None, fold: int):
     return out["stage1"], out["stage2"]
 
 
-def main(argv=None):
+def main(argv=None, mesh=None):
+    """`mesh`: optional prebuilt jax.sharding.Mesh for the fold-resident
+    engine (window chunks sharded across it) — used by run_all_folds
+    --parallel-folds --data-per-fold to pin each fold's engine to its own
+    device group; mutually exclusive with --num-devices/--num-slices."""
     ap = argparse.ArgumentParser(
         description="Run two-stage inference for every test patient of a fold.")
     ap.add_argument("--fold", type=int, required=True)
@@ -115,7 +119,7 @@ def main(argv=None):
         disable_cache=args.disable_cache, refresh_cache=False,
         f32=args.f32, plot=args.plot, plot_dir=args.output_dir,
         num_devices=args.num_devices, num_slices=args.num_slices,
-        int8=args.int8,
+        mesh=mesh, int8=args.int8,
         show_first_n=0, pattern=args.pattern,
         long_audio_root=args.long_audio_root,
         output_json=None, patient_id=None, file_a=None, file_b=None)
