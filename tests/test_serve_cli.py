@@ -150,3 +150,36 @@ def test_serve_summary_nan_serialized_as_null(model_dirs):
 def test_serve_requires_model_roots():
     with pytest.raises(ValueError, match="Model roots"):
         serve.main([], stdin_buffer=io.BytesIO(b""), stdout=io.StringIO())
+
+
+def test_serve_int8_model_dirs(model_dirs, tmp_path):
+    """Streaming serve over int8 EXPORT dirs (model_int8.safetensors) with
+    --int8: quantize_params must be idempotent through the CLI path and
+    probs must stay within the documented O(1e-2) band of the f32 run."""
+    from zenker_audio_detection_tpu.models import convert
+    from zenker_audio_detection_tpu.train import loop as train_loop
+
+    i8_dirs = []
+    for src, name in zip(model_dirs, ("s1", "s2")):
+        params, cfg = convert.load_hf_model_dir(src)
+        dst = str(tmp_path / f"i8_{name}")
+        convert.save_int8_model_dir(params, cfg, dst)
+        mean, std = train_loop.load_feature_extractor_config(src)
+        train_loop.save_feature_extractor_config(dst, mean, std,
+                                                 max_length=cfg.max_length)
+        i8_dirs.append(dst)
+
+    audio = make_audio(4.0, seed=11)
+    out = io.StringIO()
+    rc = serve.main(
+        ["--stage1-model-root", i8_dirs[0],
+         "--stage2-model-root", i8_dirs[1],
+         "--int8", "--f32", "--chunk-windows", "4"],
+        stdin_buffer=io.BytesIO(audio.tobytes()), stdout=out)
+    assert rc == 0
+    windows = [json.loads(l) for l in out.getvalue().splitlines()
+               if json.loads(l)["type"] == "window"]
+    _, (p1_ref, _) = offline_reference(model_dirs, audio)
+    assert len(windows) == len(p1_ref)
+    got = np.array([w["stage1_probs"] for w in windows])
+    assert np.abs(got - p1_ref).max() < 5e-2  # int8 drift band
