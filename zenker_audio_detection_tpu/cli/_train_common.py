@@ -124,6 +124,9 @@ def validate_train_args(args) -> list[int]:
             raise SystemExit("--data-per-fold requires --parallel-folds")
         if args.data_per_fold < 1:
             raise SystemExit("--data-per-fold must be >= 1")
+        if args.data_per_fold > 1 and not args.num_devices:
+            raise SystemExit("--data-per-fold requires an explicit "
+                             "--num-devices (= group-size * group-count)")
         if (args.num_devices or 1) % args.data_per_fold:
             raise SystemExit("--num-devices must be a multiple of "
                              "--data-per-fold")

@@ -39,6 +39,11 @@ def main(argv=None):
         ap.error("nothing to do: pass --max-length and/or --int8")
 
     params, config = convert.load_hf_model_dir(args.model_dir)
+    if "kernel_int8" in params.get("encoder", {}).get("q", {}) \
+            and not args.int8:
+        ap.error(f"{args.model_dir} is an int8 export "
+                 "(model_int8.safetensors); pass --int8 to re-export — an "
+                 "HF f32 export is impossible (quantization is lossy)")
     if args.max_length is not None:
         if args.max_length == config.max_length:
             print(f"[Adapt] model already at max_length={config.max_length};"

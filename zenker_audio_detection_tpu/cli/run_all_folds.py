@@ -71,6 +71,12 @@ def main(argv=None):
             raise SystemExit("--data-per-fold requires --parallel-folds")
         if args.data_per_fold < 1:
             raise SystemExit("--data-per-fold must be >= 1")
+        if run_batch_2stage.DEFAULT_BATCH_SIZE % args.data_per_fold:
+            # fail fast here instead of N identical [FAIL] lines after
+            # every fold thread has built its engine
+            raise SystemExit(
+                "--data-per-fold must divide the engine batch size "
+                f"({run_batch_2stage.DEFAULT_BATCH_SIZE})")
 
     long_root = args.long_audio_root or \
         env_config.load_dataset_config()["long_audio_root"]
@@ -137,11 +143,9 @@ def main(argv=None):
             group = devices[g * D: (g + 1) * D]
             mesh = None
             if D > 1:
-                from jax.sharding import Mesh
+                from ..parallel import mesh as pmesh
 
-                import numpy as _np
-
-                mesh = Mesh(_np.asarray(group), ("data",))
+                mesh = pmesh.data_mesh(group)  # canonical "data" axis name
                 print(f"\n===== Fold {fold}/{args.num_folds} on group {g} "
                       f"({D} devices) =====")
             else:

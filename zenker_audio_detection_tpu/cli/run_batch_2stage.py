@@ -14,6 +14,11 @@ import traceback
 from . import infer_long_audio
 
 
+# default engine chunk size — shared with run_all_folds' upfront
+# --data-per-fold divisibility validation
+DEFAULT_BATCH_SIZE = 128
+
+
 def read_ids(ids_path: str) -> list[str]:
     patients = []
     with open(ids_path) as f:
@@ -49,7 +54,7 @@ def main(argv=None, mesh=None):
     ap.add_argument("--pattern", default="*.wav")
     ap.add_argument("--window-sec", type=float, default=1.0)
     ap.add_argument("--hop-sec", type=float, default=0.5)
-    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE)
     ap.add_argument("--output-dir", default="outputs")
     ap.add_argument("--model-root", default="runs")
     ap.add_argument("--stage1-model-root")

@@ -54,6 +54,9 @@ def main(argv=None):
             raise SystemExit("--data-per-trial requires --parallel-trials")
         if args.data_per_trial < 1:
             raise SystemExit("--data-per-trial must be >= 1")
+        if args.data_per_trial > 1 and not args.num_devices:
+            raise SystemExit("--data-per-trial requires an explicit "
+                             "--num-devices (= group-size * group-count)")
         if (args.num_devices or 1) % args.data_per_trial:
             raise SystemExit("--num-devices must be a multiple of "
                              "--data-per-trial")

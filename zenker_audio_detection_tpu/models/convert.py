@@ -251,13 +251,12 @@ def load_hf_model_dir(model_dir: str) -> tuple[Params, ASTConfig]:
     return from_hf_state_dict(sd, config), config
 
 
-def save_hf_model_dir(params: Params, config: ASTConfig, model_dir: str,
-                      id2label: Mapping[int, str] | None = None) -> None:
-    """Export params as an HF-compatible model directory (so the reference's
-    own tooling could load what we train)."""
-    os.makedirs(model_dir, exist_ok=True)
+def _hf_config_dict(config: ASTConfig,
+                    id2label: Mapping[int, str] | None) -> dict:
+    """The HF config.json payload shared by the f32 and int8 exports —
+    one place to extend when ASTConfig grows a field."""
     labels = id2label or {i: f"LABEL_{i}" for i in range(config.num_labels)}
-    hf_config = {
+    return {
         "architectures": ["ASTForAudioClassification"],
         "model_type": "audio-spectrogram-transformer",
         "hidden_size": config.hidden_size,
@@ -278,8 +277,19 @@ def save_hf_model_dir(params: Params, config: ASTConfig, model_dir: str,
         "id2label": {str(k): v for k, v in labels.items()},
         "label2id": {v: int(k) for k, v in labels.items()},
     }
+
+
+def _write_config_json(hf_config: dict, model_dir: str) -> None:
     with open(os.path.join(model_dir, "config.json"), "w") as f:
         json.dump(hf_config, f, indent=2, sort_keys=True)
+
+
+def save_hf_model_dir(params: Params, config: ASTConfig, model_dir: str,
+                      id2label: Mapping[int, str] | None = None) -> None:
+    """Export params as an HF-compatible model directory (so the reference's
+    own tooling could load what we train)."""
+    os.makedirs(model_dir, exist_ok=True)
+    _write_config_json(_hf_config_dict(config, id2label), model_dir)
     write_safetensors(to_hf_state_dict(params), os.path.join(model_dir, "model.safetensors"))
 
 
@@ -291,41 +301,20 @@ def save_int8_model_dir(params: Params, config: ASTConfig, model_dir: str,
     (idempotent — already-quantized params pass through) and writes
     `model_int8.safetensors` holding the framework pytree flattened to
     dotted keys, with int8 kernels stored as I8 — **~4x smaller on disk**
-    than the f32 HF export. `config.json` keeps the HF shape (plus a
-    `"zenker_int8": true` marker) so fx configs and tooling that only read
-    the config keep working; `load_hf_model_dir` detects the int8 file and
-    returns ready-to-serve quantized params. The HF `model.safetensors`
-    is intentionally NOT written: this format is for this framework's
-    serving fleet, not for torch interop (quantization is lossy)."""
+    than the f32 HF export (measured full-size: 90.3 vs 344.8 MB).
+    `config.json` keeps the HF shape (plus a `"zenker_int8": true` marker)
+    so fx configs and tooling that only read the config keep working;
+    `load_hf_model_dir` detects the int8 file and returns ready-to-serve
+    quantized params. The HF `model.safetensors` is intentionally NOT
+    written: this format is for this framework's serving fleet, not for
+    torch interop (quantization is lossy)."""
     from .ast import quantize_params
 
     os.makedirs(model_dir, exist_ok=True)
     qparams = quantize_params(params)
-    labels = id2label or {i: f"LABEL_{i}" for i in range(config.num_labels)}
-    hf_config = {
-        "architectures": ["ASTForAudioClassification"],
-        "model_type": "audio-spectrogram-transformer",
-        "hidden_size": config.hidden_size,
-        "num_hidden_layers": config.num_hidden_layers,
-        "num_attention_heads": config.num_attention_heads,
-        "intermediate_size": config.intermediate_size,
-        "hidden_act": "gelu",
-        "hidden_dropout_prob": 0.0,
-        "attention_probs_dropout_prob": 0.0,
-        "initializer_range": config.initializer_range,
-        "layer_norm_eps": config.layer_norm_eps,
-        "patch_size": config.patch_size,
-        "frequency_stride": config.frequency_stride,
-        "time_stride": config.time_stride,
-        "max_length": config.max_length,
-        "num_mel_bins": config.num_mel_bins,
-        "qkv_bias": config.qkv_bias,
-        "id2label": {str(k): v for k, v in labels.items()},
-        "label2id": {v: int(k) for k, v in labels.items()},
-        "zenker_int8": True,
-    }
-    with open(os.path.join(model_dir, "config.json"), "w") as f:
-        json.dump(hf_config, f, indent=2, sort_keys=True)
+    hf_config = _hf_config_dict(config, id2label)
+    hf_config["zenker_int8"] = True
+    _write_config_json(hf_config, model_dir)
     flat = {k: np.asarray(v) for k, v in _flatten_tree(qparams).items()}
     write_safetensors(flat, os.path.join(model_dir,
                                          "model_int8.safetensors"))

@@ -753,14 +753,10 @@ def _track_split_report(tracker, stage: str, fold: int, split_name: str,
 
 
 def _flatten(tree, prefix="") -> dict[str, Any]:
-    out = {}
-    for k, v in tree.items():
-        key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
-        if isinstance(v, dict):
-            out.update(_flatten(v, key))
-        else:
-            out[key] = v
-    return out
+    """Dotted-key pytree flattening — delegates to the canonical
+    implementation in models/convert.py so checkpoint and int8-export key
+    formats can never diverge."""
+    return convert._flatten_tree(tree, prefix)
 
 
 # ---------------------------------------------------------------------------
