@@ -129,3 +129,16 @@ def test_int16_audio_bit_identical_probs():
     q1_i, _ = eng.window_probs(short)
     q1_f, _ = eng.window_probs(short.astype(np.float32) / 32768.0)
     np.testing.assert_array_equal(q1_i, q1_f)
+
+
+def test_stage2_mode_validated(engine):
+    """Anything but exactly 'gated'/'all' must be rejected at construction
+    (a typo like 'All' would otherwise silently run gated mode)."""
+    import jax.numpy as jnp
+
+    for bad in ("All", "ALL", "speculative", ""):
+        with pytest.raises(ValueError, match="stage2_mode"):
+            C.TwoStageEngine(engine.stage1, engine.stage2,
+                             C.CascadeConfig(batch_size=16,
+                                             dtype=jnp.float32,
+                                             stage2_mode=bad))

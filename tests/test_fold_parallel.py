@@ -139,6 +139,30 @@ def test_fold_data_mesh_matches_sequential(tree):
             assert abs(es["loss"] - ep["loss"]) < 1e-4
 
 
+def test_fold_parallel_per_step_loss_channel(tree):
+    """cfg.logging_steps (the reference's HF logging_steps channel) must
+    reach the trackers from the fold-parallel path too, with the same
+    payload keys as the sequential trainer's."""
+    class Stub:
+        def __init__(self):
+            self.rows = []
+
+        def log(self, d):
+            self.rows.append(d)
+
+    stubs = {1: Stub(), 2: Stub()}
+    cfg = _cfg(tree, "logsteps", num_epochs=1, enable_early_stopping=False,
+               logging_steps=1)
+    train_folds_parallel([1, 2], cfg, trackers=stubs)
+    for fold, stub in stubs.items():
+        step_rows = [r for r in stub.rows if "train_step_loss" in r]
+        assert step_rows, f"fold {fold}: no per-step loss rows"
+        assert all(r["fold"] == fold for r in step_rows)
+        assert [r["train_step"] for r in step_rows] == list(
+            range(1, len(step_rows) + 1))
+        assert all(np.isfinite(r["train_step_loss"]) for r in step_rows)
+
+
 def test_data_per_fold_validation(tree):
     with pytest.raises(ValueError, match="requires num_devices"):
         train_folds_parallel([1], _cfg(tree, "v1", data_per_fold=2))

@@ -114,3 +114,50 @@ def test_checkpoint_roundtrip_primitives(tmp_path):
                                        np.asarray(b, np.float32), atol=0)
     assert s2["epoch"] == 3 and s2["best_epoch"] == 2
     assert s2["rng_state"] == state["rng_state"]
+
+
+def test_checkpoint_roundtrip_with_scalar_leaf(tmp_path):
+    """Non-array leaves in the opt state (Python scalars ARE pytree leaves)
+    must not leave gaps in the saved leaf_NNNN numbering: load_checkpoint
+    reads consecutive indices over shape-bearing template leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    params = {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))}
+    opt_state = {"count": jnp.zeros((), jnp.int32),
+                 "py_scalar": 7,  # no .shape -> skipped by the writer
+                 "mu": jax.tree.map(jnp.zeros_like, params)}
+    ck = str(tmp_path / "ck")
+    L.save_checkpoint(ck, params, opt_state, {"epoch": 1})
+    _, o2, _ = L.load_checkpoint(ck, params, opt_state)
+    assert o2["py_scalar"] == 7  # non-array template leaf passes through
+    np.testing.assert_array_equal(np.asarray(o2["count"]), 0)
+    for k in ("w", "b"):
+        np.testing.assert_array_equal(np.asarray(o2["mu"][k]),
+                                      np.asarray(opt_state["mu"][k]))
+
+
+def test_resume_rotates_prior_runs_checkpoints(env):
+    """save_total_limit must bound disk across resume cycles: the resume
+    branch seeds rotation with the prior run's checkpoint dirs."""
+    import dataclasses as dc
+
+    tmp_path, base = env
+
+    class StopAfter:
+        def __init__(self, at):
+            self.at = at
+
+        def __call__(self, epoch, metrics):
+            return epoch >= self.at
+
+    root = str(tmp_path / "rotate")
+    L.train_fold(1, dc.replace(base, output_root=root,
+                               on_epoch_end=StopAfter(2)))
+    fold_dir = Path(root) / "fold1"
+    before = sorted(p.name for p in fold_dir.glob("checkpoint-*"))
+    assert len(before) == 2  # limit = max(2, (4+1)//2) = 2
+    L.train_fold(1, dc.replace(base, output_root=root, resume=True))
+    after = sorted(p.name for p in fold_dir.glob("checkpoint-*"))
+    assert len(after) == 2, after          # bounded, not 4
+    assert after != before                 # the old ones were rotated out

@@ -110,6 +110,11 @@ class TwoStageEngine:
         """`mesh`: optional jax.sharding.Mesh with a "data" axis — windows in
         each chunk are sharded across it (models replicated), the multi-chip
         serving layout from SURVEY §2.4. Single-chip when None."""
+        if config.stage2_mode not in ("gated", "all"):
+            raise ValueError(
+                f"stage2_mode must be 'gated' or 'all', got "
+                f"{config.stage2_mode!r} (anything else would silently run "
+                "gated mode)")
         if config.int8:
             stage1 = dataclasses.replace(
                 stage1, params=ast_mod.quantize_params(stage1.params))
@@ -157,18 +162,6 @@ class TwoStageEngine:
         self._chunk_fn_cache: dict[int, Any] = {}
 
     # ---------------- device functions ----------------
-
-    def _normalize_pad(self, raw: jnp.ndarray, spec: StageSpec) -> jnp.ndarray:
-        """(C, fpw, 128) raw log-mel -> (C, max_length, 128) normalized
-        features (max_length from the stage's model config; 1024 for
-        reference-parity models, e.g. 128 in short-sequence mode).
-
-        HF pads the raw fbank with zeros and then normalizes
-        (feature_extraction_…py:144-159), so pad rows equal
-        (0 - mean) / (2 std)."""
-        cfg = F.FbankConfig(mean=spec.mean, std=spec.std,
-                            max_length=spec.config.max_length)
-        return F.pad_and_normalize(raw, cfg)
 
     def _make_frames_fn(self, padded_len: int):
         n_frames = F.num_frames(padded_len)

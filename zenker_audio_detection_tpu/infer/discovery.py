@@ -12,8 +12,15 @@ import struct
 
 
 def wav_num_frames(path: str) -> int:
-    """Sample count from the RIFF header (cheap torchaudio.info stand-in)."""
+    """Sample count from the RIFF header (cheap torchaudio.info stand-in).
+
+    The data-chunk size field is CLAMPED to the bytes actually present in
+    the file: streaming recorders leave placeholder sizes (0 or 0xFFFFFFFF)
+    that would otherwise rank a file as the shortest/longest recording
+    regardless of its real length and silently change which two files the
+    keep-2-longest selection picks."""
     try:
+        file_size = os.path.getsize(path)
         with open(path, "rb") as f:
             head = f.read(12)
             if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
@@ -28,6 +35,8 @@ def wav_num_frames(path: str) -> int:
                     fmt = f.read(size + (size & 1))
                     block_align = struct.unpack_from("<H", fmt, 12)[0]
                 elif chunk_id == b"data":
+                    avail = file_size - f.tell()
+                    size = min(size, avail) if size else avail
                     return size // block_align if block_align else 0
                 else:
                     f.seek(size + (size & 1), 1)

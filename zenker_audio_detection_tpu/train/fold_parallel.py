@@ -372,6 +372,16 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
                 warm_arr, cw_arr)
             loss_np = np.asarray(loss_vals)
             epoch_loss += np.where(active, loss_np * counts, 0.0)
+            if cfg.logging_steps and trackers:
+                # the reference's per-step loss channel (HF logging_steps),
+                # same payload as the sequential trainer's (loop.py)
+                for f, fd in enumerate(folds_data):
+                    tr = trackers.get(fd.fold)
+                    gstep = int(step_idx[f]) + 1
+                    if (tr is not None and active[f]
+                            and gstep % cfg.logging_steps == 0):
+                        tr.log({"fold": fd.fold, "train_step": gstep,
+                                "train_step_loss": float(loss_np[f])})
 
         eval_logits = _stacked_eval(eval_step, params, folds_data,
                                     cfg.eval_batch_size, shard_b)

@@ -469,8 +469,13 @@ def finalize_fold(fold: int, cfg: TrainFoldConfig, fold_dir: str, model_cfg,
                       shard=shard)
     for k, v in metrics_mod.compute_metrics_from_logits(logits, eval_y).items():
         metrics[f"fold{fold}_{prefix}_{k}"] = v
-    test_logits = _predict(eval_step, best_params, test_feats,
-                           cfg.eval_batch_size, shard=shard)
+    if eval_feats is test_feats:
+        # no val split: the eval split IS the test split — reuse the pass
+        # above instead of running an identical full forward again
+        test_logits = logits
+    else:
+        test_logits = _predict(eval_step, best_params, test_feats,
+                               cfg.eval_batch_size, shard=shard)
     for k, v in metrics_mod.compute_metrics_from_logits(
             test_logits, test_y).items():
         metrics[f"fold{fold}_test_{k}"] = v
@@ -644,6 +649,14 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
                     for k in ks[:-1]:
                         node = node[k]
                     node[ks[-1]] = arr
+            # seed rotation with the PRIOR run's checkpoints (oldest first)
+            # so save_total_limit keeps bounding disk across resume cycles
+            prog.checkpoints = [
+                p for _, p in sorted(
+                    (int(n.split("-", 1)[1]), os.path.join(fold_dir, n))
+                    for n in os.listdir(fold_dir)
+                    if n.startswith("checkpoint-")
+                    and n.split("-", 1)[1].isdigit())]
             print(f"[Resume] from {ck}: next epoch {start_epoch}, "
                   f"best_f1={prog.best_f1:.4f} @ epoch {prog.best_epoch}")
         else:
@@ -788,10 +801,14 @@ def save_checkpoint(ck_dir: str, params, opt_state, state: dict) -> None:
     convert.write_safetensors(
         {k: np.asarray(v, np.float32) for k, v in _flatten(params).items()},
         os.path.join(ck_dir, "params.safetensors"))
-    leaves = jax.tree.leaves(opt_state)
+    # enumerate only the ARRAY leaves: load_checkpoint reads consecutive
+    # leaf_NNNN keys over shape-bearing template leaves, so any non-array
+    # leaf (Python scalars are tree leaves too) must not leave index gaps
+    array_leaves = [l for l in jax.tree.leaves(opt_state)
+                    if hasattr(l, "shape")]
     convert.write_safetensors(
         {f"leaf_{i:04d}": np.asarray(leaf)
-         for i, leaf in enumerate(leaves) if hasattr(leaf, "shape")},
+         for i, leaf in enumerate(array_leaves)},
         os.path.join(ck_dir, "opt_state.safetensors"))
     with open(os.path.join(ck_dir, "train_state.json"), "w") as f:
         json.dump(state, f, indent=2, default=float)

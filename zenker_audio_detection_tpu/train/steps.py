@@ -8,22 +8,14 @@ is the compiler, not a library.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from ..models import ast as ast_mod
-
-
-@dataclasses.dataclass
-class TrainState:
-    params: Any
-    opt_state: Any
-    step: int
 
 
 def make_loss_fn(config: ast_mod.ASTConfig, loss: Callable,

@@ -290,7 +290,10 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
             lg = np.asarray(veval(params, shard_shared(chunk)))
             logits_all.append(lg[:, : base.eval_batch_size - pad])
-        eval_logits = np.concatenate(logits_all, axis=1)
+        # empty eval split (e.g. an empty-but-present val npy): same guard
+        # as loop._predict / fold_parallel._stacked_eval
+        eval_logits = (np.concatenate(logits_all, axis=1) if logits_all
+                       else np.zeros((T, 0, 2)))
 
         rung_values: list[tuple[int, float]] = []
         for t in range(T):
