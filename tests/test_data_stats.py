@@ -132,7 +132,13 @@ def test_organize_long_audio_skips_idle(tmp_path, rng):
                       (rng.standard_normal(32000) * 0.1).astype(np.float32),
                       16000, dtype="float32")
     out = tmp_path / "Long"
+    # a specimen with NO long recordings must leave no empty patient dir
+    # (the reference creates specimen dirs lazily per written file,
+    # PrepareDatasetLongAudio.py:59-62) — phantom patient dirs would show
+    # up in downstream patient enumeration
+    (raw / "Zenker" / "Z02_y" / "OneSecond_Clips").mkdir(parents=True)
     n = prepare.organize_long_audio(str(raw), str(out))
     assert n == 1
     assert (out / "Zenker" / "Z01" / "rec.wav").exists()
     assert not (out / "Idle").exists()
+    assert not (out / "Zenker" / "Z02").exists()

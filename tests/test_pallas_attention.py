@@ -59,7 +59,13 @@ def test_mha_batched_heads_parity(rng, s):
     np.testing.assert_allclose(ours, ref, atol=2e-5)
 
 
-@pytest.mark.parametrize("s,bq", [(64, 64), (300, 128), (100, 256)])
+@pytest.mark.parametrize("s,bq", [
+    (64, 64), (300, 128), (100, 256),
+    # non-128-divisible block_q where round-to-max(LANE, bq) alone leaves
+    # s_pad % bq != 0: the floor-divided grid used to skip the trailing
+    # valid query rows (uninitialized output) — round-3 review finding
+    (1280, 96), (200, 96),
+])
 def test_mha_qblock_and_fused_parity(rng, s, bq):
     import jax.numpy as jnp
 

@@ -157,13 +157,18 @@ def test_capped_two_stage_bit_parity(ref_cv_dir, tmp_path, val_ratio):
 
     for fold in range(1, 6):
         sides = ["train", "test"] + (["val"] if val_ratio > 0 else [])
-        for side in sides:
-            rx = _load(ref2 / f"{side}_x_fold{fold}.npy")
-            ox = _load(our2 / f"{side}_x_fold{fold}.npy")
-            assert [str(a) for a in ox] == [str(a) for a in rx], (side, fold)
-            ry = _load(ref2 / f"{side}_y_fold{fold}.npy").astype(int)
-            oy = _load(our2 / f"{side}_y_fold{fold}.npy").astype(int)
-            np.testing.assert_array_equal(oy, ry)
+        # BOTH stages: the capped script groups split patients by
+        # class-qualified keys, so stage-1 val membership differs from the
+        # uncapped script's — pin stage-1 too (round-3 review finding)
+        for ref_d, our_d in ((ref1, our1), (ref2, our2)):
+            for side in sides:
+                rx = _load(ref_d / f"{side}_x_fold{fold}.npy")
+                ox = _load(our_d / f"{side}_x_fold{fold}.npy")
+                assert [str(a) for a in ox] == [str(a) for a in rx], \
+                    (side, fold)
+                ry = _load(ref_d / f"{side}_y_fold{fold}.npy").astype(int)
+                oy = _load(our_d / f"{side}_y_fold{fold}.npy").astype(int)
+                np.testing.assert_array_equal(oy, ry)
     ref_stats = json.loads((ref2 / "capping_stats_all_folds.json").read_text())
     our_stats = json.loads((our2 / "capping_stats_all_folds.json").read_text())
     assert our_stats == ref_stats
@@ -176,3 +181,12 @@ def test_extract_patient_id():
     assert S.extract_patient_id("/d/Healthy/H01/x.wav") == "H01"
     assert S.extract_patient_id("/d/Idle/Z03/clip.wav") == "Z03"
     assert S.extract_patient_id("/d/other/x.wav") == "UNKNOWN"
+
+
+def test_path_arrays_load_without_allow_pickle(our_cv_dir):
+    """The reference's own consumers (compute_ast_normalization_stats.py:60,
+    the trainers' np.load without allow_pickle) must be able to read our
+    split artifacts: non-empty path arrays are plain unicode, not pickled
+    object arrays."""
+    arr = np.load(our_cv_dir / "train_x_fold1.npy")  # allow_pickle=False
+    assert arr.dtype.kind == "U" and len(arr) > 0

@@ -30,7 +30,14 @@ def _reorganize(root_dir: str, save_path: str, *, subfolder_tag: str,
         for specimen in os.listdir(os.path.join(root_dir, cl)):
             specimen_id = specimen.split("_")[0]
             out_folder = os.path.join(save_path, cl, specimen_id)
-            os.makedirs(out_folder, exist_ok=True)
+            if subfolder_tag == "1sec":
+                # the short reference creates the specimen dir EAGERLY
+                # (PrepareDataset.py:34, before any subfolder check)...
+                os.makedirs(out_folder, exist_ok=True)
+            # ...while the long reference creates it lazily inside the
+            # write loop (PrepareDatasetLongAudio.py:59-62): a specimen
+            # with no long recordings must leave NO empty patient dir, or
+            # downstream patient enumeration sees phantom patients
 
             spec_dir = os.path.join(root_dir, cl, specimen)
             if subfolder_tag == "1sec":
@@ -55,6 +62,7 @@ def _reorganize(root_dir: str, save_path: str, *, subfolder_tag: str,
                     continue
                 wav, sr = aio.read_wav(os.path.join(src_dir, file))
                 mono = wav.mean(axis=0) if wav.shape[0] > 1 else wav[0]
+                os.makedirs(out_folder, exist_ok=True)
                 base, _ = os.path.splitext(file)
                 # PCM16 like the reference's soundfile.write default — also
                 # what keeps organized trees on the engine's int16

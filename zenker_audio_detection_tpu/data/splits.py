@@ -61,8 +61,22 @@ def _dist(labels) -> dict[int, int]:
     return {int(k): int(v) for k, v in zip(u, c)}
 
 
+def _paths_array(arr) -> np.ndarray:
+    """Path list -> the reference scripts' on-disk encoding: a plain
+    unicode ('<U') array, loadable WITHOUT allow_pickle — the reference's
+    own consumers (compute_ast_normalization_stats.py:60, the trainers'
+    np.load at train_ast_stage1_cross_validation.py:345-348) load these
+    files with the default allow_pickle=False, so a dtype=object (pickled)
+    save would crash them. Empty lists keep the 2stage reference's own
+    quirk of an empty OBJECT array (PrepareTrainingData_AST_cv_2stage.py
+    :219,:252)."""
+    if len(arr) == 0:
+        return np.empty((0,), dtype=object)
+    return np.asarray([str(p) for p in arr])
+
+
 def _save_paths(path, arr):
-    np.save(path, np.asarray(arr, dtype=object))
+    np.save(path, _paths_array(arr))
 
 
 def _write_csv(path, header, rows):
@@ -186,10 +200,24 @@ def make_base_cv_splits(dataset_root: str, output_dir: str,
 # ---------------------------------------------------------------------------
 
 
-def _group_by_patient(x, y):
+def extract_patient_id_capped(fp: str) -> str:
+    """Class-qualified patient key "Class/<pid>" — the CAPPED reference
+    script's own id format (…_capped.py:48-55). Unlike the uncapped
+    script's bare pid, this treats a patient's Idle and pathology files as
+    SEPARATE split units, which changes stage-1 validation membership and
+    the RNG consumption order; capped-mode splits must group this way to
+    stay bit-exact with the executed capped script."""
+    parts = str(fp).split("/")
+    for i, token in enumerate(parts):
+        if token in CLASS_TO_INDEX and i + 1 < len(parts):
+            return f"{token}/{parts[i + 1]}"
+    return "UNKNOWN"
+
+
+def _group_by_patient(x, y, key_fn=extract_patient_id):
     patient_to_indices: dict[str, list[int]] = {}
     for idx, fp in enumerate(x):
-        patient_to_indices.setdefault(extract_patient_id(fp), []).append(idx)
+        patient_to_indices.setdefault(key_fn(fp), []).append(idx)
     patient_label = {}
     for pid, indices in patient_to_indices.items():
         vals, counts = np.unique(np.asarray(y)[indices], return_counts=True)
@@ -210,14 +238,15 @@ def _materialize(x, y, patient_to_indices, train_patients, val_patients):
             train_patients, val_patients)
 
 
-def patient_stratified_split(x, y, val_ratio: float, seed: int):
+def patient_stratified_split(x, y, val_ratio: float, seed: int,
+                             key_fn=extract_patient_id):
     """Seeded random patient-level split (…_2stage.py:82-119)."""
     x, y = np.asarray(x, dtype=object), np.asarray(y)
     if val_ratio <= 0:
         return (x, y, np.empty((0,), object), np.empty((0,), y.dtype),
                 set(), set())
     rng = np.random.default_rng(seed)
-    patient_to_indices, label_to_patients = _group_by_patient(x, y)
+    patient_to_indices, label_to_patients = _group_by_patient(x, y, key_fn)
     val_patients, train_patients = set(), set()
     for lbl, plist in label_to_patients.items():
         rng.shuffle(plist)
@@ -229,13 +258,14 @@ def patient_stratified_split(x, y, val_ratio: float, seed: int):
     return _materialize(x, y, patient_to_indices, train_patients, val_patients)
 
 
-def patient_per_fold_split(x, y, val_ratio: float, fold: int):
+def patient_per_fold_split(x, y, val_ratio: float, fold: int,
+                           key_fn=extract_patient_id):
     """Deterministic per-fold rotation split (…_2stage.py:122-160)."""
     x, y = np.asarray(x, dtype=object), np.asarray(y)
     if val_ratio <= 0:
         return (x, y, np.empty((0,), object), np.empty((0,), y.dtype),
                 set(), set())
-    patient_to_indices, label_to_patients = _group_by_patient(x, y)
+    patient_to_indices, label_to_patients = _group_by_patient(x, y, key_fn)
     val_patients, train_patients = set(), set()
     for lbl, plist in label_to_patients.items():
         plist_sorted = sorted(plist)
@@ -333,10 +363,16 @@ def derive_two_stage_splits(cv_dir: str, out_stage1: str, out_stage2: str,
             }, f, indent=2)
     all_capping_stats = {}
 
+    # the capped script groups split patients by class-qualified keys
+    # (extract_patient_id_capped docstring); the uncapped one by bare pid
+    key_fn = extract_patient_id_capped if capping else extract_patient_id
+
     def split_fn(x, y, fold):
         if opts.val_mode == "per-fold":
-            return patient_per_fold_split(x, y, opts.val_ratio, fold)
-        return patient_stratified_split(x, y, opts.val_ratio, opts.seed)
+            return patient_per_fold_split(x, y, opts.val_ratio, fold,
+                                          key_fn=key_fn)
+        return patient_stratified_split(x, y, opts.val_ratio, opts.seed,
+                                        key_fn=key_fn)
 
     metas = []
     for fold in range(1, opts.num_folds + 1):
@@ -407,15 +443,15 @@ def derive_two_stage_splits(cv_dir: str, out_stage1: str, out_stage2: str,
 
         # ---- persist ----
         def persist(out_dir, stage, tr_x, tr_y, va_x, va_y, te_x, te_y):
-            np.save(os.path.join(out_dir, f"train_x_fold{fold}.npy"),
-                    np.asarray(tr_x, object))
+            _save_paths(os.path.join(out_dir, f"train_x_fold{fold}.npy"),
+                        tr_x)
             np.save(os.path.join(out_dir, f"train_y_fold{fold}.npy"), tr_y)
             if opts.val_ratio > 0:
-                np.save(os.path.join(out_dir, f"val_x_fold{fold}.npy"),
-                        np.asarray(va_x, object))
+                _save_paths(os.path.join(out_dir, f"val_x_fold{fold}.npy"),
+                            va_x)
                 np.save(os.path.join(out_dir, f"val_y_fold{fold}.npy"), va_y)
-            np.save(os.path.join(out_dir, f"test_x_fold{fold}.npy"),
-                    np.asarray(te_x, object))
+            _save_paths(os.path.join(out_dir, f"test_x_fold{fold}.npy"),
+                        te_x)
             np.save(os.path.join(out_dir, f"test_y_fold{fold}.npy"), te_y)
             _write_csv(os.path.join(out_dir, f"train_{stage}_labels_fold{fold}.csv"),
                        f"file,label_{stage}", zip(tr_x, tr_y))

@@ -53,14 +53,35 @@ def compute_fold_stats(data_dir: str, fold: int) -> dict:
     if not train_x:
         return {"fold": fold, "mean": 0.0, "std": 0.0, "count": 0}
 
+    # Featurize through the jitted batched log-mel (one compiled program
+    # per distinct clip length, length-bucketed like loop._featurize_waves)
+    # instead of eager per-op dispatch per file — identical numerics (the
+    # f64 accumulation below still runs on host over the f32 features),
+    # but minutes instead of hours over the TPU tunnel (CLAUDE.md: eager
+    # dispatch costs ~100 s per small program there).
+    import jax.numpy as jnp
+
+    from ..train.loop import _jit_logmel
+
+    waves = [aio.load_audio(str(p), SAMPLING_RATE) for p in train_x]
     running_sum = running_sq = 0.0
     total = 0
-    for path in train_x:
-        audio = aio.load_audio(str(path), SAMPLING_RATE)
-        s, sq, c = file_feature_sums(audio)
-        running_sum += s
-        running_sq += sq
-        total += c
+    by_len: dict[int, list[int]] = {}
+    for i, w in enumerate(waves):
+        by_len.setdefault(len(w), []).append(i)
+    for length, idxs in sorted(by_len.items()):
+        n = F.num_frames(length)
+        if n <= 0:
+            total += len(idxs) * F.MAX_FRAMES * F.NUM_MEL_BINS
+            continue
+        for s0 in range(0, len(idxs), 32):
+            chunk = idxs[s0: s0 + 32]
+            stack = np.stack([waves[i] for i in chunk]).astype(np.float32)
+            raw = np.asarray(_jit_logmel(jnp.asarray(stack)),
+                             dtype=np.float64)[:, :F.MAX_FRAMES]
+            running_sum += float(raw.sum())
+            running_sq += float((raw ** 2).sum())
+            total += len(chunk) * F.MAX_FRAMES * F.NUM_MEL_BINS
 
     if total == 0:
         return {"fold": fold, "mean": 0.0, "std": 0.0, "count": 0}

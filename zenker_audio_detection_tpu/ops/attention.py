@@ -188,7 +188,11 @@ def mha_qblock(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     B, S, NH, D = q.shape
     scale = 1.0 / math.sqrt(D)
-    s_pad = _round_up(S, max(LANE, block_q))
+    # pad to a multiple of BOTH the lane width and block_q: with a
+    # non-128-divisible block_q, rounding to max(LANE, block_q) alone can
+    # leave s_pad % block_q != 0 and the floor-divided grid would skip the
+    # trailing valid query rows (uninitialized output, no error)
+    s_pad = _round_up(S, math.lcm(LANE, block_q))
     n_qb = s_pad // block_q
 
     def to_bh(x):
@@ -257,7 +261,11 @@ def mha_fused(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     B, S, NH, D = q.shape
     scale = 1.0 / math.sqrt(D)
-    s_pad = _round_up(S, max(LANE, block_q))
+    # pad to a multiple of BOTH the lane width and block_q: with a
+    # non-128-divisible block_q, rounding to max(LANE, block_q) alone can
+    # leave s_pad % block_q != 0 and the floor-divided grid would skip the
+    # trailing valid query rows (uninitialized output, no error)
+    s_pad = _round_up(S, math.lcm(LANE, block_q))
     n_qb = s_pad // block_q
 
     def padded(x):
