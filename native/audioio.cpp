@@ -149,6 +149,10 @@ int audioio_wav_info(const char* path, int* channels, int* sample_rate,
   fclose(f);
   WavInfo w;
   if (!parse_wav(buf.data(), buf.size(), &w)) return 3;
+  // sub-byte / missing bits_per_sample (e.g. 4-bit ADPCM): return an error
+  // code instead of dividing by zero (SIGFPE would kill the whole process
+  // and defeat the C-ABI error fallback in audio/native.py)
+  if (w.bits < 8) return 3;
   *channels = w.channels;
   *sample_rate = w.sample_rate;
   *num_frames = static_cast<long long>(w.data_size / (w.bits / 8) / w.channels);

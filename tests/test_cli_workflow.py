@@ -36,7 +36,7 @@ def dataset(workdir):
     short = workdir / "Short"
     long_dir = workdir / "Long"
     # Amplitudes make the corpus separable AND in-distribution end-to-end:
-    # Idle/quiet 0.001 << Healthy 0.05 << Zenker 0.4, and the long files'
+    # Idle/quiet 0.001 << Healthy 0.1 << Zenker 0.8, and the long files'
     # active segments use the SAME class amplitude as the training clips,
     # so the calibrated cascade can be judged on recovering the planted
     # patient labels (not just on producing well-formed JSON).
@@ -47,7 +47,7 @@ def dataset(workdir):
     # global level survives — though it learns fine at --max-length 128.
     # Real pretrained weights don't have this limit; model math is pinned
     # separately by the HF logit-parity tests.)
-    for cls, n_pat, amp in [("Healthy", 6, 0.05), ("Zenker", 6, 0.4)]:
+    for cls, n_pat, amp in [("Healthy", 6, 0.1), ("Zenker", 6, 0.8)]:
         for i in range(n_pat):
             pid = f"{cls[0]}{i:02d}"
             d = short / cls / pid
@@ -118,11 +118,17 @@ def prepared(workdir, dataset):
 def trained(prepared, pretrained):
     from zenker_audio_detection_tpu.cli import train_stage1, train_stage2
 
-    common = ["--fold", "1", "--num-epochs", "8", "--batch-size", "8",
+    common = ["--fold", "1", "--num-epochs", "12", "--batch-size", "8",
               "--learning-rate", "1e-2", "--no-augment", "--f32",
               "--no-early-stopping", "--pretrained-model-dir", pretrained]
     train_stage1.main(common)
-    train_stage2.main(common)
+    # pure CE for stage 2: the reference's focal(2.0)+smoothing(0.1)
+    # defaults cap window probabilities near 0.5 on this tiny model,
+    # leaving no margin for the ZSR decision; the loss-quirk parity is
+    # pinned separately (test_losses/test_fold_parallel), this suite
+    # judges the calibrated DECISION path
+    train_stage2.main(common + ["--focal-gamma", "0",
+                                "--label-smoothing", "0"])
     return prepared
 
 
@@ -246,14 +252,16 @@ def test_short_seq_quality_parity(trained, dataset, pretrained):
                                                 train_stage1, train_stage2)
 
     _, long_dir = dataset
-    common = ["--fold", "1", "--num-epochs", "8", "--batch-size", "8",
+    common = ["--fold", "1", "--num-epochs", "12", "--batch-size", "8",
               "--learning-rate", "1e-2", "--no-augment", "--f32",
               "--no-early-stopping", "--pretrained-model-dir", pretrained,
               "--max-length", "128"]
     train_stage1.main(common + ["--output-root",
                                 "runs_short/ast_classifier_stage1"])
     train_stage2.main(common + ["--output-root",
-                                "runs_short/ast_classifier_stage2"])
+                                "runs_short/ast_classifier_stage2",
+                                "--focal-gamma", "0",
+                                "--label-smoothing", "0"])
     # the exported short models carry max_length=128 and serve transparently
     mcfg = json.loads((trained / "runs_short/ast_classifier_stage2/fold1"
                        / "best/config.json").read_text())

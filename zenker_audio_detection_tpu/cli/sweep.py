@@ -82,6 +82,10 @@ def main(argv=None):
                               seed=args.seed, output_dir=args.output_dir,
                               parallel_trials=args.parallel_trials)
     best = out["best"]
+    if best is None:
+        print("\nNo completed trials (count=0 or empty sample space); "
+              "no best to report")
+        return
     print(f"\nBest trial {best['trial']}: value={best['value']:.4f} "
           f"params={best['params']}")
 

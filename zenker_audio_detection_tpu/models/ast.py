@@ -82,8 +82,19 @@ class ASTConfig:
 
 
 def _trunc_normal(key, shape, std, dtype=jnp.float32):
-    # HF uses trunc_normal_(std=initializer_range) clipped at 2 std.
-    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+    """torch nn.init.trunc_normal_(std=std) equivalent.
+
+    torch's default bounds a=-2, b=2 are ABSOLUTE values, i.e. ±(2/std)
+    sigmas — ≥100σ at the AST initializer_range 0.02, so the reference
+    init is an effectively UNtruncated normal(0, std). (A ±2σ truncation,
+    the earlier reading of those bounds, shrinks the effective std ~12%
+    below HF's.) For any std small enough that the bounds exceed 10σ the
+    truncation is numerically invisible and the plain-normal path also
+    avoids erfinv saturation at extreme bounds."""
+    lo, hi = -2.0 / std, 2.0 / std
+    if hi >= 10.0:
+        return std * jax.random.normal(key, shape, dtype)
+    return std * jax.random.truncated_normal(key, lo, hi, shape, dtype)
 
 
 def init_params(key: jax.Array, config: ASTConfig, dtype=jnp.float32) -> Params:
@@ -100,7 +111,7 @@ def init_params(key: jax.Array, config: ASTConfig, dtype=jnp.float32) -> Params:
 def _init_params_jit(key: jax.Array, config: ASTConfig, dtype) -> Params:
     h, i = config.hidden_size, config.intermediate_size
     L = config.num_hidden_layers
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 8)  # one per randomly-initialized tensor
     std = config.initializer_range
 
     def dense(k, fan_in, fan_out, layers=None):
@@ -120,23 +131,25 @@ def _init_params_jit(key: jax.Array, config: ASTConfig, dtype) -> Params:
             "kernel": _trunc_normal(ks[0], (p, p, 1, h), std, dtype),
             "bias": jnp.zeros((h,), dtype),
         },
+        # HF zeroes cls/distill tokens AND position embeddings at init
+        # (ASTPreTrainedModel._init_weights: ASTEmbeddings branch)
         "cls_token": jnp.zeros((1, 1, h), dtype),
         "dist_token": jnp.zeros((1, 1, h), dtype),
-        "pos_embed": _trunc_normal(ks[1], (1, config.seq_length, h), std, dtype),
+        "pos_embed": jnp.zeros((1, config.seq_length, h), dtype),
         "encoder": {
             "ln1": ln(L),
-            "q": dense(ks[2], h, h, L),
-            "k": dense(ks[3], h, h, L),
-            "v": dense(ks[4], h, h, L),
-            "attn_out": dense(ks[5], h, h, L),
+            "q": dense(ks[1], h, h, L),
+            "k": dense(ks[2], h, h, L),
+            "v": dense(ks[3], h, h, L),
+            "attn_out": dense(ks[4], h, h, L),
             "ln2": ln(L),
-            "fc1": dense(ks[6], h, i, L),
-            "fc2": dense(ks[7], i, h, L),
+            "fc1": dense(ks[5], h, i, L),
+            "fc2": dense(ks[6], i, h, L),
         },
         "ln_final": ln(),
         "head": {
             "ln": ln(),
-            "dense": dense(ks[8], h, config.num_labels),
+            "dense": dense(ks[7], h, config.num_labels),
         },
     }
 

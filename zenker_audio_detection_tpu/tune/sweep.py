@@ -57,7 +57,10 @@ def sample_parameters(parameters: dict, rng: np.random.Generator) -> dict:
     for name, spec in parameters.items():
         if name in _IGNORED:
             continue
-        if "values" in spec:
+        if "value" in spec:
+            # canonical W&B constant form: {value: x}
+            out[name] = spec["value"]
+        elif "values" in spec:
             out[name] = spec["values"][int(rng.integers(len(spec["values"])))]
         elif spec.get("distribution") == "uniform":
             out[name] = float(rng.uniform(spec["min"], spec["max"]))
@@ -113,7 +116,10 @@ class HyperbandCut:
             if epoch not in self.rungs:
                 return False
             value = metrics[self.metric_key]
-            prior = self.history[epoch]
+            # snapshot the PRIOR trials' values before recording this one:
+            # `prior = self.history[epoch]` would alias the list and let
+            # the current trial contaminate its own cut median
+            prior = list(self.history[epoch])
             self.history[epoch].append(value)
             if len(prior) >= 2:
                 med = float(np.median(prior))
@@ -195,7 +201,9 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
     ne_spec = sweep["parameters"].get("num-epochs")
     if ne_spec:
         vals = ne_spec.get("values")
-        if vals and len(set(vals)) == 1:
+        if "value" in ne_spec:  # canonical W&B constant form
+            eff_epochs = int(ne_spec["value"])
+        elif vals and len(set(vals)) == 1:
             eff_epochs = int(vals[0])
         elif sweep.get("early_terminate"):
             raise ValueError("hyperband rungs are global: a SWEPT "

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from datetime import datetime
 from typing import Any
@@ -44,8 +45,12 @@ class Run:
         self._metrics_path = os.path.join(self.dir, "metrics.jsonl")
         # fresh history per run: a rerun under the same name replaces the
         # previous run's files wholesale (last-run-wins, like config.json /
-        # summary.json below) instead of appending mixed metric streams
+        # summary.json below) instead of appending mixed metric streams —
+        # including media/tables/artifacts, or a rerun with different fold
+        # counts / table names would leave the old run's files mixed in
         open(self._metrics_path, "w").close()
+        for sub in ("media", "tables", "artifacts"):
+            shutil.rmtree(os.path.join(self.dir, sub), ignore_errors=True)
         with open(os.path.join(self.dir, "config.json"), "w") as f:
             json.dump(self.config, f, indent=2, default=str)
 
