@@ -183,6 +183,25 @@ def test_train_fold_mesh_matches_single_device(product_tree):
         assert abs(v - m_mesh[k]) < 1e-5, (k, v, m_mesh[k])
 
 
+def _assert_json_close(a, b, atol=1e-6, path=""):
+    """Structural equality with float tolerance: sharded vs single-device
+    programs partition/fuse differently in XLA, so probabilities may differ
+    at the ULP level (measured ~6e-8) — decisions and every non-float field
+    must still match exactly."""
+    if isinstance(a, dict):
+        assert isinstance(b, dict) and a.keys() == b.keys(), path
+        for k in a:
+            _assert_json_close(a[k], b[k], atol, f"{path}.{k}")
+    elif isinstance(a, list):
+        assert isinstance(b, list) and len(a) == len(b), path
+        for i, (x, y) in enumerate(zip(a, b)):
+            _assert_json_close(x, y, atol, f"{path}[{i}]")
+    elif isinstance(a, float) and isinstance(b, float):
+        assert a == pytest.approx(b, abs=atol), (path, a, b)
+    else:
+        assert a == b, (path, a, b)
+
+
 def test_infer_cli_num_devices_matches_single(product_tree):
     import json
 
@@ -201,8 +220,8 @@ def test_infer_cli_num_devices_matches_single(product_tree):
             "--output-json", str(out), "--f32", "--disable-cache",
             "--batch-size", "16", *extra])
         outs[tag] = json.loads(out.read_text())
-    assert outs["single"]["aggregate"] == outs["mesh"]["aggregate"]
-    assert outs["single"]["per_file"] == outs["mesh"]["per_file"]
+    _assert_json_close(outs["single"]["aggregate"], outs["mesh"]["aggregate"])
+    _assert_json_close(outs["single"]["per_file"], outs["mesh"]["per_file"])
 
 
 def test_batch_driver_num_devices_matches_single(product_tree):
@@ -227,8 +246,8 @@ def test_batch_driver_num_devices_matches_single(product_tree):
             "--model-root", str(product_tree / "runs"),
             "--batch-size", "16", "--f32", "--disable-cache", *extra])
         outs[tag] = json.loads((out_dir / "ZP0_2stage.json").read_text())
-    assert outs["single"]["per_file"] == outs["mesh"]["per_file"]
-    assert outs["single"]["aggregate"] == outs["mesh"]["aggregate"]
+    _assert_json_close(outs["single"]["per_file"], outs["mesh"]["per_file"])
+    _assert_json_close(outs["single"]["aggregate"], outs["mesh"]["aggregate"])
 
 
 # ---------------------------------------------------------------------------
@@ -335,5 +354,5 @@ def test_infer_cli_num_slices_matches_single(product_tree):
             "--output-json", str(out), "--f32", "--disable-cache",
             "--batch-size", "16", *extra])
         outs[tag] = json.loads(out.read_text())
-    assert outs["single"]["aggregate"] == outs["dcn"]["aggregate"]
-    assert outs["single"]["per_file"] == outs["dcn"]["per_file"]
+    _assert_json_close(outs["single"]["aggregate"], outs["dcn"]["aggregate"])
+    _assert_json_close(outs["single"]["per_file"], outs["dcn"]["per_file"])

@@ -172,7 +172,11 @@ def test_hyperband_rung_cut_masks_trials(tree):
     cfgs = [dataclasses.replace(c, num_epochs=3,
                                 enable_early_stopping=False)
             for c in _trial_cfgs(tree, "hb")]
-    out = train_trials_parallel(1, cfgs, rungs=[1])
+    # cut on loss (minimize): the separable fixture drives every trial's
+    # f1 to 1.0 by rung 1 with the HF-faithful init, and median cuts must
+    # act on a metric that actually spreads across trials
+    out = train_trials_parallel(1, cfgs, rungs=[1], goal="minimize",
+                                rung_metric="loss")
     cut = [m for m in out if "hyperband_cut_at_epoch" in m]
     survived = [m for m in out if "hyperband_cut_at_epoch" not in m]
     assert cut and survived  # median rule cuts some, keeps some
