@@ -35,6 +35,27 @@ def test_wav_num_frames_clamps_placeholder_sizes(tmp_path):
     assert discovery.wav_num_frames(str(tmp_path / "missing.wav")) == 0
 
 
+def test_wav_num_frames_empty_data_with_trailing_chunks(tmp_path):
+    """An explicitly empty data chunk followed by a valid trailing chunk
+    (e.g. LIST/INFO metadata) really has 0 frames — the size-0 placeholder
+    fallback applies only when the data chunk runs to EOF."""
+    p = _write(tmp_path / "a.wav", 1.0)
+    raw = bytearray(open(p, "rb").read())
+    idx = raw.find(b"data")
+    payload = raw[idx + 8:]
+    # rebuild: empty data chunk, then the old payload wrapped as a LIST chunk
+    rebuilt = raw[:idx + 4] + struct.pack("<I", 0) \
+        + b"LIST" + struct.pack("<I", len(payload)) + payload
+    q = tmp_path / "empty_data_trailing.wav"
+    q.write_bytes(bytes(rebuilt))
+    assert discovery.wav_num_frames(str(q)) == 0
+    # but size==0 with non-chunk garbage after it is still a placeholder
+    garbage = raw[:idx + 4] + struct.pack("<I", 0) + bytes(payload)
+    r = tmp_path / "placeholder_to_eof.wav"
+    r.write_bytes(garbage)
+    assert discovery.wav_num_frames(str(r)) == 16000
+
+
 def test_discover_keeps_two_longest(tmp_path):
     d = tmp_path / "Zenker" / "P7"
     d.mkdir(parents=True)

@@ -147,6 +147,19 @@ def test_serve_summary_nan_serialized_as_null(model_dirs):
     assert summary["stage2_mean_probs_over_swallow"] is None
 
 
+def test_json_safe_maps_all_nonfinite_to_null():
+    """NaN AND +/-Inf must become null on the wire — json.dumps would emit
+    the non-standard 'Infinity' token for an overflowing metric."""
+    payload = {"a": float("nan"), "b": float("inf"), "c": float("-inf"),
+               "d": [1.0, float("inf")], "e": ("x", float("nan")), "f": 2}
+    safe = serve._json_safe(payload)
+    assert safe == {"a": None, "b": None, "c": None,
+                    "d": [1.0, None], "e": ["x", None], "f": 2}
+    json.loads(json.dumps(safe),
+               parse_constant=lambda s: (_ for _ in ()).throw(
+                   AssertionError(s)))
+
+
 def test_serve_requires_model_roots():
     with pytest.raises(ValueError, match="Model roots"):
         serve.main([], stdin_buffer=io.BytesIO(b""), stdout=io.StringIO())

@@ -29,6 +29,7 @@ A WAV path via --input simulates a live source by feeding
 
 import argparse
 import json
+import math
 import sys
 
 import numpy as np
@@ -197,19 +198,20 @@ def main(argv=None, stdin_buffer=None, stdout=None):
 
 
 def _json_safe(obj):
-    """Replace NaN floats with None for the wire protocol.
+    """Replace non-finite floats (NaN, +/-Inf) with None for the wire.
 
     ``streaming.summary()`` keeps the reference-exact NaN sentinel for
     stage2_mean_probs_over_swallow when swallow windows exist but none passed
     the stage-1 gate (test_long_audio_windows_2stage.py:176-183 semantics);
-    ``json.dumps`` would serialize that as the non-standard token ``NaN``,
-    breaking strict JSONL consumers of the one-object-per-line protocol, so
-    the wire form is ``null`` while on-disk summaries keep NaN."""
+    ``json.dumps`` would serialize that as the non-standard token ``NaN``
+    (and an overflowing metric as ``Infinity``), breaking strict JSONL
+    consumers of the one-object-per-line protocol, so the wire form is
+    ``null`` while on-disk summaries keep NaN."""
     if isinstance(obj, dict):
         return {k: _json_safe(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):
         return [_json_safe(v) for v in obj]
-    if isinstance(obj, float) and obj != obj:
+    if isinstance(obj, float) and not math.isfinite(obj):
         return None
     return obj
 

@@ -55,10 +55,11 @@ def compute_fold_stats(data_dir: str, fold: int) -> dict:
 
     # Featurize through the jitted batched log-mel (one compiled program
     # per distinct clip length, length-bucketed like loop._featurize_waves)
-    # instead of eager per-op dispatch per file — identical numerics (the
-    # f64 accumulation below still runs on host over the f32 features),
-    # but minutes instead of hours over the TPU tunnel (CLAUDE.md: eager
-    # dispatch costs ~100 s per small program there).
+    # instead of eager per-op dispatch per file — numerically equivalent
+    # (f64 accumulation below still runs on host over the f32 features,
+    # but batching reorders the sums, so mean/std can drift at ~1e-12
+    # relative vs a per-file loop), and minutes instead of hours over the
+    # TPU tunnel (CLAUDE.md: eager dispatch costs ~100 s per small program).
     import jax.numpy as jnp
 
     from ..train.loop import _jit_logmel

@@ -36,12 +36,37 @@ def wav_num_frames(path: str) -> int:
                     block_align = struct.unpack_from("<H", fmt, 12)[0]
                 elif chunk_id == b"data":
                     avail = file_size - f.tell()
-                    size = min(size, avail) if size else avail
+                    if size > avail:
+                        # over-declared (incl. the 0xFFFFFFFF placeholder):
+                        # clamp to the bytes actually present
+                        size = avail
+                    elif size == 0 and avail > 0 and \
+                            not _looks_like_riff_chunk(f, avail):
+                        # size==0 is a placeholder only when the data chunk
+                        # runs to EOF (recorder never finalized the header);
+                        # an explicitly empty data chunk followed by valid
+                        # trailing chunks (LIST/INFO/...) really has 0 frames
+                        size = avail
                     return size // block_align if block_align else 0
                 else:
                     f.seek(size + (size & 1), 1)
     except Exception:
         return 0
+
+
+def _looks_like_riff_chunk(f, avail: int) -> bool:
+    """True if the bytes at the current position parse as a plausible RIFF
+    chunk header (printable-ASCII id, declared size fitting in the file).
+    Position is restored. Used to tell an empty data chunk with trailing
+    chunks apart from a streaming-recorder size placeholder."""
+    pos = f.tell()
+    hdr = f.read(8)
+    f.seek(pos)
+    if len(hdr) < 8:
+        return False
+    cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+    return (all(0x20 <= b <= 0x7E for b in cid)
+            and 8 + size <= avail + 1)  # +1: optional pad byte slack
 
 
 def discover_two_files(root: str, patient_id: str,
