@@ -87,6 +87,59 @@ def test_tracking_run(tmp_path):
     assert json.loads((d / "summary.json").read_text())["best_f1"] == 0.7
 
 
+def _read_tb_scalars(logdir):
+    """Parse TensorBoard event files into {tag: [(step, value), ...]}."""
+    import os
+
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader,
+    )
+    from tensorboard.util import tensor_util
+
+    out = {}
+    for fn in sorted(os.listdir(logdir)):
+        if "tfevents" not in fn:
+            continue
+        for ev in EventFileLoader(os.path.join(logdir, fn)).Load():
+            for val in ev.summary.value:
+                v = float(tensor_util.make_ndarray(val.tensor)) \
+                    if val.HasField("tensor") else val.simple_value
+                out.setdefault(val.tag, []).append((ev.step, v))
+    return out
+
+
+def test_tracking_tensorboard_events(tmp_path):
+    """Scalar metrics are mirrored as TensorBoard event files under
+    <run>/logs/ (reference HF Trainer logging_dir + logging_steps=20,
+    src/train_ast_stage1_cross_validation.py:478,490-491): the per-step
+    loss channel must be recoverable from the event file at its HF global
+    step, non-scalar values skipped, summary written at finish."""
+    run = tracking.Run("proj", name="tb1", dir=str(tmp_path),
+                       use_wandb=False)
+    # the trainer's per-step loss channel shape (no explicit step arg:
+    # train_step is the HF global step)
+    run.log({"fold": 1, "train_step": 20, "train_step_loss": 0.5})
+    run.log({"fold": 1, "train_step": 40, "train_step_loss": 0.25})
+    # per-epoch record: auto-step, strings skipped
+    run.log({"fold": 1, "epoch": 1, "eval_f1": 0.9, "note": "text"})
+    run.summary(best_f1=0.9)
+    run.finish()
+    scalars = _read_tb_scalars(str(tmp_path / "tb1" / "logs"))
+    assert scalars["train_step_loss"] == [(20, 0.5), (40, 0.25)]
+    assert [v for _, v in scalars["eval_f1"]] == [pytest.approx(0.9)]
+    assert scalars["eval_f1"][0][0] >= 41  # auto-step stays monotonic
+    assert "note" not in scalars
+    assert [v for _, v in scalars["summary/best_f1"]] == [pytest.approx(0.9)]
+
+
+def test_tracking_tensorboard_disabled(tmp_path):
+    run = tracking.Run("proj", name="tb0", dir=str(tmp_path),
+                       use_wandb=False, use_tensorboard=False)
+    run.log({"x": 1.0}, step=1)
+    run.finish()
+    assert not (tmp_path / "tb0" / "logs").exists()
+
+
 def test_throughput_counter():
     tp = profiling.Throughput("windows")
     with tp.measure(100):

@@ -198,6 +198,15 @@ def test_per_fold_tracking_runs(tmp_path):
     assert any(r.get("epoch") == 1 and "eval_f1" in r for r in records)
     step_recs = [r for r in records if "train_step_loss" in r]
     assert step_recs and step_recs[0]["train_step"] == 1
+    # TensorBoard mirror: event files under <run>/logs with the same
+    # per-step loss points at their HF global steps
+    from test_sweep_utils import _read_tb_scalars
+    tb = _read_tb_scalars(str(fold_run / "logs"))
+    assert [s for s, _ in tb["train_step_loss"]] == \
+        [r["train_step"] for r in step_recs]
+    assert tb["train_step_loss"][0][1] == pytest.approx(
+        step_recs[0]["train_step_loss"])
+    assert "eval_f1" in tb
     # CM plot + report table + config artifact channels
     media = list((fold_run / "media").glob("*confusion_matrix*"))
     assert media, "no CM plot logged"

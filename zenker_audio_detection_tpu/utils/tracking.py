@@ -2,8 +2,11 @@
 
 `Run` is a W&B-shaped tracker (init/log/log_image/log_table/log_artifact/
 summary/finish) that always writes locally (config.json + metrics.jsonl +
-media/ + tables/ + artifacts/ + summary.json under <dir>/<run_id>/) and
-mirrors to the real `wandb` package when it is installed and not disabled —
+media/ + tables/ + artifacts/ + summary.json under <dir>/<run_id>/),
+mirrors scalar metrics as TensorBoard event files under <run>/logs/ (the
+reference's HF Trainer writes TB logs at logging_dir=<output>/logs,
+src/train_ast_stage1_cross_validation.py:478,490-491), and mirrors to the
+real `wandb` package when it is installed and not disabled —
 so the reference's W&B workflow (scalar metrics, confusion-matrix plots,
 classification-report tables, config artifacts, per-fold runs + a summary
 run; src/train_ast_stage1_cross_validation.py:163-185,564-637,824-864,
@@ -32,11 +35,48 @@ def _wandb_or_none(offline: bool):
         return None
 
 
+class _TBWriter:
+    """TensorBoard scalar-event channel (reference: the HF Trainer writes
+    TB event files under logging_dir=<output>/logs with logging_steps=20,
+    src/train_ast_stage1_cross_validation.py:478,490-491). Uses the
+    tensorboard package's own EventFileWriter — no torch dependency — so
+    `tensorboard --logdir <run>/logs` shows the per-step loss and per-epoch
+    metric curves. Construction raises ImportError where tensorboard is
+    absent; Run gates on that and degrades to jsonl-only."""
+
+    def __init__(self, logdir: str):
+        from tensorboard.compat.proto import event_pb2
+        from tensorboard.summary.writer.event_file_writer import (
+            EventFileWriter,
+        )
+
+        os.makedirs(logdir, exist_ok=True)
+        self._event_pb2 = event_pb2
+        self._writer = EventFileWriter(logdir)
+
+    def add_scalars(self, metrics: dict, step: int) -> None:
+        ev = self._event_pb2.Event(wall_time=time.time(), step=int(step))
+        n = 0
+        for k, v in metrics.items():
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                continue
+            val = ev.summary.value.add()
+            val.tag = str(k)
+            val.simple_value = float(v)
+            n += 1
+        if n:
+            self._writer.add_event(ev)
+
+    def close(self) -> None:
+        self._writer.close()
+
+
 class Run:
     def __init__(self, project: str, name: str | None = None,
                  config: dict | None = None, group: str | None = None,
                  dir: str = "runs/tracking", use_wandb: bool = True,
-                 offline: bool = False, entity: str | None = None):
+                 offline: bool = False, entity: str | None = None,
+                 use_tensorboard: bool = True):
         self.run_id = name or datetime.now().strftime("%Y%m%d_%H%M%S")
         self.dir = os.path.join(dir, self.run_id)
         os.makedirs(self.dir, exist_ok=True)
@@ -49,10 +89,19 @@ class Run:
         # including media/tables/artifacts, or a rerun with different fold
         # counts / table names would leave the old run's files mixed in
         open(self._metrics_path, "w").close()
-        for sub in ("media", "tables", "artifacts"):
+        for sub in ("media", "tables", "artifacts", "logs"):
             shutil.rmtree(os.path.join(self.dir, sub), ignore_errors=True)
         with open(os.path.join(self.dir, "config.json"), "w") as f:
             json.dump(self.config, f, indent=2, default=str)
+
+        # TensorBoard mirror of scalar metrics (created lazily on the first
+        # scalar log so metric-free runs leave no empty event files); steps:
+        # explicit `step` arg > the record's train_step (the HF global step)
+        # > a monotonic auto-counter (same rationale as the wandb auto-step)
+        self._use_tb = use_tensorboard
+        self._tb: _TBWriter | None = None
+        self._tb_failed = False
+        self._tb_next_step = 0
 
         self._wandb = _wandb_or_none(offline) if use_wandb else None
         self._wandb_run = None
@@ -71,8 +120,25 @@ class Run:
             rec["_step"] = step
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(rec, default=float) + "\n")
+        self._tb_log(metrics, step)
         if self._wandb_run is not None:
             self._wandb_run.log(metrics, step=step)
+
+    def _tb_log(self, metrics: dict, step: int | None) -> None:
+        if not self._use_tb or self._tb_failed:
+            return
+        if self._tb is None:
+            try:
+                self._tb = _TBWriter(os.path.join(self.dir, "logs"))
+            except Exception as exc:  # tensorboard absent/broken: jsonl-only
+                print(f"[tracking][WARN] tensorboard channel disabled: {exc}")
+                self._tb_failed = True
+                return
+        if step is None:
+            ts = metrics.get("train_step")
+            step = ts if isinstance(ts, int) else self._tb_next_step
+        self._tb_next_step = max(self._tb_next_step, int(step) + 1)
+        self._tb.add_scalars(metrics, step)
 
     def log_image(self, name: str, path: str) -> None:
         """Register an image file (e.g. a confusion-matrix plot): copied to
@@ -132,6 +198,14 @@ class Run:
     def finish(self) -> None:
         with open(os.path.join(self.dir, "summary.json"), "w") as f:
             json.dump(self._summary, f, indent=2, default=float)
+        if self._tb is not None:
+            # final summary scalars at the last step, like the HF Trainer's
+            # end-of-train metrics, then flush the event file to disk
+            self._tb.add_scalars(
+                {f"summary/{k}": v for k, v in self._summary.items()},
+                max(self._tb_next_step - 1, 0))
+            self._tb.close()
+            self._tb = None
         if self._wandb_run is not None:
             for k, v in self._summary.items():
                 self._wandb_run.summary[k] = v
