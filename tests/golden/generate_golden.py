@@ -130,7 +130,78 @@ def gen_vocoder():
     print("wrote vocoder_golden.npz")
 
 
+def gen_cascade():
+    """cascade_golden.npz — frozen full-cascade outputs (round-3 VERDICT
+    next-round #4): C12 parity is otherwise recomputed against the live
+    torch/transformers oracle each run, so a dependency upgrade could shift
+    the reference silently. This pins, for FIXED tiny weights (stored in the
+    npz, so init/RNG changes cannot invalidate the pin) and stored audio:
+
+    * per-file stage-1/stage-2 window probabilities (gated mode), and
+    * the complete per-patient JSON from `TwoStageEngine.run_patient`
+      (reference schema: src/test_long_audio_windows_2stage.py:360-410,
+      summary quirks: .._cache.py:243-301),
+
+    generated on the CPU backend in f32 so the torch-free regression test
+    (tests/test_golden.py) reproduces them to tight tolerance."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(HERE, "..", ".."))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.infer import cascade as C
+    from zenker_audio_detection_tpu.models import ast as ast_mod
+    from zenker_audio_detection_tpu.models.convert import _flatten_tree
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            max_length=256, num_labels=2)
+    p1 = ast_mod.init_params(jax.random.PRNGKey(0), cfg)
+    p2 = ast_mod.init_params(jax.random.PRNGKey(1), cfg)
+    s1 = C.StageSpec(p1, cfg, -1.15, 3.53, ("Idle", "Swallow"))
+    s2 = C.StageSpec(p2, cfg, -0.9, 2.8, ("Healthy", "Zenker"))
+    engine = C.TwoStageEngine(
+        s1, s2, C.CascadeConfig(batch_size=16, dtype=jnp.float32))
+
+    rng = np.random.default_rng(77)
+    audio_a = (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)
+    audio_b = (rng.standard_normal(int(16000 * 7.3)) * 0.2).astype(np.float32)
+
+    out = {}
+    margins = []
+    for tag, audio in [("a", audio_a), ("b", audio_b)]:
+        s1_probs, s2_probs = engine.window_probs(audio)
+        out[f"audio_{tag}"] = audio
+        out[f"s1_probs_{tag}"] = np.asarray(s1_probs, np.float64)
+        out[f"s2_probs_{tag}"] = np.asarray(s2_probs, np.float64)
+        # every decision in the summary must sit far from its boundary, so
+        # small backend drift cannot flip a pinned integer count
+        margins.append(np.abs(s1_probs[:, 1] - 0.5).min())
+        evaluated = s2_probs[s2_probs.sum(axis=1) > 0]
+        if len(evaluated):
+            margins.append(np.abs(evaluated[:, 1] - 0.5).min())
+
+    patient = engine.run_patient(["a.wav", "b.wav"], [audio_a, audio_b],
+                                 "s1_root", "s2_root")
+    out["patient_json"] = np.bytes_(
+        json.dumps(patient, sort_keys=True).encode())
+    # the weights themselves (flattened pytree) — the pin must not depend on
+    # init_params/PRNG reproducing them
+    out.update({f"s1.{k}": np.asarray(v)
+                for k, v in _flatten_tree(p1).items()})
+    out.update({f"s2.{k}": np.asarray(v)
+                for k, v in _flatten_tree(p2).items()})
+    np.savez_compressed(os.path.join(HERE, "cascade_golden.npz"), **out)
+    print(f"wrote cascade_golden.npz (min decision margin "
+          f"{min(margins):.4f} — must be >> test atol)")
+
+
 if __name__ == "__main__":
     gen_resample()
     gen_fbank()
     gen_vocoder()
+    gen_cascade()

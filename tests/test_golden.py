@@ -117,3 +117,76 @@ def test_native_vocoder_matches_golden(vocoder_golden, rate):
     ref = vocoder_golden[f"rate_{rate:.6f}"]
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-8)
+
+
+# ---- full-cascade pins (cascade_golden.npz) -------------------------------
+# Torch-free drift guard for the two-stage cascade (C12): weights live in the
+# npz, so this fails on ANY numeric change in the fbank -> AST -> gate ->
+# summary chain without consulting the live torch/transformers oracle
+# (reference semantics: src/test_long_audio_windows_2stage.py:360-410).
+
+CASCADE_CFG = dict(hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+                   intermediate_size=32, max_length=256, num_labels=2)
+
+
+@pytest.fixture(scope="module")
+def cascade_golden():
+    return np.load(os.path.join(GOLDEN, "cascade_golden.npz"))
+
+
+@pytest.fixture(scope="module")
+def cascade_engine(cascade_golden):
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.infer import cascade as C
+    from zenker_audio_detection_tpu.models import ast as ast_mod
+    from zenker_audio_detection_tpu.models.convert import _unflatten_tree
+
+    g = cascade_golden
+    cfg = ast_mod.ASTConfig(**CASCADE_CFG)
+    p1 = _unflatten_tree({k[3:]: g[k] for k in g.files if k.startswith("s1.")})
+    p2 = _unflatten_tree({k[3:]: g[k] for k in g.files if k.startswith("s2.")})
+    s1 = C.StageSpec(p1, cfg, -1.15, 3.53, ("Idle", "Swallow"))
+    s2 = C.StageSpec(p2, cfg, -0.9, 2.8, ("Healthy", "Zenker"))
+    return C.TwoStageEngine(
+        s1, s2, C.CascadeConfig(batch_size=16, dtype=jnp.float32))
+
+
+@pytest.mark.parametrize("tag", ["a", "b"])
+def test_cascade_window_probs_match_golden(cascade_golden, cascade_engine,
+                                           tag):
+    g = cascade_golden
+    s1_probs, s2_probs = cascade_engine.window_probs(g[f"audio_{tag}"])
+    np.testing.assert_allclose(s1_probs, g[f"s1_probs_{tag}"], atol=1e-5)
+    np.testing.assert_allclose(s2_probs, g[f"s2_probs_{tag}"], atol=1e-5)
+
+
+def _json_close(got, want, path="$"):
+    """Pinned-JSON comparison: structure/strings/ints exact, floats to 1e-5
+    (far below the pinned 0.023 minimum decision margin, so integer counts
+    cannot legitimately differ while floats pass)."""
+    if isinstance(want, dict):
+        assert isinstance(got, dict) and set(got) == set(want), path
+        for k in want:
+            _json_close(got[k], want[k], f"{path}.{k}")
+    elif isinstance(want, list):
+        assert isinstance(got, list) and len(got) == len(want), path
+        for i, (a, b) in enumerate(zip(got, want)):
+            _json_close(a, b, f"{path}[{i}]")
+    elif want is None or isinstance(want, (bool, str)):
+        assert got == want, (path, got, want)
+    elif isinstance(want, int) and isinstance(got, int):
+        assert got == want, (path, got, want)
+    else:
+        assert abs(float(got) - float(want)) < 1e-5, (path, got, want)
+
+
+def test_cascade_patient_json_matches_golden(cascade_golden, cascade_engine):
+    import json
+
+    g = cascade_golden
+    want = json.loads(g["patient_json"].item().decode())
+    got = json.loads(json.dumps(cascade_engine.run_patient(
+        ["a.wav", "b.wav"], [g["audio_a"], g["audio_b"]],
+        "s1_root", "s2_root"), sort_keys=True))
+    _json_close(got, want)
