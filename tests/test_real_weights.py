@@ -36,10 +36,8 @@ RUNS = os.environ.get("ZENKER_RUNS_DIR")
 DATA1 = os.environ.get("ZENKER_DATA_STAGE1")
 DATA2 = os.environ.get("ZENKER_DATA_STAGE2")
 
-PAPER_CM = {
-    "stage1": np.array([[2590, 229], [108, 1324]]),
-    "stage2": np.array([[473, 261], [117, 581]]),
-}
+# canonical constant lives with the one-command runbook (analysis/validate.py)
+from zenker_audio_detection_tpu.analysis.validate import PAPER_CM  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,175 @@
+"""CI self-test of the `zenker-validate-real` runbook (round-3 VERDICT
+item #3): drives the ENTIRE validation chain — converter parity, both
+snippet evals, ROC/PR, cascade batch inference, patient aggregation,
+report table — on synthetic HF-format fixtures, plus a sensitivity check
+proving the CM PASS/FAIL logic actually discriminates."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from zenker_audio_detection_tpu.analysis import validate
+
+
+FOLDS = [1, 2]
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    """Fake runs tree (both stages x 2 folds), split data dirs, long-audio
+    tree + per-fold test-ids files — the exact layout the real assets use
+    (reference README; test_real_weights.py env-var docs)."""
+    import jax
+
+    from zenker_audio_detection_tpu.audio import io as aio
+    from zenker_audio_detection_tpu.models import ast as ast_mod, convert
+    from zenker_audio_detection_tpu.train import loop as train_loop
+
+    root = tmp_path_factory.mktemp("validate_real")
+    runs = root / "runs"
+    cfg = ast_mod.ASTConfig(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=4, intermediate_size=64,
+                            max_length=128, num_labels=2)
+    for si, stage in enumerate(("stage1", "stage2")):
+        for fold in FOLDS:
+            d = runs / f"ast_classifier_{stage}" / f"fold{fold}" / "best"
+            params = ast_mod.init_params(
+                jax.random.PRNGKey(10 * si + fold), cfg)
+            convert.save_hf_model_dir(params, cfg, str(d))
+            train_loop.save_feature_extractor_config(
+                str(d), -1.1509622, 3.5340312, max_length=128)
+
+    rng = np.random.default_rng(5)
+    for stage, classes in (("stage1", ("Idle", "Swallow")),
+                           ("stage2", ("Healthy", "Zenker"))):
+        data = root / f"data_ast_{stage}"
+        data.mkdir()
+        with open(data / "class_mapping.json", "w") as f:
+            json.dump({c: i for i, c in enumerate(classes)}, f)
+        for fold in FOLDS:
+            xs, ys = [], []
+            for i in range(6):
+                label = i % 2
+                amp = 0.02 if label == 0 else 0.3
+                p = root / "wavs" / f"{stage}_f{fold}_{i}.wav"
+                p.parent.mkdir(parents=True, exist_ok=True)
+                aio.write_wav(str(p), (rng.standard_normal(16000) * amp
+                                       ).astype(np.float32), 16000,
+                              dtype="float32")
+                xs.append(str(p))
+                ys.append(label)
+            np.save(data / f"test_x_fold{fold}.npy", np.asarray(xs, object))
+            np.save(data / f"test_y_fold{fold}.npy", np.asarray(ys))
+
+    la = root / "long_audio"
+    ids_dir = root / "data_ast_stage2"
+    for fold in FOLDS:
+        pids = []
+        for cls in ("Healthy", "Zenker"):
+            pid = f"{cls[0]}{fold:02d}"
+            pdir = la / cls / pid
+            pdir.mkdir(parents=True)
+            for j in range(2):
+                aio.write_wav(str(pdir / f"rec{j}.wav"),
+                              (rng.standard_normal(16000 * 3) * 0.2
+                               ).astype(np.float32), 16000, dtype="float32")
+            pids.append(f"{cls}/{pid}")
+        with open(ids_dir / f"test_ids_fold{fold}.txt", "w") as f:
+            f.write("\n".join(pids) + "\n")
+    return root, str(runs)
+
+
+@pytest.fixture(scope="module")
+def full_report(assets, tmp_path_factory):
+    import jax.numpy as jnp
+
+    root, runs = assets
+    out = str(tmp_path_factory.mktemp("report"))
+    report = validate.run_validation(
+        runs_dir=runs,
+        data_stage1=str(root / "data_ast_stage1"),
+        data_stage2=str(root / "data_ast_stage2"),
+        long_audio_root=str(root / "long_audio"),
+        output_dir=out, folds=FOLDS, dtype=jnp.float32)
+    return report, out
+
+
+def test_full_chain_passes_and_reports(full_report, capsys):
+    report, out = full_report
+    assert report["passed"] is True
+    names = {c["name"]: c for c in report["checks"]}
+
+    conv = [c for c in report["checks"] if "converter" in c["name"]]
+    assert len(conv) == 2 and all(c["verdict"] == "PASS" for c in conv)
+
+    cm_checks = [c for c in report["checks"] if "summed" in c["name"]]
+    assert len(cm_checks) == 2
+    for c in cm_checks:  # 12-window fake set != paper's N -> informational
+        assert c["verdict"] == "INFO"
+        assert np.asarray(c["cm"]).sum() == 12
+
+    roc = names["stage1 pooled val ROC-AUC"]
+    assert roc["verdict"] == "INFO" and 0.0 <= float(roc["ours"]) <= 1.0
+
+    agg = [c for c in report["checks"] if "aggregation" in c["name"]]
+    assert len(agg) == 1 and agg[0]["verdict"] == "INFO"
+    assert "4 patients" in agg[0]["ours"]
+
+    with open(os.path.join(out, "validation_report.json")) as f:
+        assert json.load(f)["passed"] is True
+    assert os.path.exists(os.path.join(out, "roc_pr_stage1.json"))
+    assert os.path.exists(os.path.join(out, "patient_aggregate.json"))
+    # four per-patient cascade JSONs (2 folds x 2 patients)
+    outs = [p for p in os.listdir(os.path.join(out, "outputs"))
+            if p.endswith("_2stage.json")]
+    assert len(outs) == 4
+
+
+def test_cm_comparison_discriminates(assets, full_report, tmp_path,
+                                     monkeypatch):
+    """When the paper CM matches the evaluated N, the comparison becomes a
+    real PASS/FAIL gate: equal CMs pass, a shifted CM fails (and flips the
+    overall verdict + CLI exit code)."""
+    import jax.numpy as jnp
+
+    root, runs = assets
+    report, _ = full_report
+    ours = {("stage1" if "stage1" in c["name"] else "stage2"):
+            np.asarray(c["cm"])
+            for c in report["checks"] if "summed" in c["name"]}
+
+    def rerun(paper, out):
+        monkeypatch.setattr(validate, "PAPER_CM", paper)
+        return validate.run_validation(
+            runs_dir=runs,
+            data_stage1=str(root / "data_ast_stage1"),
+            data_stage2=str(root / "data_ast_stage2"),
+            output_dir=str(tmp_path / out), folds=FOLDS,
+            skip_converter=True, dtype=jnp.float32)
+
+    good = rerun(ours, "match")
+    cm_checks = [c for c in good["checks"] if "summed" in c["name"]]
+    assert all(c["verdict"] == "PASS" for c in cm_checks)
+    assert good["passed"] is True
+
+    shifted = {k: v + np.array([[3, -3], [0, 0]]) for k, v in ours.items()}
+    bad = rerun(shifted, "shift")
+    cm_checks = [c for c in bad["checks"] if "summed" in c["name"]]
+    assert all(c["verdict"] == "FAIL" for c in cm_checks)
+    assert bad["passed"] is False
+
+
+def test_cli_exit_codes(assets, tmp_path):
+    from zenker_audio_detection_tpu.cli import validate_real
+
+    root, runs = assets
+    with pytest.raises(SystemExit) as e:
+        validate_real.main([
+            "--runs-dir", runs,
+            "--data-stage1", str(root / "data_ast_stage1"),
+            "--data-stage2", str(root / "data_ast_stage2"),
+            "--output-dir", str(tmp_path / "cli"),
+            "--folds", "1,2", "--skip-converter", "--f32"])
+    assert e.value.code == 0

@@ -1,0 +1,244 @@
+"""One-command real-asset quality validation (round-3 VERDICT item #3).
+
+The reference's actual deliverable is its published quality numbers — the
+summed 5-fold confusion matrices hardcoded at
+`utils/plot_confusion_matrices.py:168-184` (Stage 1 92.07 %, Stage 2
+73.60 %).  This environment has no network, so the MIT checkpoint and the
+study audio can never be present here; this module makes proving parity a
+single command wherever they DO exist:
+
+    zenker-validate-real --runs-dir <runs> \
+        --data-stage1 <data_ast_stage1> --data-stage2 <data_ast_stage2> \
+        [--long-audio-root <tree> [--ids-root <dir>]] [--output-dir <dir>]
+
+Chain (each step through this framework's own path, reference cited):
+
+  1. converter fidelity — our JAX forward vs torch on the actual fold
+     checkpoints, logits <=1e-3 (same bar as tests/test_ast_model.py)
+  2. snippet eval, both stages — summed 5-fold CM via
+     analysis/snippet_eval.py (reference src/test_trained_model_stage*_cv.py)
+     compared cell-by-cell against the paper CMs with a pass/fail tolerance
+  3. ROC/PR — stage-1 validation-split aggregate ROC-AUC via
+     analysis/roc_pr.py (reference utils/analyze_ROC_PR_stage1.py)
+  4. optional batch 2-stage inference over a long-audio tree
+     (cli/run_batch_2stage.py; reference src/run_batch_simple_2stage.py)
+  5. optional per-patient aggregation (analysis/aggregate.py; reference
+     utils/aggregate_2stage_results.py)
+
+Everything is summarized in a side-by-side table with PASS / FAIL / INFO
+verdicts and written to <output-dir>/validation_report.json.  The pipeline
+is CI-covered end-to-end on synthetic HF-format fixtures
+(tests/test_validate_real.py), so it cannot bit-rot before real assets
+appear.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+# The paper's summed 5-fold confusion matrices
+# (reference utils/plot_confusion_matrices.py:168-184; BASELINE.md).
+PAPER_CM = {
+    "stage1": np.array([[2590, 229], [108, 1324]]),
+    "stage2": np.array([[473, 261], [117, 581]]),
+}
+STAGE_CLASSES = {"stage1": ("Idle", "Swallow"),
+                 "stage2": ("Healthy", "Zenker")}
+
+
+def converter_logit_gap(model_dir: str) -> float:
+    """Max |logit| gap between this framework's forward and torch on the
+    SAME checkpoint dir (converter + model fidelity on the deployed
+    weights)."""
+    import torch
+    import transformers
+
+    import jax.numpy as jnp
+
+    from ..models import ast as ast_mod, convert
+
+    params, config = convert.load_hf_model_dir(model_dir)
+    ref = transformers.ASTForAudioClassification.from_pretrained(
+        model_dir).eval()
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal(
+        (2, config.max_length, config.num_mel_bins)).astype(np.float32)
+    ours = np.asarray(ast_mod.forward(params, jnp.asarray(feats), config,
+                                      dtype=jnp.float32))
+    with torch.inference_mode():
+        want = ref(torch.from_numpy(feats)).logits.numpy()
+    return float(np.abs(ours - want).max())
+
+
+def _cm_accuracy(cm: np.ndarray) -> float:
+    cm = np.asarray(cm, dtype=np.float64)
+    return float(np.trace(cm) / max(1.0, cm.sum()))
+
+
+def _fmt_cm(cm) -> str:
+    cm = np.asarray(cm, dtype=int)
+    return "[[%d, %d], [%d, %d]]" % tuple(cm.ravel())
+
+
+def _compare_cm(cm: np.ndarray, paper: np.ndarray,
+                cm_tolerance: float) -> tuple[str, str]:
+    """(verdict, detail) for an evaluated CM vs the paper's.  Comparable
+    only when the evaluation-set size matches the paper's; otherwise the
+    result is informational (different data => different counts, by
+    construction, reference README 'dataset not public')."""
+    cm, paper = np.asarray(cm), np.asarray(paper)
+    if cm.sum() != paper.sum():
+        return "INFO", (f"eval set N={int(cm.sum())} != paper "
+                        f"N={int(paper.sum())}; counts not comparable — "
+                        f"accuracy {100 * _cm_accuracy(cm):.2f}% vs paper "
+                        f"{100 * _cm_accuracy(paper):.2f}%")
+    tol = max(1, int(round(cm_tolerance * paper.sum())))
+    gap = int(np.abs(cm - paper).max())
+    verdict = "PASS" if gap <= tol else "FAIL"
+    return verdict, f"max cell gap {gap} (tolerance {tol} windows)"
+
+
+def run_validation(*, runs_dir: str, data_stage1: str, data_stage2: str,
+                   long_audio_root: str | None = None,
+                   ids_root: str | None = None,
+                   output_dir: str = "validation",
+                   folds=None, batch_size: int = 8,
+                   cm_tolerance: float = 0.005,
+                   aggregate_threshold: float = 0.5,
+                   skip_converter: bool = False,
+                   dtype=None) -> dict[str, Any]:
+    """Run the full validation chain; returns the report dict (also written
+    to <output_dir>/validation_report.json).  `dtype=None` uses each tool's
+    default (bf16 on TPU); pass jnp.float32 to remove the bf16 boundary from
+    the comparison."""
+    from . import aggregate as agg_mod, roc_pr, snippet_eval
+
+    folds = list(folds) if folds else list(range(1, 6))
+    os.makedirs(output_dir, exist_ok=True)
+    checks: list[dict[str, Any]] = []
+    data_dirs = {"stage1": data_stage1, "stage2": data_stage2}
+
+    # 1. converter fidelity on the deployed weights
+    for stage in ("stage1", "stage2"):
+        name = f"converter logit parity ({stage} fold{folds[0]})"
+        if skip_converter:
+            checks.append({"name": name, "verdict": "SKIP",
+                           "detail": "--skip-converter"})
+            continue
+        model_dir = os.path.join(runs_dir, f"ast_classifier_{stage}",
+                                 f"fold{folds[0]}", "best")
+        try:
+            gap = converter_logit_gap(model_dir)
+            checks.append({
+                "name": name,
+                "verdict": "PASS" if gap <= 1e-3 else "FAIL",
+                "ours": f"max|dlogit| {gap:.2e}", "paper": "<=1e-3",
+                "detail": model_dir})
+        except ImportError as e:
+            checks.append({"name": name, "verdict": "SKIP",
+                           "detail": f"torch/transformers unavailable: {e}"})
+
+    # 2. snippet eval: summed fold CM per stage vs the paper's
+    cms = {}
+    for stage in ("stage1", "stage2"):
+        out = snippet_eval.evaluate_all_folds(
+            stage=stage, data_dir=data_dirs[stage],
+            model_root=os.path.join(runs_dir, f"ast_classifier_{stage}"),
+            central_results_dir=os.path.join(output_dir, "central_results"),
+            folds=folds, batch_size=batch_size, dtype=dtype)
+        if "aggregate_confusion_matrix" in out:
+            cm = np.asarray(out["aggregate_confusion_matrix"])
+        else:  # single fold: evaluate_fold wrote the per-fold CM to disk
+            cm = _single_fold_cm(runs_dir, stage, folds[0])
+        cms[stage] = cm
+        verdict, detail = _compare_cm(cm, PAPER_CM[stage], cm_tolerance)
+        checks.append({
+            "name": f"{stage} summed {len(folds)}-fold CM "
+                    f"({' vs '.join(STAGE_CLASSES[stage])})",
+            "verdict": verdict, "ours": _fmt_cm(cm),
+            "paper": _fmt_cm(PAPER_CM[stage]), "detail": detail,
+            "cm": np.asarray(cm, dtype=int).tolist(),
+            "accuracy": _cm_accuracy(cm)})
+
+    # 3. ROC/PR on the stage-1 validation split
+    roc_payload = roc_pr.analyze(
+        data_stage1,
+        os.path.join(runs_dir, "ast_classifier_stage1", "fold{fold}", "best"),
+        stage="stage1", split="val", folds=folds, batch_size=batch_size,
+        output_json=os.path.join(output_dir, "roc_pr_stage1.json"),
+        dtype=dtype)
+    auc = roc_payload["aggregate"]["roc_auc"]
+    checks.append({
+        "name": "stage1 pooled val ROC-AUC", "verdict": "INFO",
+        "ours": f"{auc:.4f}",
+        "paper": "n/a (not published; sanity floor ~0.9)",
+        "detail": "analysis/roc_pr.py aggregate over "
+                  f"folds {folds}"})
+
+    # 4+5. optional cascade + patient aggregation over real long audio
+    if long_audio_root:
+        from ..cli import run_batch_2stage
+
+        outputs_dir = os.path.join(output_dir, "outputs")
+        for fold in folds:
+            argv = ["--fold", str(fold),
+                    "--long-audio-root", long_audio_root,
+                    "--ids-root", ids_root or data_stage2,
+                    "--output-dir", outputs_dir,
+                    "--model-root", runs_dir,
+                    "--batch-size", str(max(batch_size, 8))]
+            if dtype is not None:
+                argv.append("--f32")
+            run_batch_2stage.main(argv)
+        agg = agg_mod.aggregate_outputs(
+            outputs_dir, threshold=aggregate_threshold,
+            json_path=os.path.join(output_dir, "patient_aggregate.json"))
+        checks.append({
+            "name": "patient-level aggregation (ZSR >= "
+                    f"{aggregate_threshold})",
+            "verdict": "INFO",
+            "ours": f"accuracy {agg['summary']['metrics']['accuracy']:.3f} "
+                    f"over {agg['summary']['num_patient_results']} patients",
+            "paper": "n/a (per-patient table not published)",
+            "detail": outputs_dir})
+    else:
+        checks.append({"name": "cascade + patient aggregation",
+                       "verdict": "SKIP",
+                       "detail": "no --long-audio-root given"})
+
+    report = {
+        "runs_dir": runs_dir, "folds": folds,
+        "checks": checks,
+        "passed": all(c["verdict"] != "FAIL" for c in checks),
+    }
+    with open(os.path.join(output_dir, "validation_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print_report(report)
+    return report
+
+
+def _single_fold_cm(runs_dir: str, stage: str, fold: int) -> np.ndarray:
+    return np.load(os.path.join(runs_dir, f"ast_classifier_{stage}",
+                                f"fold{fold}", "best", "evaluation",
+                                "confusion_matrix.npy"))
+
+
+def print_report(report: dict) -> None:
+    print("\n" + "=" * 78)
+    print("REAL-ASSET VALIDATION — side-by-side vs the paper "
+          "(utils/plot_confusion_matrices.py:168-184)")
+    print("=" * 78)
+    for c in report["checks"]:
+        print(f"[{c['verdict']:>4}] {c['name']}")
+        if "ours" in c:
+            print(f"       ours : {c['ours']}")
+            print(f"       paper: {c['paper']}")
+        if c.get("detail"):
+            print(f"       note : {c['detail']}")
+    print("-" * 78)
+    print("OVERALL:", "PASS" if report["passed"] else "FAIL")
+    print("=" * 78)

@@ -21,4 +21,5 @@ Beyond the reference:
   (wandb sweep agent, local-first)                     -> sweep
   (max_length adaptation of HF AST dirs)               -> adapt_checkpoint
   (real-time streaming serving, stdin PCM -> JSONL)    -> serve
+  (one-command real-asset quality validation)          -> validate_real
 """
