@@ -66,6 +66,19 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
                          "mesh; each fold's gradient all-reduce stays on "
                          "its group's ICI). --num-devices must be "
                          "group-size * group-count")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="beyond-parity batch scaling: accumulate this many "
+                         "micro-batches of --batch-size per optimizer "
+                         "update (effective batch = batch-size * grad-accum "
+                         "* num-devices; LR warmup/decay count optimizer "
+                         "steps). Default 1 = the reference's one update "
+                         "per batch")
+    ap.add_argument("--scale-lr", action="store_true",
+                    help="linearly scale --learning-rate by the effective-"
+                         "batch ratio vs the reference's 16 (lr *= "
+                         "batch-size * grad-accum * num-devices / 16) — the "
+                         "standard large-batch recipe; warmup_ratio "
+                         "provides the ramp")
     ap.add_argument("--streaming", action="store_true",
                     help="stream train featurization per batch (O(batch) "
                          "host memory, background prefetch, identical "
@@ -96,6 +109,20 @@ def tracking_opts(args) -> dict:
             "offline": args.wandb_offline, "per_fold": args.wandb_per_fold}
 
 
+def effective_lr(args) -> float:
+    """--scale-lr: linear LR scaling by the effective-batch ratio vs the
+    reference's per-device 16 (src/train_ast_stage1_cross_validation.py:484)
+    — the standard large-batch recipe (Goyal et al.); warmup_ratio already
+    provides the ramp and the schedule counts optimizer steps."""
+    if not getattr(args, "scale_lr", False):
+        return args.learning_rate
+    eff = args.batch_size * args.grad_accum * (args.num_devices or 1)
+    lr = args.learning_rate * eff / 16.0
+    print(f"[ScaleLR] effective batch {eff} -> lr "
+          f"{args.learning_rate:g} * {eff}/16 = {lr:g}")
+    return lr
+
+
 def validate_train_args(args) -> list[int]:
     if args.fold is not None and not (1 <= args.fold <= args.num_folds):
         raise SystemExit(f"--fold must be in [1, {args.num_folds}]")
@@ -119,6 +146,12 @@ def validate_train_args(args) -> list[int]:
         raise SystemExit("--parallel-folds is incompatible with "
                          "--streaming/--resume (eager featurization only; "
                          "resume folds with the sequential path)")
+    if args.grad_accum < 1:
+        raise SystemExit("--grad-accum must be >= 1")
+    if args.grad_accum > 1 and args.parallel_folds:
+        raise SystemExit("--grad-accum > 1 is incompatible with "
+                         "--parallel-folds (grow the per-fold batch via "
+                         "--data-per-fold device groups instead)")
     if args.data_per_fold is not None:
         if not args.parallel_folds:
             raise SystemExit("--data-per-fold requires --parallel-folds")

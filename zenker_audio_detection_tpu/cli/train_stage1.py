@@ -23,7 +23,8 @@ def main(argv=None):
         pretrained_model_dir=args.pretrained_model_dir,
         num_epochs=args.num_epochs,
         batch_size=args.batch_size,
-        learning_rate=args.learning_rate,
+        grad_accum=args.grad_accum,
+        learning_rate=_train_common.effective_lr(args),
         weight_decay=args.weight_decay,
         warmup_ratio=args.warmup_ratio,
         adam_beta2=args.adam_beta2,

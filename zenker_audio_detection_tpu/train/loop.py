@@ -123,6 +123,14 @@ class TrainFoldConfig:
     # are no collectives. num_devices must be group_size * group_count.
     # None/1 = the flat 1-D fold mesh.
     data_per_fold: int | None = None
+    # beyond-parity batch scaling: accumulate this many micro-batches of
+    # batch_size before each optimizer update (effective batch =
+    # batch_size * grad_accum * num_devices). The LR schedule counts
+    # OPTIMIZER steps, so warmup_ratio keeps its meaning; pair with a
+    # linearly scaled learning rate (see steps.make_accum_steps and the
+    # ROOFLINE batch-scaling section). 1 = the parity path (per-device
+    # batch 16, one update per batch, reference :484).
+    grad_accum: int = 1
 
 
 def backup_existing_run_dir(path: str) -> str | None:
@@ -612,13 +620,27 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
     n = len(train_feats)
     num_epochs = 1 if cfg.dry_run else cfg.num_epochs
     steps_per_epoch = -(-n // cfg.batch_size)
-    total_steps = num_epochs * steps_per_epoch
+    # the LR schedule counts OPTIMIZER steps: with gradient accumulation
+    # there is one update per `accum` micro-batches, so warmup_ratio and
+    # the decay keep their meaning at any effective batch size
+    accum = max(1, cfg.grad_accum)
+    opt_steps_per_epoch = -(-steps_per_epoch // accum)
+    total_steps = num_epochs * opt_steps_per_epoch
     tx = optim.make_optimizer(cfg.learning_rate, total_steps,
                               cfg.warmup_ratio, cfg.weight_decay,
                               beta2=cfg.adam_beta2)
     opt_state = tx.init(params)
     loss_fn = _make_loss(cfg, class_weights)
-    train_step = steps.make_train_step(tx, model_cfg, loss_fn, dtype=cfg.dtype)
+    if accum > 1:
+        print(f"[GradAccum] {accum} micro-batches of {cfg.batch_size} per "
+              f"update (effective batch {accum * cfg.batch_size}"
+              f"{' per device group' if mesh is not None else ''})")
+        grad_step, apply_step = steps.make_accum_steps(
+            tx, model_cfg, loss_fn, dtype=cfg.dtype)
+        train_step = None
+    else:
+        train_step = steps.make_train_step(tx, model_cfg, loss_fn,
+                                           dtype=cfg.dtype)
     eval_step = steps.make_eval_step(model_cfg, dtype=cfg.dtype)
 
     checkpoint_limit = 1 if cfg.dry_run else max(2, (cfg.num_epochs + 1) // 2)
@@ -667,6 +689,8 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
         opt_state = pmesh.replicate(opt_state, mesh)
 
     is_stream = isinstance(train_feats, FeatureStream)
+    grad_buf = (jax.tree.map(jnp.zeros_like, params) if accum > 1 else None)
+    micro_in_group = 0
     global_step = (start_epoch - 1) * steps_per_epoch
     for epoch in range(start_epoch, num_epochs + 1):
         order = epoch_rng.permutation(n)
@@ -684,8 +708,19 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
                 batch_feats = train_feats[idx]
             feats = _shard(batch_feats)
             labels = _shard(train_y[idx])
-            params, opt_state, loss_val, _ = train_step(
-                params, opt_state, feats, labels)
+            if accum > 1:
+                grad_buf, loss_val, _ = grad_step(params, grad_buf, feats,
+                                                  labels)
+                micro_in_group += 1
+                # update on a full group or on the epoch's last micro-batch
+                # (a short trailing group averages over its actual count)
+                if micro_in_group == accum or s + cfg.batch_size >= n:
+                    params, opt_state, grad_buf = apply_step(
+                        params, opt_state, grad_buf, float(micro_in_group))
+                    micro_in_group = 0
+            else:
+                params, opt_state, loss_val, _ = train_step(
+                    params, opt_state, feats, labels)
             epoch_loss += float(loss_val) * len(idx)
             global_step += 1
             if (tracker is not None and cfg.logging_steps
@@ -711,7 +746,9 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
                          **{f"eval_{k}" if k != "loss" else "train_loss": v
                             for k, v in m.items()}})
 
-        epoch_bookkeeping(cfg, fold_dir, epoch, steps_per_epoch,
+        # checkpoint-N counts optimizer steps (= micro-steps at accum 1,
+        # the HF Trainer convention at any accumulation factor)
+        epoch_bookkeeping(cfg, fold_dir, epoch, opt_steps_per_epoch,
                           checkpoint_limit, m, has_val, prog,
                           snapshot=lambda: (jax.tree.map(np.asarray, params),
                                             opt_state),
