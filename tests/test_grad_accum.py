@@ -153,6 +153,38 @@ def test_train_fold_accum_matches_bigger_batch(tmp_path):
     assert max(int(c.split("-")[1]) for c in cks) == 6, cks
 
 
+@pytest.mark.slow
+def test_accum_with_data_parallel_mesh_matches_single(tmp_path):
+    """--grad-accum composes with --num-devices: the sharded-batch
+    accumulate path (replicated grad buffer + XLA all-reduce) reproduces
+    the single-device accumulated trajectory."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    data_dir = make_dataset(tmp_path, rng)
+    pre = tiny_pretrained_dir(tmp_path)
+
+    def run(tag, num_devices):
+        cfg = L.TrainFoldConfig(
+            stage="stage1", data_dir=data_dir,
+            output_root=str(tmp_path / f"runs/{tag}"),
+            pretrained_model_dir=pre, num_epochs=2, batch_size=4,
+            grad_accum=2, learning_rate=1e-3,
+            enable_early_stopping=False, augment=False, dtype=jnp.float32,
+            num_devices=num_devices)
+        L.run_cross_validation([1], cfg)
+        from zenker_audio_detection_tpu.models import convert
+
+        return convert.read_safetensors(
+            str(tmp_path / f"runs/{tag}/fold1/best/model.safetensors"))
+
+    w1 = run("dev1", None)
+    w2 = run("dev2", 2)
+    for k in w1:
+        np.testing.assert_allclose(w2[k], w1[k], atol=2e-4, rtol=1e-4,
+                                   err_msg=k)
+
+
 def test_cli_grad_accum_validation(tmp_path):
     from zenker_audio_detection_tpu.cli import train_stage1
 
