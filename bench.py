@@ -112,12 +112,17 @@ def main():
     cpu_wps = bench_cpu_reference()
     # cpu_windows_per_sec rides inside the one-line contract so the driver
     # can see denominator drift instead of a silently moving vs_baseline
+    # host load rides along too: a concurrent CPU-heavy job deflates the
+    # denominator ~2x (measured round 3) — load >~2 flags a suspect ratio
+    import os
+
     print(json.dumps({
         "metric": "e2e_2stage_windows_per_sec_per_chip",
         "value": round(tpu_wps, 2),
         "unit": "windows/s",
         "vs_baseline": round(tpu_wps / cpu_wps, 2),
         "cpu_windows_per_sec": round(cpu_wps, 3),
+        "host_load_1min": round(os.getloadavg()[0], 2),
     }))
     print(f"# windows={n_windows} cpu_reference={cpu_wps:.2f} windows/s "
           f"gated_mode={gated_wps:.2f} windows/s", file=sys.stderr)

@@ -23,3 +23,6 @@ def test_bench_prints_one_json_line(monkeypatch, capsys):
     assert payload["vs_baseline"] == round(160.0 / 0.192, 2)
     # denominator drift must be visible to the driver (VERDICT r2 weak #5)
     assert payload["cpu_windows_per_sec"] == 0.192
+    # host load flags a deflated CPU denominator (concurrent jobs cost ~2x)
+    assert isinstance(payload["host_load_1min"], float)
+    assert payload["host_load_1min"] >= 0

@@ -39,6 +39,32 @@ def test_sweep_cli_two_trials(tmp_path, monkeypatch, rng):
     assert best["value"] == max(json.loads(ln)["value"] for ln in lines)
 
 
+def test_sweep_cli_grad_accum(tmp_path, monkeypatch, rng, capsys):
+    """--grad-accum flows into sequential sweep trials (and is rejected
+    with --parallel-trials, which shares one data batch per step)."""
+    from zenker_audio_detection_tpu.cli import sweep as sweep_cli
+
+    data_dir = make_dataset(tmp_path, rng, n_per_class=4, val=True)
+    pretrained = tiny_pretrained_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    cfg = (REPO / "sweeps" / "sweep_stage1_comprehensive.yaml").read_text()
+    (tmp_path / "sweep.yaml").write_text(cfg.replace("values: [3]",
+                                                     "values: [1]"))
+    sweep_cli.main([
+        str(tmp_path / "sweep.yaml"), "--stage", "stage1", "--count", "1",
+        "--data-dir", data_dir, "--pretrained-model-dir", pretrained,
+        "--num-epochs", "1", "--batch-size", "4", "--grad-accum", "2",
+        "--no-augment", "--f32", "--output-dir", str(tmp_path / "swga")])
+    assert "[GradAccum] 2 micro-batches of 4" in capsys.readouterr().out
+    lines = (tmp_path / "swga"
+             / "sweep_results.jsonl").read_text().splitlines()
+    assert len(lines) == 1
+
+    with pytest.raises(SystemExit, match="parallel-trials"):
+        sweep_cli.main([str(tmp_path / "sweep.yaml"), "--stage", "stage1",
+                        "--grad-accum", "2", "--parallel-trials"])
+
+
 def test_run_all_folds_dry_run(tmp_path, monkeypatch, capsys):
     from zenker_audio_detection_tpu.cli import run_all_folds
 

@@ -27,6 +27,11 @@ def main(argv=None):
                          "steps, see ROOFLINE.md)")
     ap.add_argument("--streaming", action="store_true",
                     help="stream train featurization per batch")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="micro-batches of --batch-size accumulated per "
+                         "optimizer update in each trial (beyond-parity "
+                         "batch scaling; incompatible with "
+                         "--parallel-trials)")
     ap.add_argument("--num-devices", type=int, default=None,
                     help="data-parallel devices per trial (or the trial "
                          "mesh size with --parallel-trials)")
@@ -49,6 +54,13 @@ def main(argv=None):
     if args.parallel_trials and args.streaming:
         raise SystemExit("--parallel-trials is incompatible with "
                          "--streaming (eager featurization only)")
+    if args.grad_accum < 1:
+        raise SystemExit("--grad-accum must be >= 1")
+    if args.grad_accum > 1 and args.parallel_trials:
+        raise SystemExit("--grad-accum > 1 is incompatible with "
+                         "--parallel-trials (trials share one data batch "
+                         "per step; scale data via --data-per-trial "
+                         "device groups instead)")
     if args.data_per_trial is not None:
         if not args.parallel_trials:
             raise SystemExit("--data-per-trial requires --parallel-trials")
@@ -70,6 +82,7 @@ def main(argv=None):
         pretrained_model_dir=args.pretrained_model_dir,
         num_epochs=args.num_epochs,
         batch_size=args.batch_size,
+        grad_accum=args.grad_accum,
         use_class_weights=args.stage == "stage2",
         augment=not args.no_augment,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
