@@ -54,6 +54,14 @@ def test_wav_num_frames_empty_data_with_trailing_chunks(tmp_path):
     r = tmp_path / "placeholder_to_eof.wav"
     r.write_bytes(garbage)
     assert discovery.wav_num_frames(str(r)) == 16000
+    # and PCM payload that happens to START with printable ASCII + a
+    # plausible size (e.g. float32 byte patterns) must NOT be mistaken for
+    # a trailing chunk — only KNOWN chunk ids count, else an unfinalized
+    # recording is zeroed out of keep-2-longest discovery
+    ascii_payload = b"abcd" + struct.pack("<I", 16) + bytes(payload[8:])
+    s = tmp_path / "placeholder_ascii_payload.wav"
+    s.write_bytes(raw[:idx + 4] + struct.pack("<I", 0) + ascii_payload)
+    assert discovery.wav_num_frames(str(s)) == 16000
 
 
 def test_discover_keeps_two_longest(tmp_path):

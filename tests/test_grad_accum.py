@@ -194,6 +194,19 @@ def test_cli_grad_accum_validation(tmp_path):
         train_stage1.main(["--grad-accum", "2", "--parallel-folds"])
 
 
+def test_parallel_trainers_reject_grad_accum():
+    """The guard lives at the CONSUMING layer too: programmatic configs
+    (no CLI validation) must not silently train without accumulation."""
+    from zenker_audio_detection_tpu.train import fold_parallel, trial_parallel
+
+    cfg = L.TrainFoldConfig(stage="stage1", data_dir="x", output_root="y",
+                            grad_accum=2)
+    with pytest.raises(ValueError, match="accumulation"):
+        fold_parallel.train_folds_parallel([1], cfg)
+    with pytest.raises(ValueError, match="accumulation"):
+        trial_parallel.train_trials_parallel(1, [cfg])
+
+
 def test_cli_scale_lr(capsys):
     """--scale-lr multiplies LR by effective_batch/16 (linear scaling
     rule); without it the flag-free LR passes through untouched."""
@@ -209,3 +222,10 @@ def test_cli_scale_lr(capsys):
     assert "[ScaleLR]" in capsys.readouterr().out
     args = ap.parse_args(["--batch-size", "16", "--grad-accum", "4"])
     assert _train_common.effective_lr(args) == 5e-5
+    # --num-devices SHARDS the global batch, it does not grow it, so it
+    # must not enter the scaling (the mesh-parity test proves identical
+    # trajectories at any device count)
+    args = ap.parse_args(["--batch-size", "16", "--grad-accum", "4",
+                          "--learning-rate", "5e-5", "--scale-lr",
+                          "--num-devices", "8"])
+    assert np.isclose(_train_common.effective_lr(args), 2e-4)

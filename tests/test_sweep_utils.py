@@ -132,6 +132,23 @@ def test_tracking_tensorboard_events(tmp_path):
     assert [v for _, v in scalars["summary/best_f1"]] == [pytest.approx(0.9)]
 
 
+def test_tracking_tensorboard_shared_run_fold_restart(tmp_path):
+    """Shared-run CV mode: folds 2+ restart train_step at 1; TB event
+    steps must stay monotonic (fall back to auto-step) instead of
+    rewriting fold 1's points under the same tag."""
+    run = tracking.Run("proj", name="tb2", dir=str(tmp_path),
+                       use_wandb=False)
+    run.log({"fold": 1, "train_step": 20, "train_step_loss": 0.5})
+    run.log({"fold": 1, "train_step": 40, "train_step_loss": 0.25})
+    run.log({"fold": 2, "train_step": 20, "train_step_loss": 0.75})
+    run.finish()
+    scalars = _read_tb_scalars(str(tmp_path / "tb2" / "logs"))
+    steps = [s for s, _ in scalars["train_step_loss"]]
+    assert steps == sorted(set(steps)), steps  # strictly monotonic
+    assert scalars["train_step_loss"][:2] == [(20, 0.5), (40, 0.25)]
+    assert scalars["train_step_loss"][2][1] == pytest.approx(0.75)
+
+
 def test_tracking_tensorboard_disabled(tmp_path):
     run = tracking.Run("proj", name="tb0", dir=str(tmp_path),
                        use_wandb=False, use_tensorboard=False)

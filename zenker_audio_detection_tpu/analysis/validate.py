@@ -185,13 +185,17 @@ def run_validation(*, runs_dir: str, data_stage1: str, data_stage2: str,
 
         outputs_dir = os.path.join(output_dir, "outputs")
         for fold in folds:
+            # --force: a validation must recompute, never reuse per-patient
+            # JSONs from a previous run against older checkpoints
             argv = ["--fold", str(fold),
                     "--long-audio-root", long_audio_root,
                     "--ids-root", ids_root or data_stage2,
                     "--output-dir", outputs_dir,
-                    "--model-root", runs_dir,
+                    "--model-root", runs_dir, "--force",
                     "--batch-size", str(max(batch_size, 8))]
-            if dtype is not None:
+            import jax.numpy as jnp
+
+            if dtype == jnp.float32:  # bf16/None = the tool's default
                 argv.append("--f32")
             run_batch_2stage.main(argv)
         agg = agg_mod.aggregate_outputs(

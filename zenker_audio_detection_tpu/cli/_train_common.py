@@ -69,16 +69,17 @@ def add_common_train_args(ap: argparse.ArgumentParser, stage: str) -> None:
     ap.add_argument("--grad-accum", type=int, default=1,
                     help="beyond-parity batch scaling: accumulate this many "
                          "micro-batches of --batch-size per optimizer "
-                         "update (effective batch = batch-size * grad-accum "
-                         "* num-devices; LR warmup/decay count optimizer "
-                         "steps). Default 1 = the reference's one update "
-                         "per batch")
+                         "update (effective batch = batch-size * "
+                         "grad-accum; --num-devices shards each batch, it "
+                         "does not grow it. LR warmup/decay count "
+                         "optimizer steps). Default 1 = the reference's "
+                         "one update per batch")
     ap.add_argument("--scale-lr", action="store_true",
                     help="linearly scale --learning-rate by the effective-"
                          "batch ratio vs the reference's 16 (lr *= "
-                         "batch-size * grad-accum * num-devices / 16) — the "
-                         "standard large-batch recipe; warmup_ratio "
-                         "provides the ramp")
+                         "batch-size * grad-accum / 16) — the standard "
+                         "large-batch recipe; warmup_ratio provides the "
+                         "ramp")
     ap.add_argument("--streaming", action="store_true",
                     help="stream train featurization per batch (O(batch) "
                          "host memory, background prefetch, identical "
@@ -111,12 +112,17 @@ def tracking_opts(args) -> dict:
 
 def effective_lr(args) -> float:
     """--scale-lr: linear LR scaling by the effective-batch ratio vs the
-    reference's per-device 16 (src/train_ast_stage1_cross_validation.py:484)
-    — the standard large-batch recipe (Goyal et al.); warmup_ratio already
-    provides the ramp and the schedule counts optimizer steps."""
+    reference's 16 (src/train_ast_stage1_cross_validation.py:484) — the
+    standard large-batch recipe (Goyal et al.); warmup_ratio already
+    provides the ramp and the schedule counts optimizer steps.
+
+    NOTE --num-devices does NOT enter: --batch-size is the GLOBAL batch
+    (the mesh shards each batch across devices without changing the
+    update; tests/test_grad_accum.py proves identical trajectories), so
+    the effective batch is batch_size * grad_accum only."""
     if not getattr(args, "scale_lr", False):
         return args.learning_rate
-    eff = args.batch_size * args.grad_accum * (args.num_devices or 1)
+    eff = args.batch_size * args.grad_accum
     lr = args.learning_rate * eff / 16.0
     print(f"[ScaleLR] effective batch {eff} -> lr "
           f"{args.learning_rate:g} * {eff}/16 = {lr:g}")

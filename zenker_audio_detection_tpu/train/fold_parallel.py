@@ -239,6 +239,10 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
     if cfg.streaming:
         raise ValueError("fold-parallel training requires eager "
                          "featurization (drop --streaming)")
+    if cfg.grad_accum > 1:
+        raise ValueError("fold-parallel training does not implement "
+                         "gradient accumulation; grow per-fold data "
+                         "parallelism via data_per_fold instead")
     if cfg.resume:
         raise ValueError("fold-parallel training does not support --resume; "
                          "resume individual folds with the sequential path")

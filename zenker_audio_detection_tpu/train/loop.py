@@ -125,11 +125,11 @@ class TrainFoldConfig:
     data_per_fold: int | None = None
     # beyond-parity batch scaling: accumulate this many micro-batches of
     # batch_size before each optimizer update (effective batch =
-    # batch_size * grad_accum * num_devices). The LR schedule counts
-    # OPTIMIZER steps, so warmup_ratio keeps its meaning; pair with a
-    # linearly scaled learning rate (see steps.make_accum_steps and the
-    # ROOFLINE batch-scaling section). 1 = the parity path (per-device
-    # batch 16, one update per batch, reference :484).
+    # batch_size * grad_accum; num_devices shards each batch, it does not
+    # grow it). The LR schedule counts OPTIMIZER steps, so warmup_ratio
+    # keeps its meaning; pair with a linearly scaled learning rate (see
+    # steps.make_accum_steps and the ROOFLINE batch-scaling section).
+    # 1 = the parity path (batch 16, one update per batch, reference :484).
     grad_accum: int = 1
 
 
@@ -691,7 +691,8 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
     is_stream = isinstance(train_feats, FeatureStream)
     grad_buf = (jax.tree.map(jnp.zeros_like, params) if accum > 1 else None)
     micro_in_group = 0
-    global_step = (start_epoch - 1) * steps_per_epoch
+    group_loss = 0.0
+    global_step = (start_epoch - 1) * opt_steps_per_epoch
     for epoch in range(start_epoch, num_epochs + 1):
         order = epoch_rng.permutation(n)
         epoch_loss = 0.0
@@ -708,27 +709,38 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
                 batch_feats = train_feats[idx]
             feats = _shard(batch_feats)
             labels = _shard(train_y[idx])
+            step_loss = None
             if accum > 1:
                 grad_buf, loss_val, _ = grad_step(params, grad_buf, feats,
                                                   labels)
                 micro_in_group += 1
+                group_loss += float(loss_val)
                 # update on a full group or on the epoch's last micro-batch
                 # (a short trailing group averages over its actual count)
                 if micro_in_group == accum or s + cfg.batch_size >= n:
                     params, opt_state, grad_buf = apply_step(
                         params, opt_state, grad_buf, float(micro_in_group))
+                    step_loss = group_loss / micro_in_group
                     micro_in_group = 0
+                    group_loss = 0.0
             else:
                 params, opt_state, loss_val, _ = train_step(
                     params, opt_state, feats, labels)
+                step_loss = float(loss_val)
             epoch_loss += float(loss_val) * len(idx)
-            global_step += 1
-            if (tracker is not None and cfg.logging_steps
-                    and global_step % cfg.logging_steps == 0):
-                # the reference's per-step loss channel (HF Trainer
-                # logging_steps=20)
-                tracker.log({"fold": fold, "train_step": global_step,
-                             "train_step_loss": float(loss_val)})
+            if step_loss is not None:
+                # global_step counts OPTIMIZER updates (the HF Trainer
+                # global_step at any accumulation factor), so the per-step
+                # loss channel, checkpoint-N and the LR schedule share ONE
+                # step axis; under accumulation the logged loss is the
+                # group's micro-mean (HF's averaged accumulated loss)
+                global_step += 1
+                if (tracker is not None and cfg.logging_steps
+                        and global_step % cfg.logging_steps == 0):
+                    # the reference's per-step loss channel (HF Trainer
+                    # logging_steps=20)
+                    tracker.log({"fold": fold, "train_step": global_step,
+                                 "train_step_loss": step_loss})
         epoch_loss /= n
 
         logits = _predict(eval_step, params, eval_feats, cfg.eval_batch_size,

@@ -103,6 +103,10 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
     if base.streaming:
         raise ValueError("trial-parallel sweeps require eager featurization "
                          "(drop --streaming)")
+    if base.grad_accum > 1:
+        raise ValueError("trial-parallel sweeps do not implement gradient "
+                         "accumulation (trials share one data batch per "
+                         "step); scale data via data_per_fold groups")
     if base.resume:
         raise ValueError("trial-parallel sweeps do not support --resume")
     if base.num_slices and base.num_slices > 1:

@@ -102,6 +102,7 @@ class Run:
         self._tb: _TBWriter | None = None
         self._tb_failed = False
         self._tb_next_step = 0
+        self._tb_last_ts = 0  # per-step loss channel's own monotonic lane
 
         self._wandb = _wandb_or_none(offline) if use_wandb else None
         self._wandb_run = None
@@ -136,7 +137,17 @@ class Run:
                 return
         if step is None:
             ts = metrics.get("train_step")
-            step = ts if isinstance(ts, int) else self._tb_next_step
+            if isinstance(ts, int):
+                # per-step loss channel: monotonic in its OWN lane. In
+                # shared-run CV mode folds 2+ restart train_step at 1 —
+                # rewinding would rewrite fold 1's points under the same
+                # tag (the same non-monotonic-step problem the wandb path
+                # avoids via auto-step) — so a rewound step continues past
+                # the channel's last point instead
+                step = ts if ts > self._tb_last_ts else self._tb_last_ts + 1
+                self._tb_last_ts = step
+            else:
+                step = self._tb_next_step
         self._tb_next_step = max(self._tb_next_step, int(step) + 1)
         self._tb.add_scalars(metrics, step)
 
