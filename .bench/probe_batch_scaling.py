@@ -12,9 +12,12 @@ at b=128). MFU uses the standard model-FLOPs convention 3x fwd (fwd +
 2x bwd); the remat re-forward is hardware overhead, not model FLOPs.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python .bench/probe_batch_scaling.py
+Pass --short for the 128-frame (146-token) short-seq config with batch
+sizes scaled up accordingly.
 All timings sync-amortized: N queued steps, one scalar fetch.
 """
 
+import sys
 import time
 
 import numpy as np
@@ -24,10 +27,20 @@ import jax.numpy as jnp
 from zenker_audio_detection_tpu.models import ast as ast_mod
 from zenker_audio_detection_tpu.train import losses, optim, steps
 
-FWD_TFLOP_PER_SAMPLE = 33.4 / 128
+SHORT = "--short" in sys.argv
+if SHORT:
+    cfg = ast_mod.ASTConfig(max_length=128)
+    # 146 tokens vs 1214: ~8.3x fewer tokens => ~8.3x fewer fwd FLOPs
+    # (attention's quadratic term is negligible at this length)
+    FWD_TFLOP_PER_SAMPLE = (33.4 / 128) * (146 / 1214)
+    BATCHES = (16, 64, 256, 1024)
+    ACCUMS = (4, 16)
+else:
+    cfg = ast_mod.ASTConfig()
+    FWD_TFLOP_PER_SAMPLE = 33.4 / 128
+    BATCHES = (16, 32, 64, 128)
+    ACCUMS = (2, 4, 8)
 PEAK_TFLOPS = 197.0
-
-cfg = ast_mod.ASTConfig()
 # host-resident template: fresh DEVICE buffers per configuration (the train
 # step donates params/opt-state — reusing one device tree across configs
 # would hand deleted buffers to the next run)
@@ -63,8 +76,9 @@ def report(label, eff_b, dt_ms):
 tx = optim.make_optimizer(learning_rate=5e-5, total_steps=100,
                           warmup_ratio=0.1, weight_decay=0.01)
 
-print("== monolithic batch ==", flush=True)
-for b in (16, 32, 64, 128):
+print(f"== monolithic batch ({'short-seq 128fr' if SHORT else '1024fr'}) ==",
+      flush=True)
+for b in BATCHES:
     feats, labels = batch(b)
     train_step = steps.make_train_step(tx, cfg, loss, dtype=jnp.bfloat16)
     p = fresh_params()
@@ -87,7 +101,7 @@ print("== grad accumulation (micro 16) ==", flush=True)
 feats, labels = batch(16)
 grad_step, apply_step = steps.make_accum_steps(tx, cfg, loss,
                                                dtype=jnp.bfloat16)
-for accum in (2, 4, 8):
+for accum in ACCUMS:
     p = fresh_params()
     s = tx.init(p)
     buf = jax.tree.map(jnp.zeros_like, p)
