@@ -282,6 +282,11 @@ def test_short_seq_quality_parity(trained, dataset, short_trained):
         "--output-json", "rocpr/stage2_val_short.json"])
     payload = json.loads((trained / "rocpr/stage2_val_short.json").read_text())
     auc_short = payload["fold_reports"][0]["roc_auc"]
+    if not (trained / "rocpr/stage2_val.json").exists():
+        # normally written by test_roc_pr_and_thresholds; regenerate when
+        # this test is run in isolation (-k filters)
+        analyze_roc_pr.main(["--stage", "stage2", "--fold", "1", "--f32",
+                             "--output-json", "rocpr/stage2_val.json"])
     auc_full = json.loads((trained / "rocpr/stage2_val.json").read_text()
                           )["fold_reports"][0]["roc_auc"]
     assert auc_short >= 0.95, f"short-seq val ROC-AUC {auc_short:.3f}"
