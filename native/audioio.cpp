@@ -30,6 +30,26 @@ struct WavInfo {
   size_t data_size = 0;
 };
 
+// Chunk ids that legitimately trail a data chunk (mirror of
+// audio/io.py KNOWN_TRAILING_CHUNKS — keep the two lists in sync): used to
+// tell an explicitly empty data chunk followed by metadata apart from a
+// streaming-recorder size placeholder whose samples run to EOF.
+static const char* kKnownTrailingChunks[] = {
+    "LIST", "fact", "cue ", "smpl", "inst", "bext", "junk", "JUNK",
+    "PAD ", "id3 ", "ID3 ", "afsp", "FLLR", "plst", "note", "labl"};
+
+static bool is_known_trailing_chunk(const uint8_t* buf, size_t len,
+                                    size_t pos) {
+  if (pos + 8 > len) return false;
+  uint32_t size;
+  memcpy(&size, buf + pos + 4, 4);
+  if (static_cast<uint64_t>(pos) + 8 + size > len + 1)  // +1: pad slack
+    return false;
+  for (const char* id : kKnownTrailingChunks)
+    if (memcmp(buf + pos, id, 4) == 0) return true;
+  return false;
+}
+
 bool parse_wav(const uint8_t* buf, size_t len, WavInfo* out) {
   if (len < 12 || memcmp(buf, "RIFF", 4) != 0 || memcmp(buf + 8, "WAVE", 4) != 0)
     return false;
@@ -41,6 +61,11 @@ bool parse_wav(const uint8_t* buf, size_t len, WavInfo* out) {
     memcpy(&size, hdr + 4, 4);
     const uint8_t* body = hdr + 8;
     if (pos + 8 + size > len) size = static_cast<uint32_t>(len - pos - 8);
+    if (memcmp(hdr, "data", 4) == 0 && size == 0 && pos + 8 < len &&
+        !is_known_trailing_chunk(buf, len, pos + 8)) {
+      // unfinalized streaming-recorder header: samples run to EOF
+      size = static_cast<uint32_t>(len - pos - 8);
+    }
     if (memcmp(hdr, "fmt ", 4) == 0 && size >= 16) {
       memcpy(&out->format, body, 2);
       memcpy(&out->channels, body + 2, 2);

@@ -173,6 +173,43 @@ def test_load_audio_compact_fast_path(tmp_path, rng):
     assert out44.dtype == np.float32  # resampled path
 
 
+def test_decoders_handle_streaming_recorder_headers(tmp_path, rng):
+    """The decode layer must share discovery.wav_num_frames' robustness:
+    a size-0 data-chunk placeholder (unfinalized recorder header) decodes
+    the full audio instead of an empty array, an over-declared/0xFFFFFFFF
+    size truncated mid-sample doesn't crash frombuffer, and an explicitly
+    empty data chunk followed by a known trailing chunk stays empty."""
+    import struct
+
+    x = np.clip(rng.standard_normal(16000) * 0.3, -0.9, 0.9).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    aio.write_wav(p, x, 16000)  # mono PCM16 @ 16k
+    raw = bytearray(open(p, "rb").read())
+    idx = raw.find(b"data")
+
+    # size-0 placeholder, samples to EOF
+    q = tmp_path / "placeholder.wav"
+    q.write_bytes(raw[:idx + 4] + struct.pack("<I", 0) + raw[idx + 8:])
+    ref = aio.load_audio(p)
+    np.testing.assert_array_equal(aio.load_audio(str(q)), ref)
+    compact = aio.load_audio_compact(str(q))
+    assert compact.dtype == np.int16 and len(compact) == 16000
+
+    # 0xFFFFFFFF placeholder + odd trailing byte (truncated mid-sample)
+    r = tmp_path / "truncated.wav"
+    r.write_bytes(raw[:idx + 4] + struct.pack("<I", 0xFFFFFFFF)
+                  + raw[idx + 8:-1])
+    out = aio.load_audio(str(r))
+    np.testing.assert_array_equal(out, ref[:-1])
+
+    # genuinely empty data chunk + LIST metadata stays empty
+    s = tmp_path / "empty.wav"
+    payload = bytes(raw[idx + 8:])
+    s.write_bytes(raw[:idx + 4] + struct.pack("<I", 0)
+                  + b"LIST" + struct.pack("<I", len(payload)) + payload)
+    assert len(aio.load_audio(str(s))) == 0
+
+
 def test_logmel_accepts_int16(rng):
     """Device-side int16 scaling is bit-identical to host conversion."""
     import jax.numpy as jnp

@@ -73,6 +73,33 @@ def test_nonstandard_hop_uses_sample_path(rng):
     np.testing.assert_allclose(p1.sum(axis=1), 1.0, atol=1e-5)
 
 
+def test_sample_path_audio_longer_than_bucketed_buffer(rng):
+    """Generic (off-grid-hop) path: trailing audio past starts[-1]+win may
+    exceed the pow2-bucketed buffer — it must be clamped (those samples are
+    never windowed), not crash the copy. Regression: hop 0.625 s, 33000
+    samples -> starts [0, 10000], bucket 32000 < 33000."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            num_labels=2)
+    s1 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(0), cfg), cfg,
+                     -1.15, 3.53, ("Idle", "Swallow"))
+    s2 = C.StageSpec(ast_mod.init_params(jax.random.PRNGKey(1), cfg), cfg,
+                     -0.9, 2.8, ("Healthy", "Zenker"))
+    eng = C.TwoStageEngine(
+        s1, s2, C.CascadeConfig(batch_size=8, hop_sec=0.625,
+                                dtype=jnp.float32))
+    assert not eng._frame_reuse
+    audio = (rng.standard_normal(33000) * 0.1).astype(np.float32)
+    p1, _ = eng.window_probs(audio)
+    assert len(p1) == len(C.window_starts(33000, 1.0, 0.625))
+    # the clamped run matches the same windows from exactly-fitting audio
+    p1_fit, _ = eng.window_probs(audio[:26000])
+    np.testing.assert_allclose(p1, p1_fit, atol=1e-6)
+
+
 def test_summary_quirk_argmax_counts_vs_thresholded_gate(engine):
     """Reference quirk (src/test_long_audio_windows_2stage.py:150-153 vs
     :312-317): summary swallow counts use RAW argmax, while Stage-2

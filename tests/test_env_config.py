@@ -40,6 +40,23 @@ def test_process_env_overrides_file(tmp_path, monkeypatch):
     assert cfg["dataset_root"] == "/env"
 
 
+def test_process_env_wins_inside_interpolation(tmp_path, monkeypatch):
+    """python-dotenv load_dotenv(override=False) semantics (the reference
+    loader): an exported var also wins INSIDE ${VAR} interpolation, so
+    derived paths stay consistent with the exported root."""
+    (tmp_path / ".env").write_text(
+        "DATASET_ROOT=/file\n"
+        "LONG_AUDIO_DIR=${DATASET_ROOT}/Long\n")
+    monkeypatch.setenv("DATASET_ROOT", "/env")
+    cfg = C.load_dataset_config(tmp_path)
+    assert cfg["dataset_root"] == "/env"
+    assert cfg["long_audio_dir"] == "/env/Long"
+    # without the export, the file value resolves as before
+    monkeypatch.delenv("DATASET_ROOT")
+    cfg = C.load_dataset_config(tmp_path)
+    assert cfg["long_audio_dir"] == "/file/Long"
+
+
 def test_long_audio_root_falls_back_to_long_dir(tmp_path, monkeypatch):
     for k in ("LONG_AUDIO_ROOT", "LONG_AUDIO_DIR"):
         monkeypatch.delenv(k, raising=False)

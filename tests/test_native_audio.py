@@ -66,6 +66,25 @@ def test_load_audio_native_matches_python(tmp_path, rng):
     assert len(nat) == 16000
 
 
+def test_native_placeholder_data_size_matches_python(tmp_path, rng):
+    """The C++ parser shares the streaming-recorder header semantics of
+    audio/io.find_wav_chunks: size-0 data placeholder decodes to EOF."""
+    import struct
+
+    x = np.clip(rng.standard_normal(16000) * 0.2, -0.9, 0.9).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    aio.write_wav(p, x, 16000)
+    raw = bytearray(open(p, "rb").read())
+    idx = raw.find(b"data")
+    q = str(tmp_path / "placeholder.wav")
+    with open(q, "wb") as f:
+        f.write(raw[:idx + 4] + struct.pack("<I", 0) + raw[idx + 8:])
+    nat = native.load_audio(q, 16000)
+    wav, sr = aio.read_wav(q)  # python parser, same robustness
+    assert nat is not None and len(nat) == 16000
+    np.testing.assert_allclose(nat, wav.mean(axis=0), atol=2e-6)
+
+
 def test_native_vocoder_matches_numpy_oracle(rng):
     """native/vocoder.cpp vs the numpy phase vocoder (same algorithm,
     different FFT + libm): agreement to FFT rounding error across stretch

@@ -25,6 +25,54 @@ _FMT_IEEE_FLOAT = 3
 _FMT_EXTENSIBLE = 0xFFFE
 
 
+# chunk ids that legitimately trail a data chunk in real WAVs (shared with
+# infer/discovery's header-only scanner): used to tell an explicitly empty
+# data chunk followed by metadata apart from a streaming-recorder size
+# placeholder (recorder died before finalizing the header)
+KNOWN_TRAILING_CHUNKS = frozenset([
+    b"LIST", b"fact", b"cue ", b"smpl", b"inst", b"bext", b"junk", b"JUNK",
+    b"PAD ", b"id3 ", b"ID3 ", b"afsp", b"FLLR", b"plst", b"note", b"labl",
+])
+
+
+def _is_known_trailing_chunk(data: bytes, pos: int) -> bool:
+    if pos + 8 > len(data):
+        return False
+    cid = data[pos:pos + 4]
+    size = struct.unpack_from("<I", data, pos + 4)[0]
+    return (cid in KNOWN_TRAILING_CHUNKS
+            and pos + 8 + size <= len(data) + 1)  # +1: pad-byte slack
+
+
+def find_wav_chunks(data: bytes) -> tuple[bytes | None, bytes | None]:
+    """(fmt_body, data_body) from a RIFF/WAVE byte buffer, robust to
+    streaming-recorder headers the way infer/discovery.wav_num_frames is:
+    chunk sizes are clamped to the bytes actually present (over-declared
+    sizes incl. the 0xFFFFFFFF placeholder), and a zero data size with
+    bytes remaining is treated as 'runs to EOF' unless what follows parses
+    as a known trailing chunk (then the data chunk really is empty).
+    The single fix site for WAV header parsing — read_wav,
+    load_audio_compact and discovery all share these semantics."""
+    fmt = raw = None
+    pos = 12
+    while pos + 8 <= len(data):
+        chunk_id = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        avail = len(data) - pos - 8
+        if size > avail:
+            size = avail  # over-declared / 0xFFFFFFFF placeholder: clamp
+        if (chunk_id == b"data" and size == 0 and avail > 0
+                and not _is_known_trailing_chunk(data, pos + 8)):
+            size = avail  # unfinalized header: samples run to EOF
+        if chunk_id == b"fmt ":
+            fmt = data[pos + 8:pos + 8 + size]
+        elif chunk_id == b"data":
+            raw = data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    return fmt, raw
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Read a WAV file -> (float32 array (channels, n_samples) in [-1, 1], sr).
 
@@ -36,24 +84,17 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
 
-    fmt = None
-    raw = None
-    pos = 12
-    while pos + 8 <= len(data):
-        chunk_id = data[pos:pos + 4]
-        size = struct.unpack_from("<I", data, pos + 4)[0]
-        body = data[pos + 8:pos + 8 + size]
-        if chunk_id == b"fmt ":
-            fmt = body
-        elif chunk_id == b"data":
-            raw = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    fmt, raw = find_wav_chunks(data)
 
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
 
     (audio_format, channels, sr, _byte_rate, _block_align,
      bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+    # a clamped (truncated mid-sample) body must not crash frombuffer:
+    # drop the trailing partial sample
+    bytes_per = max(bits // 8, 1)
+    raw = raw[: len(raw) // bytes_per * bytes_per]
     if audio_format == _FMT_EXTENSIBLE:
         # actual format is the first 2 bytes of the SubFormat GUID
         audio_format = struct.unpack_from("<H", fmt, 24)[0]
@@ -125,22 +166,14 @@ def load_audio_compact(path: str, target_sr: int = SAMPLING_RATE) -> np.ndarray:
         with open(path, "rb") as f:
             data = f.read()
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-            fmt = raw = None
-            pos = 12
-            while pos + 8 <= len(data):
-                cid = data[pos:pos + 4]
-                size = struct.unpack_from("<I", data, pos + 4)[0]
-                if cid == b"fmt ":
-                    fmt = data[pos + 8:pos + 8 + size]
-                elif cid == b"data":
-                    raw = data[pos + 8:pos + 8 + size]
-                pos += 8 + size + (size & 1)
+            fmt, raw = find_wav_chunks(data)
             if fmt is not None and raw is not None:
                 (audio_format, channels, sr, _br, _ba,
                  bits) = struct.unpack_from("<HHIIHH", fmt, 0)
                 if (audio_format == _FMT_PCM and channels == 1
                         and bits == 16 and sr == target_sr):
-                    return np.frombuffer(raw, dtype="<i2").copy()
+                    return np.frombuffer(raw[: len(raw) // 2 * 2],
+                                         dtype="<i2").copy()
     except (OSError, ValueError, struct.error):
         pass
     return load_audio(path, target_sr)

@@ -180,37 +180,12 @@ def run_patient(engine: C.TwoStageEngine, files, args,
                             res["_stage2_aligned_classes"], f"file_{idx}",
                             path))
 
-    vals = per_file.values()
-    total_windows = sum(f["num_windows"] for f in vals)
-    total_swallow = sum(f["stage1_swallow_windows"] for f in vals)
-    total_zenker = sum(f["stage2_zenker_windows"] for f in vals)
-    aggregate = {
-        "files_used": list(files),
-        "total_windows": int(total_windows),
-        "total_idle_windows": int(sum(f["stage1_idle_windows"] for f in vals)),
-        "total_swallow_windows": int(total_swallow),
-        "total_swallow_ratio": total_swallow / max(1, total_windows),
-        "total_swallow_windows_evaluated_stage2": int(
-            sum(f["stage2_swallow_windows_evaluated"] for f in vals)),
-        "total_healthy_windows": int(
-            sum(f["stage2_healthy_windows"] for f in vals)),
-        "total_zenker_windows": int(total_zenker),
-        "overall_zenker_ratio_over_swallow": (total_zenker / total_swallow)
-        if total_swallow else None,
-    }
-    output = {
-        "config": {
-            "stage1_model_root": stage1_root,
-            "stage2_model_root": stage2_root,
-            "window_sec": args.window_sec,
-            "hop_sec": args.hop_sec,
-            "batch_size": args.batch_size,
-            "stage1_threshold": args.stage1_threshold,
-            "files": list(files),
-        },
-        "per_file": per_file,
-        "aggregate": aggregate,
-    }
+    # single schema definition shared with TwoStageEngine.run_patient
+    # (engine.config carries the same window/hop/batch/threshold values
+    # build_engine constructed it from)
+    output = C.build_patient_output(engine.config, files, per_file,
+                                    stage1_root, stage2_root)
+    aggregate = output["aggregate"]
 
     if not args.output_json and args.patient_id:
         os.makedirs("outputs", exist_ok=True)

@@ -24,8 +24,12 @@ _VAR_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
 
 
 def parse_env_file(path: str | Path) -> dict[str, str]:
-    """Parse KEY=VALUE lines with ${VAR} interpolation against earlier keys
-    and the process environment."""
+    """Parse KEY=VALUE lines with ${VAR} interpolation against the process
+    environment first, then earlier file keys — python-dotenv's
+    load_dotenv(override=False) semantics (the reference's loader,
+    utils/config.py): an exported variable wins over the file value both
+    at lookup time AND inside interpolations, so .env-derived paths stay
+    consistent with the exported root they reference."""
     out: dict[str, str] = {}
     text = Path(path).read_text()
     for line in text.splitlines():
@@ -35,7 +39,8 @@ def parse_env_file(path: str | Path) -> dict[str, str]:
         key, _, value = line.partition("=")
         key, value = key.strip(), value.strip().strip('"').strip("'")
         value = _VAR_RE.sub(
-            lambda m: out.get(m.group(1), os.environ.get(m.group(1), "")), value)
+            lambda m: os.environ.get(m.group(1)) if m.group(1) in os.environ
+            else out.get(m.group(1), ""), value)
         out[key] = value
     return out
 

@@ -28,22 +28,6 @@ NUM_FOLDS = 5
 SAMPLING_RATE = 16000
 
 
-def file_feature_sums(audio: np.ndarray,
-                      max_length: int = F.MAX_FRAMES) -> tuple[float, float, int]:
-    """(sum, sq_sum, count) of one file's unnormalized padded AST features."""
-    import jax.numpy as jnp
-
-    n = F.num_frames(len(audio))
-    if n <= 0:
-        feats = np.zeros((0, F.NUM_MEL_BINS), np.float64)
-    else:
-        feats = np.asarray(
-            F.logmel_frames(jnp.asarray(audio, jnp.float32), n),
-            dtype=np.float64)[:max_length]
-    count = max_length * F.NUM_MEL_BINS  # zero pad rows count toward N
-    return float(feats.sum()), float((feats ** 2).sum()), count
-
-
 def compute_fold_stats(data_dir: str, fold: int) -> dict:
     train_x_path = os.path.join(data_dir, f"train_x_fold{fold}.npy")
     if not os.path.exists(train_x_path):
@@ -64,25 +48,36 @@ def compute_fold_stats(data_dir: str, fold: int) -> dict:
 
     from ..train.loop import _jit_logmel
 
-    waves = [aio.load_audio(str(p), SAMPLING_RATE) for p in train_x]
     running_sum = running_sq = 0.0
     total = 0
-    by_len: dict[int, list[int]] = {}
-    for i, w in enumerate(waves):
-        by_len.setdefault(len(w), []).append(i)
-    for length, idxs in sorted(by_len.items()):
-        n = F.num_frames(length)
+
+    def flush(chunk: list[np.ndarray]) -> None:
+        nonlocal running_sum, running_sq, total
+        n = F.num_frames(len(chunk[0]))
         if n <= 0:
-            total += len(idxs) * F.MAX_FRAMES * F.NUM_MEL_BINS
-            continue
-        for s0 in range(0, len(idxs), 32):
-            chunk = idxs[s0: s0 + 32]
-            stack = np.stack([waves[i] for i in chunk]).astype(np.float32)
-            raw = np.asarray(_jit_logmel(jnp.asarray(stack)),
-                             dtype=np.float64)[:, :F.MAX_FRAMES]
-            running_sum += float(raw.sum())
-            running_sq += float((raw ** 2).sum())
             total += len(chunk) * F.MAX_FRAMES * F.NUM_MEL_BINS
+            return
+        raw = np.asarray(_jit_logmel(jnp.asarray(
+            np.stack(chunk).astype(np.float32))),
+            dtype=np.float64)[:, :F.MAX_FRAMES]
+        running_sum += float(raw.sum())
+        running_sq += float((raw ** 2).sum())
+        total += len(chunk) * F.MAX_FRAMES * F.NUM_MEL_BINS
+
+    # stream decodes with bounded memory: at most 32 clips buffered per
+    # distinct length (vs materializing the whole fold's decoded audio),
+    # flushing full groups as they fill and remainders at the end
+    pending: dict[int, list[np.ndarray]] = {}
+    for p in train_x:
+        w = aio.load_audio(str(p), SAMPLING_RATE)
+        group = pending.setdefault(len(w), [])
+        group.append(w)
+        if len(group) == 32:
+            flush(group)
+            pending[len(w)] = []
+    for length in sorted(pending):
+        if pending[length]:
+            flush(pending[length])
 
     if total == 0:
         return {"fold": fold, "mean": 0.0, "std": 0.0, "count": 0}

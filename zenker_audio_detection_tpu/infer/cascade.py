@@ -270,7 +270,11 @@ class TwoStageEngine:
             padded_len = int(starts[-1]) + self._win
             buf = np.zeros(_next_pow2(padded_len, floor=self._win),
                            audio.dtype)
-            buf[: len(audio)] = audio
+            # clamp: audio may exceed the bucketed buffer (trailing samples
+            # past starts[-1]+win are never windowed); the frame-reuse path
+            # clamps the same way in _cached_or_computed_frames
+            m = min(len(audio), len(buf))
+            buf[:m] = audio[:m]
             device_buf = self._replicate(jnp.asarray(buf))
             kind = "samples"
             stage_starts = starts.astype(np.int32)
@@ -395,46 +399,56 @@ class TwoStageEngine:
         """Full per-patient output, JSON-schema compatible with the
         reference's `outputs/<pid>_2stage.json`
         (src/test_long_audio_windows_2stage.py:360-410)."""
-        cfg = self.config
         per_file = {}
         for idx, (path, audio) in enumerate(zip(files, audios)):
             res = self.infer_file(audio, path)
             per_file[f"file_{idx}"] = {
                 k: v for k, v in res.items() if not k.startswith("_")
             }
+        return build_patient_output(self.config, files, per_file,
+                                    stage1_model_root, stage2_model_root)
 
-        vals = per_file.values()
-        total_windows = sum(f["num_windows"] for f in vals)
-        total_idle = sum(f["stage1_idle_windows"] for f in vals)
-        total_swallow = sum(f["stage1_swallow_windows"] for f in vals)
-        total_eval = sum(f["stage2_swallow_windows_evaluated"] for f in vals)
-        total_healthy = sum(f["stage2_healthy_windows"] for f in vals)
-        total_zenker = sum(f["stage2_zenker_windows"] for f in vals)
-        aggregate = {
-            "files_used": list(files),
-            "total_windows": int(total_windows),
-            "total_idle_windows": int(total_idle),
-            "total_swallow_windows": int(total_swallow),
-            "total_swallow_ratio": total_swallow / max(1, total_windows),
-            "total_swallow_windows_evaluated_stage2": int(total_eval),
-            "total_healthy_windows": int(total_healthy),
-            "total_zenker_windows": int(total_zenker),
-            "overall_zenker_ratio_over_swallow": (total_zenker / total_swallow)
-            if total_swallow else None,
-        }
-        return {
-            "config": {
-                "stage1_model_root": stage1_model_root,
-                "stage2_model_root": stage2_model_root,
-                "window_sec": cfg.window_sec,
-                "hop_sec": cfg.hop_sec,
-                "batch_size": cfg.batch_size,
-                "stage1_threshold": cfg.stage1_threshold,
-                "files": list(files),
-            },
-            "per_file": per_file,
-            "aggregate": aggregate,
-        }
+
+def build_patient_output(cfg: CascadeConfig, files: Sequence[str],
+                         per_file: dict,
+                         stage1_model_root: str = "",
+                         stage2_model_root: str = "") -> dict:
+    """Assemble the per-patient JSON (config/per_file/aggregate) from
+    per-file summaries — the SINGLE definition of the output schema
+    (reference src/test_long_audio_windows_2stage.py:360-410), shared by
+    TwoStageEngine.run_patient and cli/infer_long_audio."""
+    vals = per_file.values()
+    total_windows = sum(f["num_windows"] for f in vals)
+    total_idle = sum(f["stage1_idle_windows"] for f in vals)
+    total_swallow = sum(f["stage1_swallow_windows"] for f in vals)
+    total_eval = sum(f["stage2_swallow_windows_evaluated"] for f in vals)
+    total_healthy = sum(f["stage2_healthy_windows"] for f in vals)
+    total_zenker = sum(f["stage2_zenker_windows"] for f in vals)
+    aggregate = {
+        "files_used": list(files),
+        "total_windows": int(total_windows),
+        "total_idle_windows": int(total_idle),
+        "total_swallow_windows": int(total_swallow),
+        "total_swallow_ratio": total_swallow / max(1, total_windows),
+        "total_swallow_windows_evaluated_stage2": int(total_eval),
+        "total_healthy_windows": int(total_healthy),
+        "total_zenker_windows": int(total_zenker),
+        "overall_zenker_ratio_over_swallow": (total_zenker / total_swallow)
+        if total_swallow else None,
+    }
+    return {
+        "config": {
+            "stage1_model_root": stage1_model_root,
+            "stage2_model_root": stage2_model_root,
+            "window_sec": cfg.window_sec,
+            "hop_sec": cfg.hop_sec,
+            "batch_size": cfg.batch_size,
+            "stage1_threshold": cfg.stage1_threshold,
+            "files": list(files),
+        },
+        "per_file": per_file,
+        "aggregate": aggregate,
+    }
 
 
 def summarize_stage_outputs(

@@ -54,29 +54,23 @@ def wav_num_frames(path: str) -> int:
         return 0
 
 
-# chunk ids that actually trail a data chunk in real WAVs; random PCM bytes
-# masquerading as a header (any-printable-ASCII test: ~2 % hit rate on
-# float32 payloads) would otherwise zero out an unfinalized recording
-_KNOWN_TRAILING_CHUNKS = frozenset([
-    b"LIST", b"fact", b"cue ", b"smpl", b"inst", b"bext", b"junk", b"JUNK",
-    b"PAD ", b"id3 ", b"ID3 ", b"afsp", b"FLLR", b"plst", b"note", b"labl",
-])
-
-
 def _looks_like_riff_chunk(f, avail: int) -> bool:
     """True if the bytes at the current position parse as a KNOWN trailing
     RIFF chunk header with a declared size fitting in the file. Position is
     restored. Used to tell an empty data chunk with trailing chunks apart
-    from a streaming-recorder size placeholder; the id whitelist keeps raw
-    PCM payload bytes from masquerading as a header, which would drop a
-    real unfinalized recording from keep-2-longest discovery."""
+    from a streaming-recorder size placeholder; the id whitelist (shared
+    with audio/io.py's byte-buffer parser so decode and ranking agree)
+    keeps raw PCM payload bytes from masquerading as a header, which would
+    drop a real unfinalized recording from keep-2-longest discovery."""
+    from ..audio.io import KNOWN_TRAILING_CHUNKS
+
     pos = f.tell()
     hdr = f.read(8)
     f.seek(pos)
     if len(hdr) < 8:
         return False
     cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
-    return (cid in _KNOWN_TRAILING_CHUNKS
+    return (cid in KNOWN_TRAILING_CHUNKS
             and 8 + size <= avail + 1)  # +1: optional pad byte slack
 
 
