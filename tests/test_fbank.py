@@ -117,3 +117,20 @@ def test_frame_reuse_matches_per_window(rng):
         F.window_features_from_frames(file_frames, wstarts, fpw)
     )
     np.testing.assert_allclose(reused, per_window, atol=1e-5, rtol=1e-5)
+
+
+def test_frame_reuse_rejects_out_of_range_starts(rng):
+    """JAX gather clamps out-of-range indices (it would silently repeat the
+    last file frame); concrete starts past the end must raise instead."""
+    import jax.numpy as jnp
+
+    audio = _rand_wave(rng, 16000)
+    n_file_frames = F.num_frames(len(audio))
+    file_frames = F.logmel_frames(jnp.asarray(audio), n_file_frames)
+    fpw, _ = F.window_frame_geometry(1.0, 0.5)
+    bad = jnp.asarray([0, n_file_frames - fpw + 1], dtype=jnp.int32)
+    with pytest.raises(ValueError, match="out of range"):
+        F.window_features_from_frames(file_frames, bad, fpw)
+    with pytest.raises(ValueError, match="out of range"):
+        F.window_features_from_frames(
+            file_frames, jnp.asarray([-1], dtype=jnp.int32), fpw)

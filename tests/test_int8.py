@@ -43,6 +43,17 @@ def test_weight_quant_error_bound(tiny):
                                   np.asarray(params["pos_embed"]))
 
 
+def test_int8_params_rejected_by_hf_export(tiny):
+    """The conversion layer itself owns the invariant: int8 trees must fail
+    with a pointed error, not a bare KeyError('kernel') mid-export."""
+    from zenker_audio_detection_tpu.models import convert
+
+    _, params = tiny
+    q = ast_mod.quantize_params(params)
+    with pytest.raises(ValueError, match="int8"):
+        convert.to_hf_state_dict(q)
+
+
 def test_int8_forward_close_to_f32(tiny):
     import jax.numpy as jnp
 

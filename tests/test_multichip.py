@@ -183,6 +183,28 @@ def test_train_fold_mesh_matches_single_device(product_tree):
         assert abs(v - m_mesh[k]) < 1e-5, (k, v, m_mesh[k])
 
 
+def test_train_fold_rejects_indivisible_batch(product_tree):
+    """batch_size % num_devices != 0 would route EVERY batch through
+    _shard's single-device tail fallback — reject up front, before any
+    run-dir side effects."""
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.train import loop as L
+
+    out = product_tree / "runs_train_indivisible"
+    cfg = L.TrainFoldConfig(
+        stage="stage1", data_dir=str(product_tree / "data"),
+        output_root=str(out),
+        pretrained_model_dir=str(
+            product_tree / "runs/ast_classifier_stage1/fold1/best"),
+        num_epochs=1, batch_size=10, learning_rate=1e-3,
+        enable_early_stopping=False, augment=False,
+        dtype=jnp.float32, num_devices=4)
+    with pytest.raises(ValueError, match="divisible"):
+        L.train_fold(1, cfg)
+    assert not out.exists()  # failed before prepare_fold_dir
+
+
 def _assert_json_close(a, b, atol=1e-6, path=""):
     """Structural equality with float tolerance: sharded vs single-device
     programs partition/fuse differently in XLA, so probabilities may differ

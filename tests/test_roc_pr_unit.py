@@ -86,6 +86,13 @@ def test_to_waveform_payload_types(tmp_path):
     wav48 = (0.2 * rng.standard_normal(48000)).astype(np.float32)
     out = train_loop.to_waveform({"array": wav48, "sampling_rate": 48000})
     assert abs(len(out) - 16000) <= 1
+    # int16 payloads are PCM: scaled by 1/32768 like ops/fbank's device path
+    pcm = (wav * 32768.0).astype(np.int16)
+    np.testing.assert_allclose(train_loop.to_waveform(pcm),
+                               pcm.astype(np.float32) / 32768.0, atol=0)
+    np.testing.assert_allclose(
+        train_loop.to_waveform({"array": pcm, "sampling_rate": 16000}),
+        pcm.astype(np.float32) / 32768.0, atol=0)
     with pytest.raises(ValueError):
         train_loop.to_waveform({"sampling_rate": 16000})
     with pytest.raises(TypeError):

@@ -196,6 +196,16 @@ def test_trials_reject_mismatched_configs(tree):
         train_trials_parallel(1, cfgs)
 
 
+def test_trials_reject_mismatched_grad_accum(tree):
+    """grad_accum is a shared field: a non-base trial asking for
+    accumulation must be rejected (not silently trained without it —
+    the accum guard only inspects cfgs[0])."""
+    cfgs = _trial_cfgs(tree, "bad_accum")
+    cfgs[1] = dataclasses.replace(cfgs[1], grad_accum=8)
+    with pytest.raises(ValueError, match="grad_accum"):
+        train_trials_parallel(1, cfgs)
+
+
 def test_run_sweep_parallel_trials_dispatch(tree, tmp_path):
     """Agent-level: run_sweep(parallel_trials=True) samples the same
     configs as sequential (same rng sequence) and writes the same artifact

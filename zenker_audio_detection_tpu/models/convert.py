@@ -177,6 +177,12 @@ def to_hf_state_dict(params: Params) -> dict[str, np.ndarray]:
     """Inverse of `from_hf_state_dict` (float32 numpy tensors)."""
     params = {k: v for k, v in params.items()}
     enc = params["encoder"]
+    if "kernel_int8" in enc.get("q", {}):
+        # fail with intent instead of a bare KeyError('kernel') mid-export
+        raise ValueError(
+            "params are int8-quantized ({kernel_int8, scale} leaves); an HF "
+            "f32 state dict cannot represent them — use save_int8_model_dir "
+            "(or reload the f32 source checkpoint) instead")
     L = np.asarray(enc["ln1"]["scale"]).shape[0]
     sd: dict[str, np.ndarray] = {}
     p = _PREFIX

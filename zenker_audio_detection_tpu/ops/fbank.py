@@ -32,6 +32,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -316,6 +317,20 @@ def window_features_from_frames(
       (W, max_length, 128) normalized features, identical to featurizing each
       window's samples independently.
     """
+    # JAX gather CLAMPS out-of-range indices, which would silently repeat
+    # the file's last frame instead of honoring the "identical to per-window
+    # featurization" contract — validate when the starts are concrete
+    # (under jit tracing the caller owns the bound).
+    if not isinstance(window_starts, jax.core.Tracer):
+        starts = np.asarray(window_starts)
+        n_file = int(file_frames.shape[0])
+        if starts.size and (starts.min() < 0
+                            or int(starts.max()) + frames_per_window > n_file):
+            raise ValueError(
+                f"window_starts out of range: starts in "
+                f"[{int(starts.min())}, {int(starts.max())}] with "
+                f"frames_per_window={frames_per_window} exceed the "
+                f"{n_file} file frames")
     offs = jnp.arange(frames_per_window, dtype=jnp.int32)[None, :]
     idx = window_starts[:, None] + offs  # (W, frames_per_window)
     feats = file_frames[idx]  # (W, fpw, 128)

@@ -162,8 +162,12 @@ def to_waveform(entry) -> np.ndarray:
     """Audio payload -> 16 kHz float32 waveform. Accepts a path, an ndarray
     (assumed 16 kHz), or a dict {"array"/"audio"/"values", "sampling_rate"}
     — the reference analyzer's payload contract
-    (utils/analyze_ROC_PR_stage1.py:132-155)."""
+    (utils/analyze_ROC_PR_stage1.py:132-155). int16 payloads are PCM and
+    scaled by 1/32768, matching ops/fbank.logmel_frames' device-side
+    convention (everything else is assumed already float-scaled)."""
     if isinstance(entry, np.ndarray):
+        if entry.dtype == np.int16:
+            return entry.astype(np.float32) * (1.0 / 32768.0)
         return entry.astype(np.float32)
     if isinstance(entry, dict):
         arr = entry.get("array")
@@ -173,7 +177,11 @@ def to_waveform(entry) -> np.ndarray:
             arr = entry.get("values")
         if arr is None:
             raise ValueError("Unsupported dict payload for audio sample.")
-        arr = np.asarray(arr, dtype=np.float32)
+        arr = np.asarray(arr)
+        if arr.dtype == np.int16:
+            arr = arr.astype(np.float32) * (1.0 / 32768.0)
+        else:
+            arr = arr.astype(np.float32)
         sr = (entry.get("sampling_rate") or entry.get("sampling_rate_hz")
               or SAMPLING_RATE)
         if sr != SAMPLING_RATE:
@@ -578,13 +586,23 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
     reference's W&B channels, src/train_ast_stage1_cross_validation.py:
     564-637)."""
     print(f"\n===== {cfg.stage} Fold {fold} =====")
-    fold_dir, mean, std = prepare_fold_dir(fold, cfg)
-
     mesh = pmesh.make_mesh(cfg.num_devices, cfg.num_slices)
     if mesh is not None:
         topo = " x ".join(f"{mesh.shape[a]} ({a})" for a in mesh.axis_names)
         print(f"[Mesh] data-parallel training over "
               f"{mesh.devices.size} devices: {topo}")
+        # _shard's single-device fallback exists for TAIL batches; a batch
+        # size that never divides would silently run the whole fine-tune on
+        # one device while the banner above claims otherwise — reject it.
+        for bs_name, bs in (("batch_size", cfg.batch_size),
+                            ("eval_batch_size", cfg.eval_batch_size)):
+            if bs % mesh.devices.size != 0:
+                raise ValueError(
+                    f"{bs_name} {bs} is not divisible by the "
+                    f"{mesh.devices.size}-device mesh; every batch would "
+                    f"fall back to a single device — choose a {bs_name} "
+                    f"divisible by num_devices")
+    fold_dir, mean, std = prepare_fold_dir(fold, cfg)
 
     def _shard(x):
         """Batch to device: sharded over the mesh when it divides evenly,
@@ -714,20 +732,26 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
                 grad_buf, loss_val, _ = grad_step(params, grad_buf, feats,
                                                   labels)
                 micro_in_group += 1
-                group_loss += float(loss_val)
+                # loss accumulates ON DEVICE: float(loss_val) here would
+                # block on a device->host readback per micro-batch,
+                # serializing `accum` round-trips per optimizer update and
+                # defeating make_accum_steps' async accumulation; the only
+                # host sync is at the apply step below
+                group_loss = group_loss + loss_val
+                epoch_loss = epoch_loss + loss_val * len(idx)
                 # update on a full group or on the epoch's last micro-batch
                 # (a short trailing group averages over its actual count)
                 if micro_in_group == accum or s + cfg.batch_size >= n:
                     params, opt_state, grad_buf = apply_step(
                         params, opt_state, grad_buf, float(micro_in_group))
-                    step_loss = group_loss / micro_in_group
+                    step_loss = float(group_loss) / micro_in_group
                     micro_in_group = 0
                     group_loss = 0.0
             else:
                 params, opt_state, loss_val, _ = train_step(
                     params, opt_state, feats, labels)
                 step_loss = float(loss_val)
-            epoch_loss += float(loss_val) * len(idx)
+                epoch_loss += step_loss * len(idx)
             if step_loss is not None:
                 # global_step counts OPTIMIZER updates (the HF Trainer
                 # global_step at any accumulation factor), so the per-step
@@ -741,7 +765,7 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
                     # logging_steps=20)
                     tracker.log({"fold": fold, "train_step": global_step,
                                  "train_step_loss": step_loss})
-        epoch_loss /= n
+        epoch_loss = float(epoch_loss) / n  # one sync; device scalar at accum>1
 
         logits = _predict(eval_step, params, eval_feats, cfg.eval_batch_size,
                           shard=_shard)

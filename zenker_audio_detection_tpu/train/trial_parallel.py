@@ -60,7 +60,7 @@ _SHARED_FIELDS = (
     "early_stopping_patience", "early_stopping_threshold", "augment",
     "seed", "dtype", "use_class_weights", "use_focal_loss", "focal_alpha",
     "max_length", "streaming", "resume", "num_devices", "num_slices",
-    "data_per_fold")
+    "data_per_fold", "grad_accum")
 
 
 def _make_trial_loss(cfg: L.TrainFoldConfig, class_weights):
