@@ -65,3 +65,25 @@ def test_reference_flag_aliases_and_optim_validation():
     iargs = infer_long_audio.build_arg_parser().parse_args(
         ["--feature-cache-dir", "/tmp/fc"])
     assert iargs.cache_dir == "/tmp/fc"
+
+
+def test_eval_clis_reject_out_of_range_fold():
+    """--fold 0 is falsy: without validation it silently evaluated ALL
+    folds instead of erroring (analyze CLI shares the pattern)."""
+    from zenker_audio_detection_tpu.cli import analyze_roc_pr, test_stage1
+
+    for argv in (["--fold", "0"], ["--fold", "-1"], ["--fold", "6"]):
+        with pytest.raises(SystemExit, match="--fold must be in"):
+            test_stage1.run("stage1", argv)
+        with pytest.raises(SystemExit, match="--fold must be in"):
+            analyze_roc_pr.main(argv)
+
+
+def test_serve_rejects_nonpositive_read_chunk():
+    """read(0) is instant EOF and read(-n) buffers the whole stream —
+    both silently defeat streaming; the flag must be >= 1."""
+    from zenker_audio_detection_tpu.cli import serve
+
+    for bad in ("0", "-1"):
+        with pytest.raises(SystemExit, match="read-chunk-samples"):
+            serve.main(["--read-chunk-samples", bad])

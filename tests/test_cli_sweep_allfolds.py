@@ -65,6 +65,39 @@ def test_sweep_cli_grad_accum(tmp_path, monkeypatch, rng, capsys):
                         "--grad-accum", "2", "--parallel-trials"])
 
 
+def test_sweep_cli_stage2_objective_defaults(tmp_path, monkeypatch):
+    """A stage-2 sweep whose YAML doesn't sweep focal-gamma/label-smoothing
+    must train with the stage-2 trainer-CLI defaults (2.0/0.1), so the
+    reported best config reproduces under zenker-train-stage2."""
+    import yaml
+
+    from zenker_audio_detection_tpu.cli import sweep as sweep_cli
+    from zenker_audio_detection_tpu.cli.sweep import sweep_mod
+
+    captured = {}
+
+    def fake_run_sweep(path, base, **kw):
+        captured["base"] = base
+        return {"results": [], "best": None}
+
+    monkeypatch.setattr(sweep_mod, "run_sweep", fake_run_sweep)
+    p = tmp_path / "s.yaml"
+    p.write_text(yaml.safe_dump({
+        "method": "random", "metric": {"name": "eval_f1",
+                                       "goal": "maximize"},
+        "parameters": {"fold": {"values": [1]},
+                       "learning-rate": {"distribution": "uniform",
+                                         "min": 1e-5, "max": 1e-4}}}))
+    sweep_cli.main([str(p), "--stage", "stage2", "--count", "1"])
+    assert captured["base"].focal_gamma == 2.0
+    assert captured["base"].label_smoothing == 0.1
+    assert captured["base"].use_class_weights is True
+
+    sweep_cli.main([str(p), "--stage", "stage1", "--count", "1"])
+    assert captured["base"].focal_gamma == 0.0
+    assert captured["base"].label_smoothing == 0.0
+
+
 def test_run_all_folds_dry_run(tmp_path, monkeypatch, capsys):
     from zenker_audio_detection_tpu.cli import run_all_folds
 
@@ -173,6 +206,49 @@ def test_run_all_folds_parallel_matches_sequential(tmp_path, monkeypatch):
                       / "aggregate_summary.json").read_text())
     assert agg["summary"]["num_patient_results"] == 2
     assert (tmp_path / "out_seq" / "per_patient_results.csv").exists()
+
+
+def test_run_all_folds_parallel_failed_fold_still_aggregates(tmp_path,
+                                                             monkeypatch,
+                                                             capsys):
+    """A failed fold in --parallel-folds must not discard the completed
+    folds: --aggregate still runs over them (sequential-path semantics),
+    and the driver exits nonzero AFTERWARDS."""
+    from zenker_audio_detection_tpu.cli import (run_all_folds,
+                                                run_batch_2stage)
+
+    monkeypatch.chdir(tmp_path)
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+
+    def fake_main(argv, mesh=None):
+        fold = int(argv[argv.index("--fold") + 1])
+        if fold == 2:
+            raise RuntimeError("boom")
+        (out_dir / f"ZP{fold}_2stage.json").write_text(json.dumps({
+            "aggregate": {
+                "overall_zenker_ratio_over_swallow": 0.8,
+                "files_used": [f"Long/Zenker/ZP{fold}/recA.wav"],
+            }}))
+        return {"failed": 0}
+
+    monkeypatch.setattr(run_batch_2stage, "main", fake_main)
+    # files the aggregator skips must be ACCOUNTED for in the summary
+    (out_dir / "batch_fold1_2stage.json").write_text("{}")
+    (out_dir / "truncated_2stage.json").write_text('{"aggregate": ')
+    with pytest.raises(SystemExit, match=r"folds failed: \[2\]"):
+        run_all_folds.main(["runs", "--long-audio-root", "x",
+                            "--num-folds", "2", "--no-threshold-config",
+                            "--output-dir", str(out_dir),
+                            "--parallel-folds", "--aggregate"])
+    agg = json.loads((out_dir / "aggregate_summary.json").read_text())
+    assert agg["summary"]["num_patient_results"] == 1
+    # reference-exact num_files_found (ALL glob matches) reconciles via
+    # the additive skip counters
+    assert agg["summary"]["num_files_found"] == 3
+    assert agg["summary"]["skipped_batch_summaries"] == 1
+    assert agg["summary"]["skipped_parse_errors"] == 1
+    assert "FAILED" in capsys.readouterr().out
 
 
 def test_run_all_folds_parallel_rejects_window_sharding(tmp_path,

@@ -73,6 +73,64 @@ def test_run_sweep_tiny(tmp_path, monkeypatch):
     assert all(f == 3 for f, _ in calls)
 
 
+def test_run_sweep_rejects_unknown_parameters(tmp_path):
+    """A parameter outside _PARAM_MAP would be sampled and RECORDED but
+    silently dropped from the trial config — reject the config up front."""
+    import yaml
+
+    from zenker_audio_detection_tpu.train import loop as train_loop
+
+    p = tmp_path / "bad.yaml"
+    p.write_text(yaml.safe_dump({
+        "method": "random",
+        "metric": {"name": "eval_f1", "goal": "maximize"},
+        "parameters": {"fold": {"values": [1]},
+                       "focal-alpha": {"distribution": "uniform",
+                                       "min": 0.1, "max": 0.9}}}))
+    with pytest.raises(ValueError, match="focal-alpha"):
+        S.run_sweep(str(p), train_loop.TrainFoldConfig(), count=1,
+                    output_dir=str(tmp_path / "sw"))
+
+    bad_goal = tmp_path / "bad_goal.yaml"
+    bad_goal.write_text(yaml.safe_dump({
+        "method": "random",
+        "metric": {"name": "eval_f1", "goal": "maximise"},
+        "parameters": {"fold": {"values": [1]}}}))
+    with pytest.raises(ValueError, match="goal"):
+        S.run_sweep(str(bad_goal), train_loop.TrainFoldConfig(), count=1,
+                    output_dir=str(tmp_path / "sw2"))
+
+
+def test_run_sweep_goal_defaults_to_minimize(tmp_path, monkeypatch):
+    """W&B's documented default goal is minimize: a goal-less eval_loss
+    objective must track the LOWEST value as best (defaulting to maximize
+    would invert the optimization)."""
+    import yaml
+
+    from zenker_audio_detection_tpu.train import loop as train_loop
+
+    losses = [0.9, 0.2, 0.5]
+    calls = []
+
+    def fake_train_fold(fold, cfg):
+        calls.append(1)
+        return {f"fold{fold}_val_loss": losses[len(calls) - 1]}
+
+    monkeypatch.setattr(train_loop, "train_fold", fake_train_fold)
+    p = tmp_path / "s.yaml"
+    p.write_text(yaml.safe_dump({
+        "method": "random",
+        "metric": {"name": "eval_loss"},  # goal omitted
+        "parameters": {"fold": {"values": [1]},
+                       "learning-rate": {"distribution": "uniform",
+                                         "min": 1e-5, "max": 1e-4}}}))
+    base = train_loop.TrainFoldConfig(stage="stage1", data_dir="unused",
+                                      output_root=str(tmp_path))
+    out = S.run_sweep(str(p), base, count=3, output_dir=str(tmp_path / "sw"))
+    assert len(calls) == 3
+    assert out["best"]["value"] == pytest.approx(0.2)
+
+
 def test_tracking_run(tmp_path):
     run = tracking.Run("proj", name="r1", config={"lr": 1e-4},
                        dir=str(tmp_path), use_wandb=False)

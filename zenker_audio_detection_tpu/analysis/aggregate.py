@@ -72,14 +72,17 @@ def aggregate_outputs(outputs_dir: str, threshold: float = 0.5,
     files = sorted(glob.glob(os.path.join(outputs_dir, "*_2stage.json")))
     results: list[PatientResult] = []
     skipped_no_ratio = skipped_unknown_gt = 0
+    skipped_batch_summaries = skipped_parse_errors = 0
 
     for path in files:
         if os.path.basename(path).startswith("batch_fold"):
+            skipped_batch_summaries += 1
             continue
         try:
             with open(path) as f:
                 data = json.load(f)
         except Exception as e:
+            skipped_parse_errors += 1
             if verbose:
                 print(f"[WARN] Failed to read {path}: {e}")
             continue
@@ -118,8 +121,13 @@ def aggregate_outputs(outputs_dir: str, threshold: float = 0.5,
     summary = {
         "outputs_dir": outputs_dir,
         "threshold": threshold,
+        # num_files_found keeps the reference's semantics (ALL glob matches,
+        # utils/aggregate_2stage_results.py:173); the two skipped_* counters
+        # below are additive so the found-vs-results gap reconciles
         "num_files_found": len(files),
         "num_patient_results": len(results),
+        "skipped_batch_summaries": skipped_batch_summaries,
+        "skipped_parse_errors": skipped_parse_errors,
         "skipped_no_ratio": skipped_no_ratio,
         "skipped_unknown_gt": skipped_unknown_gt,
         "confusion_matrix": {"TP": tp, "TN": tn, "FP": fp, "FN": fn},

@@ -40,11 +40,15 @@ from typing import Any
 
 import numpy as np
 
+from .cm_plots import PAPER_CM_STAGE1, PAPER_CM_STAGE2
+
 # The paper's summed 5-fold confusion matrices
-# (reference utils/plot_confusion_matrices.py:168-184; BASELINE.md).
+# (reference utils/plot_confusion_matrices.py:168-184; BASELINE.md) —
+# single source of truth in cm_plots so verdicts and plot fallbacks
+# cannot disagree about the quality baseline.
 PAPER_CM = {
-    "stage1": np.array([[2590, 229], [108, 1324]]),
-    "stage2": np.array([[473, 261], [117, 581]]),
+    "stage1": PAPER_CM_STAGE1,
+    "stage2": PAPER_CM_STAGE2,
 }
 STAGE_CLASSES = {"stage1": ("Idle", "Swallow"),
                  "stage2": ("Healthy", "Zenker")}

@@ -40,6 +40,9 @@ def main(argv=None):
     data_dir = args.data_dir or f"data_ast_{args.stage}"
     template = args.model_root_template or \
         f"runs/ast_classifier_{args.stage}/fold{{fold}}/best"
+    if args.fold is not None and not (1 <= args.fold <= args.num_folds):
+        # without this, --fold 0 is falsy and silently analyzes ALL folds
+        raise SystemExit(f"--fold must be in [1, {args.num_folds}]")
     folds = [args.fold] if args.fold else list(range(1, args.num_folds + 1))
     payload = roc_pr.analyze(
         data_dir, template, stage=args.stage, split=args.split, folds=folds,

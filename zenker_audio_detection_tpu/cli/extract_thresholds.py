@@ -21,7 +21,7 @@ def main(argv=None):
     config = thresholds.build_threshold_config(
         args.stage2_metrics, args.stage1_metrics, args.output_config)
     if config:
-        for fold in sorted(config["folds"]):
+        for fold in sorted(config["folds"], key=int):  # string keys: '10'>'2'
             fd = config["folds"][fold]
             line = f"Fold {fold}: stage2 {fd['stage2']['threshold']:.4f}"
             if "stage1" in fd:

@@ -174,11 +174,14 @@ def run_patient(engine: C.TwoStageEngine, files, args,
                   f"{res['_s1_preds'][:first_n].tolist()}")
         per_file[f"file_{idx}"] = {
             k: v for k, v in res.items() if not k.startswith("_")}
-        plot_audio = (audio.astype(np.float32) / 32768.0
-                      if audio.dtype == np.int16 else audio)
-        plot_assets.append((plot_audio, res["_s1_preds"],
-                            res["_stage2_aligned_classes"], f"file_{idx}",
-                            path))
+        if args.plot:
+            # the float32 copy of a full recording is ~230 MB/hour — only
+            # materialize it when a plot will actually consume it
+            plot_audio = (audio.astype(np.float32) / 32768.0
+                          if audio.dtype == np.int16 else audio)
+            plot_assets.append((plot_audio, res["_s1_preds"],
+                                res["_stage2_aligned_classes"],
+                                f"file_{idx}", path))
 
     # single schema definition shared with TwoStageEngine.run_patient
     # (engine.config carries the same window/hop/batch/threshold values

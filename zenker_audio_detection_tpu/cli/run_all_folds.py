@@ -126,6 +126,7 @@ def main(argv=None):
 
     folds = list(range(1, args.num_folds + 1))
     patient_failures = 0
+    failed_folds: list[int] = []
     if args.parallel_folds and not args.dry_run:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -160,17 +161,14 @@ def main(argv=None):
             with jax.default_device(group[0]):
                 return run_batch_2stage.main(fold_args(fold), mesh=mesh)
 
-        failed = []
         with ThreadPoolExecutor(max_workers=len(folds)) as pool:
             futures = {pool.submit(serve_fold, f): f for f in folds}
             for fut, fold in futures.items():
                 try:
                     patient_failures += fut.result()["failed"]
                 except Exception as exc:  # per-fold isolation, like the
-                    failed.append(fold)   # per-patient handling inside
+                    failed_folds.append(fold)  # per-patient handling inside
                     print(f"[FAIL] fold {fold}: {exc}")
-        if failed:
-            raise SystemExit(f"folds failed: {failed}")
     else:
         for fold in folds:
             print(f"\n===== Fold {fold}/{args.num_folds} =====")
@@ -181,17 +179,22 @@ def main(argv=None):
     if args.aggregate and not args.dry_run:
         from . import aggregate_results
 
-        if patient_failures:
+        if patient_failures or failed_folds:
             # partial study: say so loudly (the reference's manual
             # aggregation step implied a human had checked the batch logs)
-            print(f"\n[WARN] {patient_failures} patient(s) FAILED batch "
-                  "inference; the aggregate below covers completed "
+            print(f"\n[WARN] {patient_failures} patient(s) and "
+                  f"{len(failed_folds)} fold(s) {failed_folds or ''} FAILED "
+                  "batch inference; the aggregate below covers completed "
                   "patients only")
         print("\n===== Aggregate (patient-level ZSR decisions) =====")
         aggregate_results.main([
             "--outputs-dir", out_dir,
             "--threshold", str(args.aggregate_threshold),
             "--store-output"])
+    if failed_folds:
+        # exit nonzero AFTER aggregating completed folds — the sequential
+        # path tolerates partial failures the same way
+        raise SystemExit(f"folds failed: {failed_folds}")
 
 
 if __name__ == "__main__":

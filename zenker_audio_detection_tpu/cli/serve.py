@@ -165,6 +165,10 @@ def window_line(engine: C.TwoStageEngine, r) -> dict:
 
 def main(argv=None, stdin_buffer=None, stdout=None):
     args = build_arg_parser().parse_args(argv)
+    if args.read_chunk_samples < 1:
+        # 0 would make read(0) return b'' and be treated as instant EOF;
+        # negative buffers the whole stream (read(-n)), defeating streaming
+        raise SystemExit("--read-chunk-samples must be >= 1")
     out = stdout or sys.stdout
     stdin_buffer = stdin_buffer if stdin_buffer is not None else sys.stdin.buffer
 

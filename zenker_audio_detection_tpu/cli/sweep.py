@@ -84,6 +84,11 @@ def main(argv=None):
         batch_size=args.batch_size,
         grad_accum=args.grad_accum,
         use_class_weights=args.stage == "stage2",
+        # stage-dependent trainer-CLI defaults (_train_common.py): a YAML
+        # that doesn't sweep these must train the SAME objective that
+        # re-running the best config via zenker-train-stage2 would
+        focal_gamma=0.0 if args.stage == "stage1" else 2.0,
+        label_smoothing=0.0 if args.stage == "stage1" else 0.1,
         augment=not args.no_augment,
         dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         max_length=args.max_length,

@@ -34,6 +34,9 @@ def run(stage: str, argv=None):
     ap.add_argument("--wandb-run-name", default=None)
     ap.add_argument("--wandb-group", default=f"cv-eval-{stage}")
     args = ap.parse_args(argv)
+    if args.fold is not None and not (1 <= args.fold <= args.num_folds):
+        # without this, --fold 0 is falsy and silently evaluates ALL folds
+        raise SystemExit(f"--fold must be in [1, {args.num_folds}]")
 
     import jax.numpy as jnp
 

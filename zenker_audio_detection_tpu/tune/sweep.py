@@ -193,8 +193,21 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
     sweep = load_sweep_config(sweep_config_path)
     if sweep.get("method", "random") != "random":
         raise ValueError(f"unsupported sweep method {sweep.get('method')}")
+    unknown = [k for k in sweep.get("parameters", {})
+               if k not in _PARAM_MAP and k not in _IGNORED]
+    if unknown:
+        # a silently-dropped parameter would train every trial at the base
+        # value while RECORDING the sampled one in sweep_results.jsonl
+        raise ValueError(
+            f"unsupported sweep parameter(s) {unknown}; supported: "
+            f"{sorted(_PARAM_MAP)} (plumbing keys {sorted(_IGNORED)} are "
+            f"ignored)")
     metric = sweep.get("metric", {}).get("name", "eval_f1")
-    goal = sweep.get("metric", {}).get("goal", "maximize")
+    # W&B's documented default goal is MINIMIZE; defaulting to maximize
+    # would invert optimization for goal-less loss objectives
+    goal = sweep.get("metric", {}).get("goal", "minimize")
+    if goal not in ("maximize", "minimize"):
+        raise ValueError(f"unsupported sweep goal {goal!r}")
     # rungs derive from the EFFECTIVE epoch count: a num-epochs pinned in
     # the sweep parameters overrides base_cfg's default
     eff_epochs = base_cfg.num_epochs
