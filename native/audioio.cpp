@@ -174,19 +174,24 @@ int audioio_wav_info(const char* path, int* channels, int* sample_rate,
   fclose(f);
   WavInfo w;
   if (!parse_wav(buf.data(), buf.size(), &w)) return 3;
-  // sub-byte / missing bits_per_sample (e.g. 4-bit ADPCM): return an error
+  // sub-byte / missing bits_per_sample (e.g. 4-bit ADPCM), zero channels,
+  // or zero sample rate (unfinalized recorder headers): return an error
   // code instead of dividing by zero (SIGFPE would kill the whole process
   // and defeat the C-ABI error fallback in audio/native.py)
-  if (w.bits < 8) return 3;
+  if (w.bits < 8 || w.channels < 1 || w.sample_rate < 1) return 3;
   *channels = w.channels;
   *sample_rate = w.sample_rate;
   *num_frames = static_cast<long long>(w.data_size / (w.bits / 8) / w.channels);
   return 0;
 }
 
-// Decode + mono channel-mean into `out` (caller allocates num_frames floats).
-int audioio_read_mono(const char* path, float* out, long long out_capacity,
-                      int* sample_rate) {
+// Decode + mono channel-mean into `out` (caller allocates num_frames
+// floats). v2 reports the ACTUAL decoded frame count: the file is re-read
+// here after the caller sized `out` from audioio_wav_info, and an
+// actively-written recorder file may have shrunk in between — without the
+// out-param the caller would return an np.empty tail of garbage heap.
+int audioio_read_mono_v2(const char* path, float* out, long long out_capacity,
+                         int* sample_rate, long long* out_frames) {
   FILE* f = fopen(path, "rb");
   if (!f) return 1;
   fseek(f, 0, SEEK_END);
@@ -202,6 +207,7 @@ int audioio_read_mono(const char* path, float* out, long long out_capacity,
   if (!parse_wav(buf.data(), buf.size(), &w)) return 3;
   std::vector<float> interleaved;
   if (!decode_samples(w, &interleaved)) return 4;
+  if (w.channels < 1) return 3;
   const long long frames =
       static_cast<long long>(interleaved.size() / w.channels);
   if (frames > out_capacity) return 5;
@@ -212,10 +218,21 @@ int audioio_read_mono(const char* path, float* out, long long out_capacity,
     out[i] = acc / C;
   }
   *sample_rate = w.sample_rate;
+  *out_frames = frames;
   return 0;
 }
 
+// Legacy ABI (pre-v2 .so consumers): actual frame count discarded.
+int audioio_read_mono(const char* path, float* out, long long out_capacity,
+                      int* sample_rate) {
+  long long frames = 0;
+  return audioio_read_mono_v2(path, out, out_capacity, sample_rate, &frames);
+}
+
 long long audioio_resampled_length(long long n, int orig_freq, int new_freq) {
+  // a sample_rate=0 header would otherwise reach an unsigned division by
+  // zero here — SIGFPE that kills the host process (no C-ABI fallback)
+  if (orig_freq < 1 || new_freq < 1 || n < 0) return -1;
   const uint64_t g = gcd64(orig_freq, new_freq);
   const uint64_t up = new_freq / g, down = orig_freq / g;
   return static_cast<long long>(
@@ -228,6 +245,7 @@ long long audioio_resampled_length(long long n, int orig_freq, int new_freq) {
 // Python/BLAS path to ~1e-6, and the parallel blocks beat it on wall clock.
 int audioio_resample(const float* in, long long n, int orig_freq, int new_freq,
                      float* out) {
+  if (orig_freq < 1 || new_freq < 1 || n < 0) return 6;
   if (orig_freq == new_freq) {
     memcpy(out, in, sizeof(float) * static_cast<size_t>(n));
     return 0;

@@ -221,3 +221,55 @@ def test_logmel_accepts_int16(rng):
     b = np.asarray(F.logmel_frames(
         jnp.asarray(pcm.astype(np.float32) / 32768.0), F.num_frames(16000)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_read_wav_corrupt_headers_raise_valueerror(tmp_path, rng):
+    """Corrupt fmt headers (the unfinalized-recorder shapes) must surface
+    as read_wav's ValueError contract — not raw struct.error /
+    ZeroDivisionError / SIGFPE deep in the decode or resample layers."""
+    import struct
+
+    x = np.clip(rng.standard_normal(8000) * 0.3, -0.9, 0.9).astype(np.float32)
+    p = str(tmp_path / "ok.wav")
+    aio.write_wav(p, x, 16000)
+    raw = bytearray(open(p, "rb").read())
+    fmt_at = raw.find(b"fmt ") + 8  # start of the fmt body
+
+    def variant(name, mutate):
+        buf = bytearray(raw)
+        mutate(buf)
+        q = tmp_path / name
+        q.write_bytes(bytes(buf))
+        return str(q)
+
+    # channels = 0
+    zero_ch = variant("zero_ch.wav", lambda b: b.__setitem__(
+        slice(fmt_at + 2, fmt_at + 4), struct.pack("<H", 0)))
+    # sample_rate = 0
+    zero_sr = variant("zero_sr.wav", lambda b: b.__setitem__(
+        slice(fmt_at + 4, fmt_at + 8), struct.pack("<I", 0)))
+    # EXTENSIBLE format tag with only a 16-byte fmt body
+    ext_short = variant("ext_short.wav", lambda b: b.__setitem__(
+        slice(fmt_at, fmt_at + 2), struct.pack("<H", 0xFFFE)))
+    for path in (zero_ch, zero_sr, ext_short):
+        with pytest.raises(ValueError, match=r"invalid WAV|truncated"):
+            aio.read_wav(path)
+        with pytest.raises(ValueError):
+            aio.load_audio(path)
+
+    # a fmt chunk shorter than 16 bytes
+    idx = raw.find(b"fmt ")
+    short = tmp_path / "short_fmt.wav"
+    short.write_bytes(bytes(raw[:idx + 4]) + struct.pack("<I", 8)
+                      + bytes(raw[idx + 8: idx + 16]) + bytes(raw[idx + 24:]))
+    with pytest.raises(ValueError, match="truncated"):
+        aio.read_wav(str(short))
+
+
+def test_resample_rejects_invalid_rates(rng):
+    from zenker_audio_detection_tpu.ops import resample as R
+
+    x = rng.standard_normal(100).astype(np.float32)
+    for bad in ((0, 16000), (16000, 0), (-8000, 16000)):
+        with pytest.raises(ValueError, match="invalid resample rates"):
+            R.resample(x, *bad)

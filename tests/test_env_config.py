@@ -57,6 +57,22 @@ def test_process_env_wins_inside_interpolation(tmp_path, monkeypatch):
     assert cfg["long_audio_dir"] == "/file/Long"
 
 
+def test_empty_exported_var_counts_as_set(tmp_path, monkeypatch):
+    """os.getenv / dotenv override=False semantics (the reference loader):
+    an exported EMPTY variable is still set — it must win over the .env
+    file value and the placeholder default, exactly like it already does
+    inside ${VAR} interpolation."""
+    (tmp_path / ".env").write_text("DATASET_ROOT=/file\n")
+    monkeypatch.setenv("DATASET_ROOT", "")
+    cfg = C.load_dataset_config(tmp_path)
+    assert cfg["dataset_root"] == ""
+    # an empty value IN THE FILE also beats the placeholder default
+    monkeypatch.delenv("DATASET_ROOT")
+    (tmp_path / ".env").write_text("DATASET_ROOT=\n")
+    cfg = C.load_dataset_config(tmp_path)
+    assert cfg["dataset_root"] == ""
+
+
 def test_long_audio_root_falls_back_to_long_dir(tmp_path, monkeypatch):
     for k in ("LONG_AUDIO_ROOT", "LONG_AUDIO_DIR"):
         monkeypatch.delenv(k, raising=False)

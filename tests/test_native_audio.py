@@ -117,3 +117,53 @@ def test_native_vocoder_short_input_falls_back(rng):
     if got is not None:
         np.testing.assert_allclose(got, A._numpy_phase_vocoder_stretch(x, 1.1),
                                    atol=1e-8)
+
+
+def test_native_zero_sample_rate_header_no_sigfpe(tmp_path, rng):
+    """A WAV header with sample_rate=0 previously reached an unsigned
+    division by zero in audioio_resampled_length — SIGFPE that killed the
+    host process. The native path must instead error out cleanly (None),
+    and the resample guards must reject invalid rates."""
+    import struct
+
+    x = np.clip(rng.standard_normal(4000) * 0.3, -0.9, 0.9).astype(np.float32)
+    p = str(tmp_path / "ok.wav")
+    aio.write_wav(p, x, 16000)
+    raw = bytearray(open(p, "rb").read())
+    fmt_at = raw.find(b"fmt ") + 8
+    raw[fmt_at + 4: fmt_at + 8] = struct.pack("<I", 0)
+    bad = tmp_path / "zero_sr.wav"
+    bad.write_bytes(bytes(raw))
+
+    assert native.read_mono(str(bad)) is None  # wav_info rejects sr<1
+    assert native.load_audio(str(bad)) is None
+    # direct resample guards
+    assert native.resample(x, 0, 16000) is None
+    assert native.resample(x, 16000, -1) is None
+
+
+def test_native_read_mono_v2_reports_actual_frames(tmp_path, rng):
+    """The v2 ABI reports the actually-decoded frame count so a file that
+    shrank between wav_info and the decode can be trimmed (no np.empty
+    garbage tail). Drive it with an oversized capacity buffer."""
+    import ctypes
+
+    lib = native.load_library()
+    if not hasattr(lib, "audioio_read_mono_v2"):
+        pytest.skip("old libaudioio.so without v2 symbol")
+    x = np.clip(rng.standard_normal(5000) * 0.3, -0.9, 0.9).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    aio.write_wav(p, x, 16000)
+
+    out = np.full(5000 + 64, np.nan, dtype=np.float32)  # oversized
+    sr = ctypes.c_int()
+    frames = ctypes.c_longlong()
+    rc = lib.audioio_read_mono_v2(
+        p.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(out), ctypes.byref(sr), ctypes.byref(frames))
+    assert rc == 0 and sr.value == 16000
+    assert frames.value == 5000  # actual decoded count, not the capacity
+    assert np.isnan(out[5000:]).all()  # tail untouched
+    # the Python wrapper returns exactly the decoded span
+    got, got_sr = native.read_mono(p)
+    assert len(got) == 5000 and got_sr == 16000

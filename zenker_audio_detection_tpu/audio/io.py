@@ -89,13 +89,25 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
 
+    # corrupt-header shapes (the unfinalized streaming-recorder scenario)
+    # must surface as this function's ValueError contract — not as raw
+    # struct.error / ZeroDivisionError deep in the decode
+    if len(fmt) < 16:
+        raise ValueError(f"{path}: fmt chunk truncated ({len(fmt)} bytes)")
     (audio_format, channels, sr, _byte_rate, _block_align,
      bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+    if channels < 1:
+        raise ValueError(f"{path}: invalid WAV channel count {channels}")
+    if sr < 1:
+        raise ValueError(f"{path}: invalid WAV sample rate {sr}")
     # a clamped (truncated mid-sample) body must not crash frombuffer:
     # drop the trailing partial sample
     bytes_per = max(bits // 8, 1)
     raw = raw[: len(raw) // bytes_per * bytes_per]
     if audio_format == _FMT_EXTENSIBLE:
+        if len(fmt) < 26:
+            raise ValueError(
+                f"{path}: EXTENSIBLE fmt chunk truncated ({len(fmt)} bytes)")
         # actual format is the first 2 bytes of the SubFormat GUID
         audio_format = struct.unpack_from("<H", fmt, 24)[0]
 

@@ -50,6 +50,12 @@ def load_library():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_int)]
     lib.audioio_read_mono.restype = ctypes.c_int
+    if hasattr(lib, "audioio_read_mono_v2"):  # newer .so: actual-frames out
+        lib.audioio_read_mono_v2.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_longlong)]
+        lib.audioio_read_mono_v2.restype = ctypes.c_int
     lib.audioio_resampled_length.argtypes = [
         ctypes.c_longlong, ctypes.c_int, ctypes.c_int]
     lib.audioio_resampled_length.restype = ctypes.c_longlong
@@ -86,6 +92,18 @@ def read_mono(path: str) -> tuple[np.ndarray, int] | None:
                             ctypes.byref(nf)) != 0:
         return None
     out = np.empty(nf.value, dtype=np.float32)
+    if hasattr(lib, "audioio_read_mono_v2"):
+        # the file is re-read after `out` was sized from wav_info; an
+        # actively-written recorder file may have SHRUNK in between — trim
+        # to the actually-decoded frame count so no np.empty tail leaks
+        frames = ctypes.c_longlong()
+        rc = lib.audioio_read_mono_v2(
+            path.encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            nf.value, ctypes.byref(sr), ctypes.byref(frames))
+        if rc != 0:
+            return None
+        return out[: frames.value], sr.value
     rc = lib.audioio_read_mono(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         nf.value, ctypes.byref(sr))
@@ -100,6 +118,8 @@ def resample(x: np.ndarray, orig_freq: int, new_freq: int) -> np.ndarray | None:
         return None
     x = np.ascontiguousarray(x, dtype=np.float32)
     out_len = lib.audioio_resampled_length(len(x), orig_freq, new_freq)
+    if out_len < 0:  # invalid rates (e.g. sr=0 header) — let callers fall
+        return None  # back / raise their own typed error
     out = np.empty(out_len, dtype=np.float32)
     rc = lib.audioio_resample(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),

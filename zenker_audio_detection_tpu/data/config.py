@@ -52,17 +52,28 @@ def load_dataset_config(project_root: str | Path | None = None) -> dict[str, str
     if env_path.exists():
         file_vars = parse_env_file(env_path)
 
-    def get(key: str) -> str:
-        return os.environ.get(key) or file_vars.get(key) or _DEFAULTS[key]
+    def get_set(key: str):
+        """Set-but-empty counts as set — os.getenv/dotenv override=False
+        semantics (the reference's loader), matching the ${VAR}
+        interpolation rule in parse_env_file."""
+        if key in os.environ:
+            return os.environ[key]
+        if key in file_vars:
+            return file_vars[key]
+        return None
 
+    def get(key: str) -> str:
+        v = get_set(key)
+        return v if v is not None else _DEFAULTS[key]
+
+    long_root = get_set("LONG_AUDIO_ROOT")
     return {
         "dataset_root": get("DATASET_ROOT"),
         "raw_data_dir": get("RAW_DATA_DIR"),
         "short_audio_dir": get("SHORT_AUDIO_DIR"),
         "long_audio_dir": get("LONG_AUDIO_DIR"),
-        "long_audio_root": os.environ.get("LONG_AUDIO_ROOT")
-        or file_vars.get("LONG_AUDIO_ROOT")
-        or get("LONG_AUDIO_DIR"),
+        "long_audio_root": (long_root if long_root is not None
+                            else get("LONG_AUDIO_DIR")),
     }
 
 

@@ -57,12 +57,21 @@ def compute_fold_stats(data_dir: str, fold: int) -> dict:
         if n <= 0:
             total += len(chunk) * F.MAX_FRAMES * F.NUM_MEL_BINS
             return
-        raw = np.asarray(_jit_logmel(jnp.asarray(
-            np.stack(chunk).astype(np.float32))),
-            dtype=np.float64)[:, :F.MAX_FRAMES]
+        k = len(chunk)
+        batch = np.stack(chunk).astype(np.float32)
+        if k < 32:
+            # pad remainder groups to the full (32, L) shape so each
+            # distinct clip length compiles exactly ONE program (a (k, L)
+            # remainder would trace a second one — ~100 s each over the
+            # remote-compile tunnel); pad rows are discarded below, so the
+            # kept rows' numerics are untouched (row-independent ops)
+            batch = np.concatenate(
+                [batch, np.zeros((32 - k, batch.shape[1]), np.float32)])
+        raw = np.asarray(_jit_logmel(jnp.asarray(batch)),
+                         dtype=np.float64)[:k, :F.MAX_FRAMES]
         running_sum += float(raw.sum())
         running_sq += float((raw ** 2).sum())
-        total += len(chunk) * F.MAX_FRAMES * F.NUM_MEL_BINS
+        total += k * F.MAX_FRAMES * F.NUM_MEL_BINS
 
     # stream decodes with bounded memory: at most 32 clips buffered per
     # distinct length (vs materializing the whole fold's decoded audio),

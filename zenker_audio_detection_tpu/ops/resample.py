@@ -57,6 +57,11 @@ def resample(waveform: np.ndarray, orig_freq: int, new_freq: int,
 
     Identical math to `torchaudio.functional.resample` defaults.
     """
+    if orig_freq < 1 or new_freq < 1:
+        # e.g. an unfinalized recorder header with sample_rate=0: fail with
+        # a typed error, not a ZeroDivisionError inside the kernel design
+        raise ValueError(
+            f"invalid resample rates {orig_freq} -> {new_freq}")
     if orig_freq == new_freq:
         return np.asarray(waveform, dtype=np.float32)
     g = math.gcd(int(orig_freq), int(new_freq))
