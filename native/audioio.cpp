@@ -246,6 +246,10 @@ long long audioio_resampled_length(long long n, int orig_freq, int new_freq) {
 int audioio_resample(const float* in, long long n, int orig_freq, int new_freq,
                      float* out) {
   if (orig_freq < 1 || new_freq < 1 || n < 0) return 6;
+  // kernel table is O(orig_freq) doubles for coprime rates — a corrupt u32
+  // header rate would drive the vector allocation into bad_alloc, which
+  // (uncaught) terminates the host process; 1 MHz covers all real audio
+  if (orig_freq > 1000000 || new_freq > 1000000) return 6;
   if (orig_freq == new_freq) {
     memcpy(out, in, sizeof(float) * static_cast<size_t>(n));
     return 0;

@@ -273,3 +273,54 @@ def test_resample_rejects_invalid_rates(rng):
     for bad in ((0, 16000), (16000, 0), (-8000, 16000)):
         with pytest.raises(ValueError, match="invalid resample rates"):
             R.resample(x, *bad)
+
+
+def _fuzz_wav_corpus(rng, n_flip=150, n_garbage=50):
+    """Deterministic corrupt-WAV corpus: truncations at every boundary,
+    random byte flips of a valid file, random garbage, and pathological
+    declared sizes (incl. u32-max sample rates that previously drove the
+    polyphase kernel design into a multi-GB swap-hang)."""
+    import struct
+
+    x = (rng.standard_normal(600) * 8000).astype(np.int16)
+    base = bytearray()
+    base += b"RIFF" + struct.pack("<I", 36 + len(x) * 2) + b"WAVE"
+    base += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+    base += b"data" + struct.pack("<I", len(x) * 2) + x.tobytes()
+    cases = [bytes(base[:cut]) for cut in range(0, len(base), 13)]
+    for _ in range(n_flip):
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 8)):
+            buf[rng.integers(len(buf))] = rng.integers(256)
+        cases.append(bytes(buf))
+    for _ in range(n_garbage):
+        cases.append(rng.integers(0, 256, rng.integers(0, 300))
+                     .astype(np.uint8).tobytes())
+    for size in (0, 1, 0x7FFFFFFF, 0xFFFFFFFF):
+        for off in (16, 40):  # fmt size / data size fields
+            buf = bytearray(base)
+            buf[off: off + 4] = struct.pack("<I", size)
+            cases.append(bytes(buf))
+    for sr in (0, 1, 10_000_000, 0xFFFFFFFF):  # header sample-rate field
+        buf = bytearray(base)
+        buf[24:28] = struct.pack("<I", sr)
+        cases.append(bytes(buf))
+    return cases
+
+
+def test_wav_decode_fuzz_only_typed_errors(tmp_path, rng):
+    """Every decode-layer entry point must either succeed or raise
+    ValueError on arbitrary corrupt input — never struct.error,
+    ZeroDivisionError, MemoryError, or an allocation hang."""
+    from zenker_audio_detection_tpu.infer import discovery
+
+    for i, c in enumerate(_fuzz_wav_corpus(rng)):
+        p = str(tmp_path / f"f{i}.wav")
+        with open(p, "wb") as f:
+            f.write(c)
+        for fn in (aio.read_wav, aio.load_audio, aio.load_audio_compact,
+                   discovery.wav_num_frames):
+            try:
+                fn(p)
+            except ValueError:
+                pass  # the documented contract

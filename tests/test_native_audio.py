@@ -167,3 +167,34 @@ def test_native_read_mono_v2_reports_actual_frames(tmp_path, rng):
     # the Python wrapper returns exactly the decoded span
     got, got_sr = native.read_mono(p)
     assert len(got) == 5000 and got_sr == 16000
+
+
+def test_native_decoder_fuzz_no_crash(tmp_path, rng):
+    """The C++ decoder must return error codes on arbitrary corrupt input —
+    never SIGFPE/SIGSEGV/bad_alloc-abort (which kill the host process and
+    defeat the C-ABI fallback design). Runs in a subprocess so a crash is
+    an exit code here, not a dead pytest."""
+    import sys
+
+    from test_audio import _fuzz_wav_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i, c in enumerate(_fuzz_wav_corpus(rng, n_flip=120, n_garbage=40)):
+        (d / f"f{i}.wav").write_bytes(c)
+    code = (
+        "import sys, os\n"
+        "sys.path.insert(0, %r)\n"
+        "from zenker_audio_detection_tpu.audio import native\n"
+        "assert native.available()\n"
+        "n = 0\n"
+        "for fn in sorted(os.listdir(%r)):\n"
+        "    p = os.path.join(%r, fn)\n"
+        "    native.read_mono(p)\n"
+        "    native.load_audio(p)\n"
+        "    n += 1\n"
+        "print('fuzzed', n)\n" % (str(REPO), str(d), str(d)))
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, (out.returncode, out.stderr[-2000:])
+    assert "fuzzed" in out.stdout

@@ -23,6 +23,8 @@ SAMPLING_RATE = 16000
 _FMT_PCM = 1
 _FMT_IEEE_FLOAT = 3
 _FMT_EXTENSIBLE = 0xFFFE
+# corrupt-header bound (ops/resample.MAX_SAMPLE_RATE rationale)
+_MAX_WAV_SAMPLE_RATE = 1_000_000
 
 
 # chunk ids that legitimately trail a data chunk in real WAVs (shared with
@@ -98,7 +100,9 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
      bits) = struct.unpack_from("<HHIIHH", fmt, 0)
     if channels < 1:
         raise ValueError(f"{path}: invalid WAV channel count {channels}")
-    if sr < 1:
+    if sr < 1 or sr > _MAX_WAV_SAMPLE_RATE:
+        # u32 garbage rates (corrupt header) would drive the polyphase
+        # resampler's O(sr) kernel table into a multi-GB swap-hang
         raise ValueError(f"{path}: invalid WAV sample rate {sr}")
     # a clamped (truncated mid-sample) body must not crash frombuffer:
     # drop the trailing partial sample

@@ -20,6 +20,10 @@ import math
 
 import numpy as np
 
+# kernel-table cost bound: ~12 * orig_freq doubles when the reduced rates
+# are coprime, so cap rates at 1 MHz (every real audio rate, <=100 MB)
+MAX_SAMPLE_RATE = 1_000_000
+
 
 @functools.lru_cache(maxsize=32)
 def _design_kernel(orig_freq: int, new_freq: int,
@@ -62,6 +66,14 @@ def resample(waveform: np.ndarray, orig_freq: int, new_freq: int,
         # a typed error, not a ZeroDivisionError inside the kernel design
         raise ValueError(
             f"invalid resample rates {orig_freq} -> {new_freq}")
+    if max(orig_freq, new_freq) > MAX_SAMPLE_RATE:
+        # the polyphase kernel table is O(orig_freq) doubles when the rates
+        # are coprime (up x kw ~ 12 * orig_freq); a corrupt u32 header rate
+        # (~4e9) would try to allocate ~380 GB — a swap-hang, not an error.
+        # 1 MHz covers every real audio rate with a <=100 MB transient.
+        raise ValueError(
+            f"resample rate out of range ({orig_freq} -> {new_freq}; "
+            f"max {MAX_SAMPLE_RATE} Hz)")
     if orig_freq == new_freq:
         return np.asarray(waveform, dtype=np.float32)
     g = math.gcd(int(orig_freq), int(new_freq))
@@ -97,6 +109,11 @@ def resample_jax(waveform, orig_freq: int, new_freq: int,
     """
     import jax.numpy as jnp
 
+    if (orig_freq < 1 or new_freq < 1
+            or max(orig_freq, new_freq) > MAX_SAMPLE_RATE):
+        raise ValueError(
+            f"invalid resample rates {orig_freq} -> {new_freq} "
+            f"(max {MAX_SAMPLE_RATE} Hz)")
     if orig_freq == new_freq:
         return jnp.asarray(waveform, dtype=jnp.float32)
     g = math.gcd(int(orig_freq), int(new_freq))
