@@ -207,8 +207,7 @@ int audioio_read_mono_v2(const char* path, float* out, long long out_capacity,
   if (!parse_wav(buf.data(), buf.size(), &w)) return 3;
   std::vector<float> interleaved;
   if (!decode_samples(w, &interleaved)) return 4;
-  if (w.channels < 1) return 3;
-  const long long frames =
+  const long long frames =  // parse_wav guarantees channels > 0
       static_cast<long long>(interleaved.size() / w.channels);
   if (frames > out_capacity) return 5;
   const int C = w.channels;

@@ -205,6 +205,28 @@ def test_train_fold_rejects_indivisible_batch(product_tree):
     assert not out.exists()  # failed before prepare_fold_dir
 
 
+@pytest.mark.slow
+def test_train_fold_eval_batch_rounds_up_to_mesh(product_tree, capsys):
+    """eval_batch_size is not CLI-exposed, so an indivisible value must
+    NOT hard-fail: it rounds up to the next mesh multiple (eval chunk size
+    only affects perf — per-sample logits are chunk-independent)."""
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.train import loop as L
+
+    cfg = L.TrainFoldConfig(
+        stage="stage1", data_dir=str(product_tree / "data"),
+        output_root=str(product_tree / "runs_train_evalbump"),
+        pretrained_model_dir=str(
+            product_tree / "runs/ast_classifier_stage1/fold1/best"),
+        num_epochs=1, batch_size=6, eval_batch_size=8, learning_rate=1e-3,
+        enable_early_stopping=False, augment=False,
+        dtype=jnp.float32, num_devices=3)
+    m = L.train_fold(1, cfg)
+    assert "eval_batch_size 8 -> 9" in capsys.readouterr().out
+    assert m and all(np.isfinite(v) for v in m.values())
+
+
 def _assert_json_close(a, b, atol=1e-6, path=""):
     """Structural equality with float tolerance: sharded vs single-device
     programs partition/fuse differently in XLA, so probabilities may differ

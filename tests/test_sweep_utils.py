@@ -131,6 +131,35 @@ def test_run_sweep_goal_defaults_to_minimize(tmp_path, monkeypatch):
     assert out["best"]["value"] == pytest.approx(0.2)
 
 
+def test_run_sweep_no_metric_block_maximizes_default_f1(tmp_path,
+                                                        monkeypatch):
+    """With NO metric block, the objective name eval_f1 is OUR default —
+    pairing it with W&B's minimize default would be self-inconsistent, so
+    the metric-absent case maximizes."""
+    import yaml
+
+    from zenker_audio_detection_tpu.train import loop as train_loop
+
+    f1s = [0.4, 0.9, 0.6]
+    calls = []
+
+    def fake_train_fold(fold, cfg):
+        calls.append(1)
+        return {f"fold{fold}_val_f1": f1s[len(calls) - 1]}
+
+    monkeypatch.setattr(train_loop, "train_fold", fake_train_fold)
+    p = tmp_path / "s.yaml"
+    p.write_text(yaml.safe_dump({
+        "method": "random",
+        "parameters": {"fold": {"values": [1]},
+                       "learning-rate": {"distribution": "uniform",
+                                         "min": 1e-5, "max": 1e-4}}}))
+    base = train_loop.TrainFoldConfig(stage="stage1", data_dir="unused",
+                                      output_root=str(tmp_path))
+    out = S.run_sweep(str(p), base, count=3, output_dir=str(tmp_path / "sw"))
+    assert out["best"]["value"] == pytest.approx(0.9)
+
+
 def test_tracking_run(tmp_path):
     run = tracking.Run("proj", name="r1", config={"lr": 1e-4},
                        dir=str(tmp_path), use_wandb=False)

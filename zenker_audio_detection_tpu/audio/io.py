@@ -23,8 +23,8 @@ SAMPLING_RATE = 16000
 _FMT_PCM = 1
 _FMT_IEEE_FLOAT = 3
 _FMT_EXTENSIBLE = 0xFFFE
-# corrupt-header bound (ops/resample.MAX_SAMPLE_RATE rationale)
-_MAX_WAV_SAMPLE_RATE = 1_000_000
+# corrupt-header bound — single source of truth with the resampler guard
+from ..ops.resample import MAX_SAMPLE_RATE as _MAX_WAV_SAMPLE_RATE  # noqa: E402,E501
 
 
 # chunk ids that legitimately trail a data chunk in real WAVs (shared with

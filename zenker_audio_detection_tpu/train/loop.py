@@ -593,15 +593,24 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
               f"{mesh.devices.size} devices: {topo}")
         # _shard's single-device fallback exists for TAIL batches; a batch
         # size that never divides would silently run the whole fine-tune on
-        # one device while the banner above claims otherwise — reject it.
-        for bs_name, bs in (("batch_size", cfg.batch_size),
-                            ("eval_batch_size", cfg.eval_batch_size)):
-            if bs % mesh.devices.size != 0:
-                raise ValueError(
-                    f"{bs_name} {bs} is not divisible by the "
-                    f"{mesh.devices.size}-device mesh; every batch would "
-                    f"fall back to a single device — choose a {bs_name} "
-                    f"divisible by num_devices")
+        # one device while the banner above claims otherwise — reject it
+        # (batch_size is CLI-exposed, so the user can fix it).
+        if cfg.batch_size % mesh.devices.size != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} is not divisible by the "
+                f"{mesh.devices.size}-device mesh; every batch would fall "
+                f"back to a single device — choose a batch_size divisible "
+                f"by num_devices")
+        # eval_batch_size is NOT CLI-exposed and only affects eval-side
+        # perf (per-sample logits are chunk-size independent): round it UP
+        # to the next mesh multiple instead of erroring
+        if cfg.eval_batch_size % mesh.devices.size != 0:
+            bumped = -(-cfg.eval_batch_size // mesh.devices.size) \
+                * mesh.devices.size
+            print(f"[Mesh] eval_batch_size {cfg.eval_batch_size} -> "
+                  f"{bumped} (rounded up to a {mesh.devices.size}-device "
+                  f"multiple so eval chunks shard)")
+            cfg = dataclasses.replace(cfg, eval_batch_size=bumped)
     fold_dir, mean, std = prepare_fold_dir(fold, cfg)
 
     def _shard(x):

@@ -202,10 +202,18 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
             f"unsupported sweep parameter(s) {unknown}; supported: "
             f"{sorted(_PARAM_MAP)} (plumbing keys {sorted(_IGNORED)} are "
             f"ignored)")
-    metric = sweep.get("metric", {}).get("name", "eval_f1")
-    # W&B's documented default goal is MINIMIZE; defaulting to maximize
-    # would invert optimization for goal-less loss objectives
-    goal = sweep.get("metric", {}).get("goal", "minimize")
+    metric_block = sweep.get("metric") or {}
+    metric = metric_block.get("name", "eval_f1")
+    if "goal" in metric_block:
+        goal = metric_block["goal"]
+    elif "name" in metric_block:
+        # user-named metric, no goal: W&B's documented default is MINIMIZE
+        # (defaulting to maximize would invert goal-less loss objectives)
+        goal = "minimize"
+    else:
+        # no metric block at all: the objective name 'eval_f1' above is OUR
+        # default, so pairing it with minimize would be self-inconsistent
+        goal = "maximize"
     if goal not in ("maximize", "minimize"):
         raise ValueError(f"unsupported sweep goal {goal!r}")
     # rungs derive from the EFFECTIVE epoch count: a num-epochs pinned in
