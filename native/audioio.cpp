@@ -245,10 +245,6 @@ long long audioio_resampled_length(long long n, int orig_freq, int new_freq) {
 int audioio_resample(const float* in, long long n, int orig_freq, int new_freq,
                      float* out) {
   if (orig_freq < 1 || new_freq < 1 || n < 0) return 6;
-  // kernel table is O(orig_freq) doubles for coprime rates — a corrupt u32
-  // header rate would drive the vector allocation into bad_alloc, which
-  // (uncaught) terminates the host process; 1 MHz covers all real audio
-  if (orig_freq > 1000000 || new_freq > 1000000) return 6;
   if (orig_freq == new_freq) {
     memcpy(out, in, sizeof(float) * static_cast<size_t>(n));
     return 0;
@@ -256,6 +252,15 @@ int audioio_resample(const float* in, long long n, int orig_freq, int new_freq,
   const uint64_t g = gcd64(orig_freq, new_freq);
   const int up = static_cast<int>(new_freq / g);
   const int down = static_cast<int>(orig_freq / g);
+  // kernel table is ~ up * (2*ceil(6*down/0.99) + down) doubles AFTER gcd
+  // reduction; a corrupt u32 header rate reduces huge and would drive the
+  // vector allocation into bad_alloc, which (uncaught) terminates the
+  // host process. Real pairs — incl. augmentation's fictitious pitch
+  // ratios like 96:77 — reduce far below this bound (matches the Python
+  // guard ops/resample._MAX_KERNEL_ELEMENTS).
+  const uint64_t width_est = (600ULL * down + 98) / 99;  // ceil(6*down/0.99)
+  if (static_cast<uint64_t>(up) * (2 * width_est + down) > 16000000ULL)
+    return 6;
   std::vector<double> kernels64;
   int width, kw;
   design_kernel(down, up, 6, 0.99, &kernels64, &width, &kw);

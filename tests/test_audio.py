@@ -275,6 +275,21 @@ def test_resample_rejects_invalid_rates(rng):
             R.resample(x, *bad)
 
 
+def test_resample_kernel_cost_guard(rng):
+    """The guard bounds the REDUCED ratio's kernel table, not the raw rate:
+    augmentation's fictitious pitch-shift rates (1536000->1232000 = 96:77)
+    must pass, while a corrupt u32 header rate (reduces huge) must raise —
+    previously a multi-GB swap-hang."""
+    from zenker_audio_detection_tpu.ops import resample as R
+
+    x = rng.standard_normal(400).astype(np.float32)
+    big = R.resample(x, 1536000, 1232000)
+    np.testing.assert_array_equal(big, R.resample(x, 9600, 7700))  # = 96:77
+    for fn in (R.resample, R.resample_jax):
+        with pytest.raises(ValueError, match="kernel table"):
+            fn(x, 4_000_000_001, 16000)
+
+
 def _fuzz_wav_corpus(rng, n_flip=150, n_garbage=50):
     """Deterministic corrupt-WAV corpus: truncations at every boundary,
     random byte flips of a valid file, random garbage, and pathological

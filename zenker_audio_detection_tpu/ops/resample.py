@@ -20,9 +20,28 @@ import math
 
 import numpy as np
 
-# kernel-table cost bound: ~12 * orig_freq doubles when the reduced rates
-# are coprime, so cap rates at 1 MHz (every real audio rate, <=100 MB)
+# WAV-header sanity bound (audio/io.py): no real container rate exceeds
+# 1 MHz. NOT enforced on resample() itself — augmentation's pitch shift
+# passes fictitious rates like 1536000->1232000 that REDUCE to tiny
+# ratios (96:77); the actual kernel cost is bounded separately below.
 MAX_SAMPLE_RATE = 1_000_000
+# polyphase kernel table is ~ up * (2*ceil(6*down/rolloff) + down) doubles
+# AFTER gcd reduction; real rate pairs reduce small (44100->16000 is
+# ~0.9e6 elements) while a corrupt u32 header rate reduces huge (~2e9
+# down). 16e6 elements (~128 MB f64) admits every real case and rejects
+# the swap-hang class.
+_MAX_KERNEL_ELEMENTS = 16_000_000
+
+
+def _check_kernel_cost(up: int, down: int, lowpass_filter_width: int,
+                       rolloff: float) -> None:
+    width_est = math.ceil(lowpass_filter_width * down / rolloff)
+    if up * (2 * width_est + down) > _MAX_KERNEL_ELEMENTS:
+        raise ValueError(
+            f"resample ratio {up}/{down} needs a polyphase kernel table of "
+            f"~{up * (2 * width_est + down):,} doubles (> "
+            f"{_MAX_KERNEL_ELEMENTS:,}); refusing — this is the corrupt-"
+            f"header swap-hang class, not a real audio rate pair")
 
 
 @functools.lru_cache(maxsize=32)
@@ -66,18 +85,11 @@ def resample(waveform: np.ndarray, orig_freq: int, new_freq: int,
         # a typed error, not a ZeroDivisionError inside the kernel design
         raise ValueError(
             f"invalid resample rates {orig_freq} -> {new_freq}")
-    if max(orig_freq, new_freq) > MAX_SAMPLE_RATE:
-        # the polyphase kernel table is O(orig_freq) doubles when the rates
-        # are coprime (up x kw ~ 12 * orig_freq); a corrupt u32 header rate
-        # (~4e9) would try to allocate ~380 GB — a swap-hang, not an error.
-        # 1 MHz covers every real audio rate with a <=100 MB transient.
-        raise ValueError(
-            f"resample rate out of range ({orig_freq} -> {new_freq}; "
-            f"max {MAX_SAMPLE_RATE} Hz)")
     if orig_freq == new_freq:
         return np.asarray(waveform, dtype=np.float32)
     g = math.gcd(int(orig_freq), int(new_freq))
     up, down = int(new_freq) // g, int(orig_freq) // g
+    _check_kernel_cost(up, down, lowpass_filter_width, rolloff)
 
     kernels, width = _design_kernel(down, up, lowpass_filter_width, rolloff)
     x = np.asarray(waveform, dtype=np.float64)
@@ -109,15 +121,14 @@ def resample_jax(waveform, orig_freq: int, new_freq: int,
     """
     import jax.numpy as jnp
 
-    if (orig_freq < 1 or new_freq < 1
-            or max(orig_freq, new_freq) > MAX_SAMPLE_RATE):
+    if orig_freq < 1 or new_freq < 1:
         raise ValueError(
-            f"invalid resample rates {orig_freq} -> {new_freq} "
-            f"(max {MAX_SAMPLE_RATE} Hz)")
+            f"invalid resample rates {orig_freq} -> {new_freq}")
     if orig_freq == new_freq:
         return jnp.asarray(waveform, dtype=jnp.float32)
     g = math.gcd(int(orig_freq), int(new_freq))
     up, down = int(new_freq) // g, int(orig_freq) // g
+    _check_kernel_cost(up, down, lowpass_filter_width, rolloff)
     kernels_np, width = _design_kernel(down, up, lowpass_filter_width, rolloff)
     kernels = jnp.asarray(kernels_np, dtype=jnp.float32)
 
