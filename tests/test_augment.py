@@ -82,3 +82,22 @@ def test_pitch_shift_down(tone):
     y = A.pitch_shift(tone, -4.0, 16000)
     expected = 440 * 2 ** (-4 / 12)
     assert abs(_peak_freq(y) - expected) < 12
+
+
+def test_augment_waveform_always_finite_and_shape_preserving():
+    """Property: the full 7-transform Compose never emits non-finite
+    samples or changes length, across amplitudes spanning the corpus
+    range (1e-4 .. 0.95) and odd lengths, including all-zero input."""
+    rng = np.random.default_rng(0)
+    for seed in range(30):
+        arng = np.random.default_rng(seed)
+        n = int(rng.integers(1600, 32000))
+        x = (rng.standard_normal(n)
+             * rng.choice([1e-4, 0.01, 0.3, 0.95])).astype(np.float32)
+        out = A.augment_waveform(x, arng)
+        assert out.shape == x.shape
+        assert np.isfinite(out).all()
+    for n in (1600, 1601, 15999):  # zero input, odd lengths
+        out = A.augment_waveform(np.zeros(n, np.float32),
+                                 np.random.default_rng(1))
+        assert out.shape == (n,) and np.isfinite(out).all()
