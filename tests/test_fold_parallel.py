@@ -331,3 +331,14 @@ def test_train_cli_parallel_folds(tree):
     for f in (1, 2):
         assert (out / f"fold{f}" / "best" / "model.safetensors").exists()
         assert (out / f"fold{f}" / "run_config.json").exists()
+
+
+def test_fold_parallel_eval_batch_rounds_up(tree, capsys):
+    """eval_batch_size is not CLI-exposed: an indivisible value under a
+    data-per-fold group rounds UP with a note (same policy as
+    train_fold's mesh bump) instead of hard-failing."""
+    cfg = _cfg(tree, "evalbump", num_devices=2, data_per_fold=2,
+               eval_batch_size=3, num_epochs=1, augment=False)
+    out = train_folds_parallel([1], cfg)
+    assert "eval_batch_size 3 -> 4" in capsys.readouterr().out
+    assert len(out) == 1

@@ -272,8 +272,15 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
             raise ValueError(f"batch_size {cfg.batch_size} not divisible "
                              f"by data_per_fold {data_per_fold}")
         if data_per_fold > 1 and cfg.eval_batch_size % data_per_fold:
-            raise ValueError(f"eval_batch_size {cfg.eval_batch_size} not "
-                             f"divisible by data_per_fold {data_per_fold}")
+            # eval_batch_size is not CLI-exposed: round UP instead of
+            # erroring (eval chunk size only affects perf — same policy
+            # as train_fold's mesh bump)
+            bumped = (-(-cfg.eval_batch_size // data_per_fold)
+                      * data_per_fold)
+            print(f"[Mesh] eval_batch_size {cfg.eval_batch_size} -> "
+                  f"{bumped} (rounded up to a {data_per_fold}-device "
+                  f"group multiple)")
+            cfg = dataclasses.replace(cfg, eval_batch_size=bumped)
     trackers = trackers or {}
     print(f"\n===== {cfg.stage} folds {list(folds)} (fold-parallel) =====")
 

@@ -39,6 +39,7 @@ tests/test_trial_parallel.py.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 
 import jax
@@ -136,10 +137,19 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
                              f"{trial_groups} trial groups")
         if data_per_trial > 1 and base.batch_size % data_per_trial:
             raise ValueError(f"batch_size {base.batch_size} not divisible "
-                             f"by data_per_fold {data_per_trial}")
+                             f"by data_per_trial {data_per_trial}")
         if data_per_trial > 1 and base.eval_batch_size % data_per_trial:
-            raise ValueError(f"eval_batch_size {base.eval_batch_size} not "
-                             f"divisible by data_per_fold {data_per_trial}")
+            # eval_batch_size is not CLI-exposed: round UP instead of
+            # erroring (eval chunk size only affects perf — same policy
+            # as train_fold's mesh bump)
+            bumped = (-(-base.eval_batch_size // data_per_trial)
+                      * data_per_trial)
+            print(f"[Mesh] eval_batch_size {base.eval_batch_size} -> "
+                  f"{bumped} (rounded up to a {data_per_trial}-device "
+                  f"group multiple)")
+            cfgs = [dataclasses.replace(c, eval_batch_size=bumped)
+                    for c in cfgs]
+            base = cfgs[0]
     print(f"\n===== {base.stage} fold {fold}: {T} trials "
           f"(trial-parallel) =====")
 
