@@ -74,10 +74,17 @@ def make_audio(rng, seconds):
 
 def test_window_starts_match_reference(rng):
     for n in [4000, 16000, 16001, 47999, 80000]:
-        audio = np.zeros(n, np.float32)
-        ref = ref_window_audio(audio, 1.0, 0.5)
+        # the reference's exact grid (test_long_audio_windows_2stage.py:
+        # 62-75): range(0, max(1, n - win + 1), hop) — compare the START
+        # POSITIONS, not just the count (an offset grid with the same
+        # length would pass a count-only check)
+        ref_starts = list(range(0, max(1, n - 16000 + 1), 8000))
         starts = C.window_starts(n, 1.0, 0.5)
-        assert len(starts) == len(ref)
+        np.testing.assert_array_equal(np.asarray(starts),
+                                      np.asarray(ref_starts))
+        # and the count matches the windows the reference would cut
+        assert len(starts) == len(ref_window_audio(np.zeros(n, np.float32),
+                                                   1.0, 0.5))
 
 
 def test_cascade_probs_and_summary_parity(engines, rng):

@@ -24,8 +24,10 @@ pytestmark = pytest.mark.slow
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):
     root = tmp_path_factory.mktemp("wf")
+    prev = os.getcwd()
     os.chdir(root)  # CLIs use relative default paths like the reference
-    return root
+    yield root
+    os.chdir(prev)  # don't leak cwd into later test modules
 
 
 @pytest.fixture(scope="module")
@@ -515,6 +517,8 @@ def test_quality_drift_patient_bands(trained, overlap_assets):
                                   ["--model-root", "runs_int8"])
     print(f"[drift] patient acc: f32 {acc_f32:.4f} int8 {acc_int8:.4f}")
     assert abs(acc_f32 - PIN_PATIENT_F32) <= 2 / 16 + 1e-9, acc_f32
+    # subsumed by the pin band TODAY; kept as the independent sensitivity
+    # guard for when the pin is re-measured or its band widened
     assert acc_f32 < 1.0, "overlap corpus saturated — bench lost sensitivity"
     assert abs(acc_int8 - acc_f32) <= 1 / 16 + 1e-9, (acc_f32, acc_int8)
 

@@ -97,9 +97,19 @@ def _compare(tree, seq_tag, par_tag, seq_metrics, par_metrics, folds=(1, 2)):
             assert (tree / f"runs_{par_tag}" / f"fold{fold}" / rel).exists()
 
 
+def _ensure_seq1_histories(tree):
+    """Sequential baseline shared by the mesh-parity tests below;
+    regenerated when running under -k filters so each test is
+    self-contained (the short-seq test got the same treatment)."""
+    if not (tree / "runs_seq1" / "fold2" / "history.json").exists():
+        for f in (1, 2):
+            L.train_fold(f, _cfg(tree, "seq1"))
+    return [json.loads((tree / "runs_seq1" / f"fold{f}"
+                        / "history.json").read_text()) for f in (1, 2)]
+
+
 def test_stage1_parallel_matches_sequential(tree):
-    cfg_seq = _cfg(tree, "seq1")
-    seq = [L.train_fold(f, cfg_seq) for f in (1, 2)]
+    seq = [L.train_fold(f, _cfg(tree, "seq1")) for f in (1, 2)]
     cfg_par = _cfg(tree, "par1")
     par = train_folds_parallel([1, 2], cfg_par)
     _compare(tree, "seq1", "par1", seq, par)
@@ -107,9 +117,7 @@ def test_stage1_parallel_matches_sequential(tree):
 
 def test_stage1_parallel_sharded_over_mesh(tree):
     """Fold axis sharded over 2 of the 8 virtual devices: same numbers."""
-    cfg_seq = _cfg(tree, "seq1")  # reuse seq1 artifacts from the first test
-    seq = [json.loads((tree / "runs_seq1" / f"fold{f}"
-                       / "history.json").read_text()) for f in (1, 2)]
+    seq = _ensure_seq1_histories(tree)
     cfg_par = _cfg(tree, "par_mesh", num_devices=2)
     train_folds_parallel([1, 2], cfg_par)
     for f, hist_seq in zip((1, 2), seq):
@@ -126,8 +134,7 @@ def test_fold_data_mesh_matches_sequential(tree):
     fold batches shard across each fold's device group (XLA inserts the
     per-group gradient all-reduce), numerics must still equal the
     sequential trainer's."""
-    seq = [json.loads((tree / "runs_seq1" / f"fold{f}"
-                       / "history.json").read_text()) for f in (1, 2)]
+    seq = _ensure_seq1_histories(tree)
     cfg_par = _cfg(tree, "par_fd", num_devices=4, data_per_fold=2)
     train_folds_parallel([1, 2], cfg_par)
     for f, hist_seq in zip((1, 2), seq):

@@ -109,11 +109,22 @@ def test_numpy_vocoder_matches_golden(vocoder_golden, rate):
 
 @pytest.mark.parametrize("rate", VOCODER_RATES)
 def test_native_vocoder_matches_golden(vocoder_golden, rate):
+    import subprocess
+    from pathlib import Path
+
     from zenker_audio_detection_tpu.audio import native
 
+    if not native.available():
+        # build here rather than rely on test_native_audio's fixture —
+        # that module collects AFTER this one, so on a clean checkout the
+        # pin would silently skip and never guard the C++ vocoder
+        repo = Path(__file__).resolve().parent.parent
+        subprocess.run(["make", "-C", str(repo / "native")], check=True,
+                       capture_output=True)
+        native._TRIED = False
     got = native.phase_vocoder_stretch(vocoder_golden["input"], rate)
     if got is None:
-        pytest.skip("native lib unavailable or predates the vocoder")
+        pytest.skip("native toolchain unavailable")
     ref = vocoder_golden[f"rate_{rate:.6f}"]
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-8)

@@ -114,9 +114,11 @@ def test_native_vocoder_short_input_falls_back(rng):
 
     x = rng.standard_normal(1025)
     got = native.phase_vocoder_stretch(x, 1.1)
-    if got is not None:
-        np.testing.assert_allclose(got, A._numpy_phase_vocoder_stretch(x, 1.1),
-                                   atol=1e-8)
+    # the contract is that the native path HANDLES 1025 (a None here means
+    # the C++ length guard regressed) — don't silently waive the parity
+    assert got is not None
+    np.testing.assert_allclose(got, A._numpy_phase_vocoder_stretch(x, 1.1),
+                               atol=1e-8)
 
 
 def test_native_zero_sample_rate_header_no_sigfpe(tmp_path, rng):

@@ -36,17 +36,29 @@ def test_mha_parity_bf16(rng):
     np.testing.assert_allclose(ours, ref, atol=0.02)
 
 
-def test_mask_excludes_padded_keys(rng):
-    """Changing values beyond S (the pad region) must not affect output —
-    i.e. padded keys truly get -inf logits."""
+def test_mask_excludes_padded_keys(rng, monkeypatch):
+    """DIRECT mask check: fill the internal pad region with huge garbage
+    instead of zeros — masked padded keys must leave the output unchanged
+    (a broken -inf mask would let k/v pad rows dominate every softmax)."""
     import jax.numpy as jnp
 
     q, k, v = _qkv(rng, 1, 65, 2, 32, jnp.float32)  # padded to 128
-    out1 = np.asarray(A.mha(q, k, v, interpret=True))
-    # pad region is created inside mha from zeros; equivalence with the
-    # reference (no padding at all) already proves exclusion:
-    ref = np.asarray(A.reference_mha(q, k, v))
-    np.testing.assert_allclose(out1, ref, atol=2e-5)
+    ref = np.asarray(A.mha(q, k, v, interpret=True))
+
+    real_pad = jnp.pad
+
+    def garbage_pad(x, widths, **kw):
+        kw.pop("constant_values", None)
+        return real_pad(x, widths, constant_values=1e4, **kw)
+
+    with monkeypatch.context() as m:
+        # mha pads q/k/v via jnp.pad right before the kernel; poisoning
+        # the pad content exercises the iota mask, not zero-pad luck
+        m.setattr(A.jnp, "pad", garbage_pad)
+        poisoned = np.asarray(A.mha(q, k, v, interpret=True))
+    np.testing.assert_allclose(poisoned, ref, atol=2e-5)
+    np.testing.assert_allclose(ref, np.asarray(A.reference_mha(q, k, v)),
+                               atol=2e-5)
 
 
 @pytest.mark.parametrize("s", [64, 100])

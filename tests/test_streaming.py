@@ -309,5 +309,10 @@ def test_concurrent_streams_fold_per_device():
 
     for engine, audio, results, stream, dev in outs:
         assert_stream_matches_offline(engine, audio, results, stream)
-        leaf = jax.tree.leaves(engine.stage1.params)[0]
-        assert getattr(leaf, "devices", lambda: {dev})() == {dev}
+        # inspect the engine's COMMITTED serving copy (not the caller's
+        # StageSpec input), and fail hard if the leaf has no .devices()
+        # — a getattr fallback would make this check vacuous for numpy
+        # leaves, exactly the uncommitted-params failure it exists for
+        leaf = jax.tree.leaves(engine._params1)[0]
+        assert hasattr(leaf, "devices"), type(leaf)
+        assert leaf.devices() == {dev}

@@ -231,11 +231,23 @@ def test_run_sweep_parallel_trials_dispatch(tree, tmp_path):
                               output_dir=str(tmp_path / "out"),
                               parallel_trials=True)
     assert len(out["results"]) == 2
-    assert out["best"]["value"] >= 0
     lines = (tmp_path / "out" / "sweep_results.jsonl").read_text().splitlines()
     assert len(lines) == 2
     rec = json.loads(lines[0])
     assert rec["fold"] == 1 and "learning-rate" in rec["params"]
+    # the docstring's actual claim: the parallel agent consumes the SAME
+    # rng sequence sequential sampling would (reproduce it and compare the
+    # recorded hyperparameters exactly)
+    expected_rng = np.random.default_rng(5)
+    spec = sweep_mod.load_sweep_config(str(sweep_yaml))["parameters"]
+    expected = [{k: v for k, v in sweep_mod.sample_parameters(
+                     spec, expected_rng).items() if k != "fold"}
+                for _ in range(2)]  # both branches record sans 'fold'
+    assert [json.loads(ln)["params"] for ln in lines] == expected
+    # best tracks the max of the recorded objective values (>= 0 is
+    # vacuous for an f1)
+    vals = [json.loads(ln)["value"] for ln in lines]
+    assert out["best"]["value"] == max(vals)
     assert (tmp_path / "out" / "best_config.json").exists()
     for t in range(2):  # per-trial run dirs with exported best models
         assert (tmp_path / "out" / f"trial{t}" / "fold1"
