@@ -93,6 +93,37 @@ def bench_cpu_reference(n_windows_sample=8):
     return n_windows_sample / best
 
 
+def assert_chip_reachable(timeout_s: float = 180.0,
+                          probe=None) -> None:
+    """Fail FAST with the one-JSON-line contract intact when the axon
+    tunnel is stalled. Observed failure mode (round 4): jax.devices()
+    blocks for hours at ~0 CPU, so the bench would hang past the driver's
+    timeout and the round artifact would record nothing diagnosable.
+    The probe runs in a daemon thread; on timeout we print a single JSON
+    line carrying an explicit error field and exit nonzero."""
+    import threading
+
+    if probe is None:
+        def probe():
+            import jax
+
+            jax.devices()
+
+    done = threading.Event()
+    t = threading.Thread(target=lambda: (probe(), done.set()), daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "e2e_2stage_windows_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "windows/s",
+            "vs_baseline": 0.0,
+            "error": f"TPU unreachable: device enumeration blocked "
+                     f"> {timeout_s:.0f}s (stalled axon tunnel)",
+        }))
+        sys.exit(1)
+
+
 def main():
     import argparse
 
@@ -100,6 +131,8 @@ def main():
     ap.add_argument("--trace-dir", default=None,
                     help="capture a jax.profiler trace of the timed runs")
     args = ap.parse_args()
+
+    assert_chip_reachable()
 
     from zenker_audio_detection_tpu.utils import profiling
 

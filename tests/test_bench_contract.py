@@ -26,3 +26,28 @@ def test_bench_prints_one_json_line(monkeypatch, capsys):
     # host load flags a deflated CPU denominator (concurrent jobs cost ~2x)
     assert isinstance(payload["host_load_1min"], float)
     assert payload["host_load_1min"] >= 0
+
+
+def test_bench_unreachable_chip_fails_fast(capsys):
+    """A stalled axon tunnel (device enumeration blocking for hours) must
+    produce ONE diagnosable JSON line + nonzero exit instead of hanging
+    past the driver's timeout with no output."""
+    import time
+
+    import pytest
+
+    with pytest.raises(SystemExit) as e:
+        bench.assert_chip_reachable(timeout_s=0.05,
+                                    probe=lambda: time.sleep(5))
+    assert e.value.code == 1
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "e2e_2stage_windows_per_sec_per_chip"
+    assert payload["value"] == 0.0
+    assert "TPU unreachable" in payload["error"]
+
+
+def test_bench_reachable_chip_prints_nothing(capsys):
+    bench.assert_chip_reachable(timeout_s=5.0, probe=lambda: None)
+    assert capsys.readouterr().out == ""
