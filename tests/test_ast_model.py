@@ -84,6 +84,71 @@ def test_roundtrip_state_dict(rng):
         np.testing.assert_allclose(sd[k], ref_sd[k], atol=0, rtol=0, err_msg=k)
 
 
+def _fuzz_safetensors_corpus(rng):
+    """Deterministic corrupt-safetensors corpus: truncations, random byte
+    flips of a valid file, random garbage, pathological declared header
+    lengths (a corrupt u64 previously drove f.read() into a multi-TB
+    preallocation), and structurally-wrong JSON headers."""
+    import json
+    import struct
+
+    hdr = lambda h: struct.pack("<Q", len(h)) + h
+    convert.write_safetensors(
+        {"a": rng.standard_normal((4, 3)).astype(np.float32),
+         "b": rng.integers(0, 9, 7).astype(np.int64)},
+        "/tmp/_st_fuzz_base.safetensors")
+    with open("/tmp/_st_fuzz_base.safetensors", "rb") as f:
+        base = bytearray(f.read())
+    cases = [bytes(base[:cut]) for cut in range(0, len(base), 11)]
+    for _ in range(150):
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 8)):
+            buf[rng.integers(len(buf))] = rng.integers(256)
+        cases.append(bytes(buf))
+    for _ in range(50):
+        cases.append(rng.integers(0, 256, rng.integers(0, 300))
+                     .astype(np.uint8).tobytes())
+    for hlen in (2**62, 100 * 2**30, 10_000, len(base)):  # over-declared
+        cases.append(struct.pack("<Q", hlen) + bytes(base[8:]))
+    ent = lambda **kw: hdr(json.dumps({"w": kw}).encode())
+    cases += [
+        hdr(b"[1,2,3]"), hdr(b"42"), hdr(b'"s"'), hdr(b"\xff\xfe invalid"),
+        hdr(json.dumps({"w": 5}).encode()),
+        hdr(json.dumps({"w": "meta"}).encode()),
+        ent(dtype="F128", shape=[1], data_offsets=[0, 4]) + b"\0" * 4,
+        ent(dtype="F32", shape=[-1], data_offsets=[0, 8]) + b"\0" * 8,
+        ent(dtype="F32", shape=[1], data_offsets=[-4, 4]) + b"\0" * 8,
+        ent(dtype="F32", shape=[1], data_offsets=[8, 4]) + b"\0" * 8,
+        ent(dtype="F32", shape=[4], data_offsets=[0, 16]) + b"\0" * 8,
+        ent(dtype="F32", shape=[10**15, 10**15], data_offsets=[0, 4]) + b"\0" * 4,
+        ent(dtype="F32", shape=["x"], data_offsets=[0, 4]) + b"\0" * 4,
+        ent(dtype="F32", shape=[1], data_offsets="ab") + b"\0" * 4,
+        ent(dtype="F32", shape=[1], data_offsets=[0]) + b"\0" * 4,
+        ent(dtype="F32", shape=[1], data_offsets=[0, 4, 8]) + b"\0" * 8,
+        ent(dtype="F32") + b"\0" * 4,
+        ent(dtype="I16", shape=[1], data_offsets=[0, 3]) + b"\0" * 3,
+        ent(dtype="BF16", shape=[2], data_offsets=[0, 4]) + b"\0" * 4,  # valid
+    ]
+    return cases
+
+
+def test_safetensors_fuzz_only_typed_errors(tmp_path, rng):
+    """read_safetensors must either succeed or raise ValueError on
+    arbitrary corrupt checkpoint files — never struct.error, KeyError,
+    AttributeError, MemoryError, or a multi-TB allocation hang (the
+    8-byte header-length field is attacker/corruption-controlled and
+    f.read() preallocates it). Same contract as the WAV decode layer
+    (tests/test_audio.py::test_wav_decode_fuzz_only_typed_errors)."""
+    for i, c in enumerate(_fuzz_safetensors_corpus(rng)):
+        p = str(tmp_path / f"f{i}.safetensors")
+        with open(p, "wb") as f:
+            f.write(c)
+        try:
+            convert.read_safetensors(p)
+        except ValueError:
+            pass  # the documented contract (JSONDecodeError included)
+
+
 def test_model_dir_roundtrip(tmp_path, rng):
     model, params, cfg = make_pair(seed=3)
     convert.save_hf_model_dir(params, cfg, str(tmp_path), {0: "Idle", 1: "Swallow"})

@@ -43,24 +43,65 @@ _DTYPE_TO_STR = {np.dtype(v): k for k, v in _STR_TO_DTYPE.items()}
 
 
 def read_safetensors(path: str) -> dict[str, np.ndarray]:
+    file_size = os.path.getsize(path)
     with open(path, "rb") as f:
-        header_len = struct.unpack("<Q", f.read(8))[0]
+        prefix = f.read(8)
+        if len(prefix) < 8:
+            raise ValueError(f"corrupt safetensors file {path!r}: "
+                             f"{file_size} bytes, need >= 8 for the header length")
+        header_len = struct.unpack("<Q", prefix)[0]
+        # Validate BEFORE f.read(header_len): CPython preallocates the
+        # requested size, so a corrupt u64 here (e.g. 2**62) would try a
+        # multi-TB allocation — MemoryError at best, a swap-hang on an
+        # overcommitting kernel at worst (same failure class as the WAV
+        # sample-rate fuzz finding; see ops/resample._check_kernel_cost).
+        if header_len > file_size - 8:
+            raise ValueError(
+                f"corrupt safetensors file {path!r}: declared header length "
+                f"{header_len} exceeds the {file_size - 8} bytes present")
         header = json.loads(f.read(header_len))
         buf = f.read()
+    if not isinstance(header, dict):
+        raise ValueError(f"corrupt safetensors file {path!r}: header is "
+                         f"{type(header).__name__}, expected a JSON object")
     out = {}
     for name, meta in header.items():
         if name == "__metadata__":
             continue
-        dtype_str = meta["dtype"]
+        try:
+            dtype_str = meta["dtype"]
+            shape = [int(d) for d in meta["shape"]]
+            start, end = (int(o) for o in meta["data_offsets"])
+        except (TypeError, KeyError, IndexError, ValueError) as e:
+            raise ValueError(f"corrupt safetensors entry {name!r} in "
+                             f"{path!r}: {e!r}") from e
+        if any(d < 0 for d in shape):
+            raise ValueError(f"corrupt safetensors entry {name!r} in "
+                             f"{path!r}: negative shape {shape}")
+        if not (0 <= start <= end <= len(buf)):
+            raise ValueError(
+                f"corrupt safetensors entry {name!r} in {path!r}: "
+                f"data_offsets [{start}, {end}) outside the "
+                f"{len(buf)}-byte buffer")
         if dtype_str == "BF16":
-            start, end = meta["data_offsets"]
             raw = np.frombuffer(buf[start:end], dtype=np.uint16)
             arr = (raw.astype(np.uint32) << 16).view(np.float32).astype(np.float32)
         else:
+            if dtype_str not in _STR_TO_DTYPE:
+                raise ValueError(f"unsupported safetensors dtype "
+                                 f"{dtype_str!r} for entry {name!r} in {path!r}")
             dtype = _STR_TO_DTYPE[dtype_str]
-            start, end = meta["data_offsets"]
+            if (end - start) % np.dtype(dtype).itemsize:
+                raise ValueError(
+                    f"corrupt safetensors entry {name!r} in {path!r}: "
+                    f"{end - start} bytes is not a whole number of "
+                    f"{dtype_str} elements")
             arr = np.frombuffer(buf[start:end], dtype=dtype)
-        out[name] = arr.reshape(meta["shape"]).copy()
+        try:
+            out[name] = arr.reshape(shape).copy()
+        except ValueError as e:
+            raise ValueError(f"corrupt safetensors entry {name!r} in "
+                             f"{path!r}: {e}") from e
     return out
 
 
