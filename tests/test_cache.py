@@ -46,6 +46,73 @@ def test_stale_on_file_change(tmp_path, wav, rng):
     assert FC.load_frames(wav, 1.0, 0.5, 16000, cache_dir) is None
 
 
+def test_corrupt_bundle_self_heals(tmp_path, wav, rng):
+    """A truncated/garbled bundle (killed job, disk hiccup) must read as a
+    MISS — never an exception or a permanent break — and the recompute's
+    save must repair it in place."""
+    cache_dir = str(tmp_path / "cache")
+    frames = rng.standard_normal((198, 128)).astype(np.float32)
+    out = FC.save_frames(wav, frames, 1.0, 0.5, 16000, cache_dir)
+
+    with open(out, "rb") as f:
+        good = f.read()
+    for blob in (good[: len(good) // 3],        # truncation
+                 b"\x00" * 100,                 # not a zip at all
+                 good[:30] + b"\xff" * 40 + good[70:]):  # flipped bytes
+        with open(out, "wb") as f:
+            f.write(blob)
+        assert FC.load_frames(wav, 1.0, 0.5, 16000, cache_dir) is None
+        FC.save_frames(wav, frames, 1.0, 0.5, 16000, cache_dir)  # heals
+        got = FC.load_frames(wav, 1.0, 0.5, 16000, cache_dir)
+        np.testing.assert_array_equal(got, frames)
+
+
+def test_concurrent_same_key_writers(tmp_path, wav, rng):
+    """Fold-parallel serving runs one engine per fold in THREADS and the
+    cache key is fold-independent, so several threads can publish the same
+    bundle path simultaneously. Every observable state must be a complete
+    bundle (os.replace is atomic; staging names are pid+tid-unique) — a
+    concurrent reader gets valid frames, never a half-written file."""
+    import glob
+    import threading
+
+    cache_dir = str(tmp_path / "cache")
+    frames = rng.standard_normal((198, 128)).astype(np.float32)
+    errs = []
+
+    def writer():
+        try:
+            for _ in range(5):
+                FC.save_frames(wav, frames, 1.0, 0.5, 16000, cache_dir)
+                got = FC.load_frames(wav, 1.0, 0.5, 16000, cache_dir)
+                assert got is not None and np.array_equal(got, frames)
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = FC.load_frames(wav, 1.0, 0.5, 16000, cache_dir)
+    np.testing.assert_array_equal(got, frames)
+    assert not glob.glob(str(tmp_path / "cache" / "*.tmp.*"))
+
+
+def test_save_frames_atomic_no_tmp_leftovers(tmp_path, wav, rng):
+    """save_frames stages through a pid-suffixed tmp and renames: after a
+    save, the cache dir holds exactly the final bundle (concurrent servers
+    sharing a cache dir must never observe a half-written bundle under the
+    final name)."""
+    import os
+
+    cache_dir = str(tmp_path / "cache")
+    frames = rng.standard_normal((198, 128)).astype(np.float32)
+    out = FC.save_frames(wav, frames, 1.0, 0.5, 16000, cache_dir)
+    assert os.listdir(cache_dir) == [os.path.basename(out)]
+
+
 def test_engine_cache_hit_identical_probs(tmp_path, rng):
     """Second engine call served from cache must reproduce probabilities."""
     import jax

@@ -226,6 +226,31 @@ def test_batch_inference_and_aggregate(trained, dataset):
         assert p["ratio"] is not None
 
 
+def test_batch_skip_validates_existing_json(trained, dataset, capsys):
+    """skip-if-exists trusts an existing per-patient JSON forever, so the
+    driver must re-run a patient whose JSON is unreadable (a kill that
+    predates the atomic writer, a disk hiccup) instead of skipping it and
+    leaving a permanent parse error in every future aggregate."""
+    from zenker_audio_detection_tpu.cli import run_batch_2stage
+
+    _, long_dir = dataset
+    args = ["--fold", "1", "--long-audio-root", str(long_dir),
+            "--output-dir", "outputs_heal", "--f32", "--batch-size", "16"]
+    run_batch_2stage.main(args)
+    jsons = sorted((trained / "outputs_heal").glob("*_2stage.json"))
+    assert len(jsons) >= 2
+    victim = jsons[0]
+    good = victim.read_text()
+    victim.write_text(good[: len(good) // 2])  # truncated mid-write
+
+    capsys.readouterr()
+    run_batch_2stage.main(args)  # no --force
+    out = capsys.readouterr().out
+    assert "[STALE]" in out and "[RUN]" in out
+    assert out.count("[SKIP]") == len(jsons) - 1  # intact ones untouched
+    assert json.loads(victim.read_text()) == json.loads(good)  # healed
+
+
 def test_batch_extra_args_override(trained, dataset, capsys):
     """--extra tokens are parsed as extra flags of the batch CLI itself
     (reference appends them to each per-patient subprocess, :139-140)."""

@@ -137,6 +137,76 @@ def test_checkpoint_roundtrip_with_scalar_leaf(tmp_path):
                                       np.asarray(opt_state["mu"][k]))
 
 
+def test_checkpoint_save_crash_preserves_previous(tmp_path, monkeypatch):
+    """A crash mid-save must leave no partial dir under the final
+    checkpoint name: latest_checkpoint would pick it over the older
+    INTACT checkpoint and --resume would fail instead of recovering.
+    save_checkpoint stages into <dir>.tmp and renames atomically."""
+    import jax.numpy as jnp
+
+    params = {"w": jnp.ones((3, 2))}
+    opt = {"mu": jnp.zeros((3, 2))}
+    fold_dir = tmp_path / "fold1"
+    ck10 = str(fold_dir / "checkpoint-10")
+    L.save_checkpoint(ck10, params, opt, {"epoch": 1})
+
+    calls = {"n": 0}
+    real = convert.write_safetensors
+
+    def crashing(tensors, path):
+        calls["n"] += 1
+        if calls["n"] == 2:  # params written, die before opt_state lands
+            raise RuntimeError("simulated crash mid-checkpoint")
+        real(tensors, path)
+
+    monkeypatch.setattr(L.convert, "write_safetensors", crashing)
+    with pytest.raises(RuntimeError):
+        L.save_checkpoint(str(fold_dir / "checkpoint-20"), params, opt,
+                          {"epoch": 2})
+    monkeypatch.undo()
+
+    assert not (fold_dir / "checkpoint-20").exists()  # nothing partial
+    assert L.latest_checkpoint(str(fold_dir)) == ck10  # intact one wins
+    p2, _, s2 = L.load_checkpoint(ck10, params, opt)
+    assert s2["epoch"] == 1
+
+    # a retry with the stale .tmp staging dir still present must succeed
+    L.save_checkpoint(str(fold_dir / "checkpoint-20"), params, opt,
+                      {"epoch": 2})
+    assert L.latest_checkpoint(str(fold_dir)).endswith("checkpoint-20")
+
+
+def test_latest_checkpoint_ignores_staging_dirs(tmp_path):
+    import jax.numpy as jnp
+
+    fold_dir = tmp_path / "fold1"
+    L.save_checkpoint(str(fold_dir / "checkpoint-10"),
+                      {"w": jnp.ones(2)}, {}, {"epoch": 1})
+    (fold_dir / "checkpoint-20.tmp").mkdir()  # crashed save's leftover
+    assert L.latest_checkpoint(str(fold_dir)).endswith("checkpoint-10")
+
+
+def test_write_safetensors_crash_preserves_previous(tmp_path, monkeypatch):
+    """Overwriting an existing safetensors (model exports, best_params,
+    re-saved checkpoints) must not destroy the previous good version if
+    the write dies: write-to-tmp + os.replace."""
+    p = str(tmp_path / "m.safetensors")
+    convert.write_safetensors({"a": np.arange(6.0).reshape(2, 3)}, p)
+
+    def no_replace(src, dst):
+        raise RuntimeError("simulated crash before rename")
+
+    monkeypatch.setattr(convert.os, "replace", no_replace)
+    with pytest.raises(RuntimeError):
+        convert.write_safetensors({"a": np.zeros((2, 3))}, p)
+    monkeypatch.undo()
+
+    out = convert.read_safetensors(p)  # original survives, uncorrupted
+    np.testing.assert_array_equal(out["a"], np.arange(6.0).reshape(2, 3))
+    leftovers = [f for f in tmp_path.iterdir() if ".tmp." in f.name]
+    assert not leftovers  # staging file cleaned up on failure
+
+
 def test_resume_rotates_prior_runs_checkpoints(env):
     """save_total_limit must bound disk across resume cycles: the resume
     branch seeds rotation with the prior run's checkpoint dirs."""

@@ -19,6 +19,7 @@ from ..infer import cascade as C
 from ..infer import discovery
 from ..models import convert
 from ..train import loop as train_loop
+from ..utils import fsio
 
 
 def build_arg_parser():
@@ -195,11 +196,10 @@ def run_patient(engine: C.TwoStageEngine, files, args,
         args.output_json = os.path.join("outputs",
                                         f"{args.patient_id}_2stage.json")
     if args.output_json:
-        out_dir = os.path.dirname(args.output_json)
-        if out_dir:
-            os.makedirs(out_dir, exist_ok=True)
-        with open(args.output_json, "w") as f:
-            json.dump(output, f, indent=2)
+        # atomic: run_batch_2stage trusts any EXISTING per-patient JSON
+        # (skip-if-exists), so a kill mid-write must not leave a truncated
+        # file that the rerun then permanently skips
+        fsio.atomic_json_dump(output, args.output_json, indent=2)
         print(f"Saved JSON: {args.output_json}")
 
     if args.plot:

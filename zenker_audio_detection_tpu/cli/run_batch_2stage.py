@@ -8,6 +8,7 @@ patient is served from it.
 """
 
 import argparse
+import json
 import os
 import traceback
 
@@ -133,11 +134,24 @@ def main(argv=None, mesh=None):
 
     from ..infer import discovery
 
+    def _valid_json(path):
+        # skip-if-exists trusts the file forever, so only PARSEABLE results
+        # count as done: a truncated JSON (pre-atomic-write kill, disk
+        # hiccup) re-runs instead of silently poisoning the aggregate
+        try:
+            with open(path) as f:
+                json.load(f)
+            return True
+        except (OSError, ValueError):
+            print(f"[STALE] {path} is unreadable/corrupt; re-running")
+            return False
+
     todo = []
     done = failed = skipped = 0
     for pid in patients:
         expected = os.path.join(args.output_dir, f"{pid}_2stage.json")
-        if os.path.exists(expected) and not args.force:
+        if os.path.exists(expected) and not args.force \
+                and _valid_json(expected):
             print(f"[SKIP] {pid} (exists: {expected})")
             skipped += 1
         elif args.dry_run:

@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 
 import numpy as np
 
@@ -77,9 +78,25 @@ def save_frames(path: str, frames: np.ndarray, window_sec: float,
                 cache_dir: str = DEFAULT_CACHE_DIR) -> str:
     os.makedirs(cache_dir, exist_ok=True)
     out = cache_path(path, window_sec, hop_sec, sr, cache_dir)
-    np.savez_compressed(
-        out, frames=np.asarray(frames, np.float32),
-        metadata=json.dumps(_metadata(path, window_sec, hop_sec, sr)))
+    # Write-to-tmp + atomic rename: a killed job's truncated npz would
+    # self-heal anyway (load_frames treats any unreadable bundle as a miss
+    # and the recompute overwrites it), but concurrent servers sharing one
+    # cache dir (the fleet recipe in README) can land on the same key at
+    # the same time — interleaved in-place writes would corrupt the bundle
+    # both of them then trust. The pid+tid suffix keeps writers disjoint
+    # across processes AND threads (fold-parallel serving runs one engine
+    # per fold in threads, and the cache key is fold-independent, so all
+    # folds hit the same path for the same patient file).
+    tmp = (f"{out}.tmp.{os.getpid()}.{threading.get_ident()}"
+           ".npz")  # .npz suffix: savez appends it otherwise
+    try:
+        np.savez_compressed(
+            tmp, frames=np.asarray(frames, np.float32),
+            metadata=json.dumps(_metadata(path, window_sec, hop_sec, sr)))
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return out
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import struct
+import threading
 from typing import Any, Mapping
 
 import numpy as np
@@ -120,11 +121,24 @@ def write_safetensors(tensors: Mapping[str, np.ndarray], path: str) -> None:
         offset += len(blob)
         blobs.append(blob)
     hjson = json.dumps(header).encode()
-    with open(path, "wb") as f:
-        f.write(struct.pack("<Q", len(hjson)))
-        f.write(hjson)
-        for blob in blobs:
-            f.write(blob)
+    # Write-then-rename so a crash mid-write never leaves a truncated file
+    # under the final name: checkpoints, model exports and best_params all
+    # overwrite in place, and a half-written safetensors would otherwise
+    # destroy the previous good version along with the current one. The
+    # tmp lives in the same directory so os.replace stays a same-filesystem
+    # atomic rename (process-crash consistency; power-loss durability would
+    # need fsync, which the reference's writers don't do either).
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(struct.pack("<Q", len(hjson)))
+            f.write(hjson)
+            for blob in blobs:
+                f.write(blob)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 # --------------------------------------------------------------------------

@@ -878,11 +878,21 @@ def sequential_opt_layout(opt_state):
 
 def save_checkpoint(ck_dir: str, params, opt_state, state: dict) -> None:
     """Full training checkpoint: params + opt state (leaves in pytree order,
-    restored into a freshly tx.init'd structure) + json loop state."""
-    os.makedirs(ck_dir, exist_ok=True)
+    restored into a freshly tx.init'd structure) + json loop state.
+
+    Written into `<ck_dir>.tmp` and atomically renamed into place: a crash
+    mid-save must not leave a partial checkpoint under the final name,
+    because latest_checkpoint() would pick it over the older INTACT one and
+    --resume would fail instead of recovering. The ".tmp" suffix makes the
+    staging dir invisible to both checkpoint scanners (their
+    int(name.split("-",1)[1]) / .isdigit() parses reject it)."""
+    tmp_dir = ck_dir + ".tmp"
+    if os.path.exists(tmp_dir):  # stale staging dir from a crashed save
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
     convert.write_safetensors(
         {k: np.asarray(v, np.float32) for k, v in _flatten(params).items()},
-        os.path.join(ck_dir, "params.safetensors"))
+        os.path.join(tmp_dir, "params.safetensors"))
     # enumerate only the ARRAY leaves: load_checkpoint reads consecutive
     # leaf_NNNN keys over shape-bearing template leaves, so any non-array
     # leaf (Python scalars are tree leaves too) must not leave index gaps
@@ -891,9 +901,12 @@ def save_checkpoint(ck_dir: str, params, opt_state, state: dict) -> None:
     convert.write_safetensors(
         {f"leaf_{i:04d}": np.asarray(leaf)
          for i, leaf in enumerate(array_leaves)},
-        os.path.join(ck_dir, "opt_state.safetensors"))
-    with open(os.path.join(ck_dir, "train_state.json"), "w") as f:
+        os.path.join(tmp_dir, "opt_state.safetensors"))
+    with open(os.path.join(tmp_dir, "train_state.json"), "w") as f:
         json.dump(state, f, indent=2, default=float)
+    if os.path.exists(ck_dir):  # same-name leftover from a pre-atomicity run
+        shutil.rmtree(ck_dir)
+    os.rename(tmp_dir, ck_dir)
 
 
 def load_checkpoint(ck_dir: str, params_template, opt_state_template):

@@ -29,6 +29,8 @@ from typing import Any
 
 import numpy as np
 
+from ..utils import fsio
+
 # sweep parameter name (reference YAML) -> TrainFoldConfig field
 _PARAM_MAP = {
     "label-smoothing": "label_smoothing",
@@ -267,8 +269,11 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
                    else value < best["value"]))
         if better:
             best = record
-            with open(os.path.join(output_dir, "best_config.json"), "w") as f:
-                json.dump(record, f, indent=2)
+            # atomic: overwritten on every improvement; a kill mid-write
+            # must not destroy the previous best along with the new one
+            fsio.atomic_json_dump(
+                record, os.path.join(output_dir, "best_config.json"),
+                indent=2)
         print(f"[Sweep trial {trial}] {metric}={value:.4f} "
               f"(best={best['value']:.4f})")
 

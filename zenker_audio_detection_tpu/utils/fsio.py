@@ -1,0 +1,37 @@
+"""Atomic file-write helpers.
+
+The batch drivers' failure-isolation contract is idempotent
+skip-if-exists (cli/run_batch_2stage.py — the reference reruns patients
+the same way, src/run_batch_simple_2stage.py): a per-patient JSON that
+EXISTS is trusted and never recomputed. That contract is only sound if a
+killed process can never leave a truncated file under the final name, so
+results that gate skip logic go through write-to-tmp + atomic rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any
+
+
+def atomic_json_dump(obj: Any, path: str, **dump_kwargs) -> None:
+    """json.dump to a pid-suffixed sibling tmp, then os.replace into place.
+
+    Same-directory tmp keeps the rename a same-filesystem atomic op;
+    the pid+tid suffix keeps concurrent writers (fold-parallel serving
+    threads, fleet servers sharing an output tree) from clobbering each
+    other's staging files.
+    """
+    out_dir = os.path.dirname(path)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(obj, f, **dump_kwargs)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)

@@ -23,6 +23,8 @@ import time
 from datetime import datetime
 from typing import Any
 
+from . import fsio
+
 
 def _wandb_or_none(offline: bool):
     try:
@@ -91,8 +93,9 @@ class Run:
         open(self._metrics_path, "w").close()
         for sub in ("media", "tables", "artifacts", "logs"):
             shutil.rmtree(os.path.join(self.dir, sub), ignore_errors=True)
-        with open(os.path.join(self.dir, "config.json"), "w") as f:
-            json.dump(self.config, f, indent=2, default=str)
+        fsio.atomic_json_dump(self.config,
+                              os.path.join(self.dir, "config.json"),
+                              indent=2, default=str)
 
         # TensorBoard mirror of scalar metrics (created lazily on the first
         # scalar log so metric-free runs leave no empty event files); steps:
@@ -172,10 +175,8 @@ class Run:
         """Tabular payload (e.g. a classification report): JSON locally,
         wandb.Table in the mirror (reference report tables, :607-637)."""
         dest = os.path.join(self.dir, "tables", f"{name}.json")
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        with open(dest, "w") as f:
-            json.dump({"columns": columns, "rows": rows}, f, indent=2,
-                      default=str)
+        fsio.atomic_json_dump({"columns": columns, "rows": rows}, dest,
+                              indent=2, default=str)
         if self._wandb_run is not None:
             try:
                 self._wandb_run.log(
@@ -207,8 +208,10 @@ class Run:
         self._summary.update(kwargs)
 
     def finish(self) -> None:
-        with open(os.path.join(self.dir, "summary.json"), "w") as f:
-            json.dump(self._summary, f, indent=2, default=float)
+        # atomic: per-fold runs under a shared id re-finish the same file
+        fsio.atomic_json_dump(self._summary,
+                              os.path.join(self.dir, "summary.json"),
+                              indent=2, default=float)
         if self._tb is not None:
             # final summary scalars at the last step, like the HF Trainer's
             # end-of-train metrics, then flush the event file to disk
