@@ -84,6 +84,29 @@ def test_roundtrip_state_dict(rng):
         np.testing.assert_allclose(sd[k], ref_sd[k], atol=0, rtol=0, err_msg=k)
 
 
+def test_safetensors_all_dtypes_roundtrip(tmp_path, rng):
+    """Every dtype in the writer's table survives a write/read cycle with
+    exact bytes and shape (incl. 0-d promotion handled by callers)."""
+    tensors = {}
+    for i, dt in enumerate((np.float64, np.float32, np.float16, np.int64,
+                            np.int32, np.int16, np.int8, np.uint8, np.bool_)):
+        shape = [(3, 2), (4,), (1, 1, 5)][i % 3]
+        if dt is np.bool_:
+            tensors[f"t{i}"] = rng.integers(0, 2, shape).astype(dt)
+        elif np.issubdtype(dt, np.floating):
+            tensors[f"t{i}"] = rng.standard_normal(shape).astype(dt)
+        else:
+            tensors[f"t{i}"] = rng.integers(-5, 100, shape).astype(
+                dt if dt is not np.uint8 else np.int16).astype(dt)
+    p = str(tmp_path / "all.safetensors")
+    convert.write_safetensors(tensors, p)
+    out = convert.read_safetensors(p)
+    assert set(out) == set(tensors)
+    for k, v in tensors.items():
+        assert out[k].dtype == v.dtype, k
+        np.testing.assert_array_equal(out[k], v, err_msg=k)
+
+
 def _fuzz_safetensors_corpus(rng):
     """Deterministic corrupt-safetensors corpus: truncations, random byte
     flips of a valid file, random garbage, pathological declared header
