@@ -117,6 +117,39 @@ def test_run_all_folds_dry_run(tmp_path, monkeypatch, capsys):
     assert "Fold 1" in out and "Fold 2" in out
 
 
+def test_run_all_folds_forwards_pattern_and_plot(tmp_path, monkeypatch):
+    """The reference wrapper passes --pattern and --plot to every per-fold
+    batch run (src/run_all_folds_simple_batch.sh:26,86-87,118); ours must
+    forward both (plot as an explicit flag rather than the wrapper's
+    edit-the-script default)."""
+    from zenker_audio_detection_tpu.cli import run_all_folds, run_batch_2stage
+
+    monkeypatch.chdir(tmp_path)
+    ids_root = tmp_path / "data_ast_stage2"
+    ids_root.mkdir()
+    (ids_root / "test_ids_fold1.txt").write_text("Zenker/Z01\n")
+
+    seen = []
+    monkeypatch.setattr(run_batch_2stage, "main",
+                        lambda argv, **kw: seen.append(list(argv)) or
+                        {"done": 0, "failed": 0, "skipped": 0})
+    run_all_folds.main(["runs", "--long-audio-root", "Long",
+                        "--ids-root", str(ids_root), "--num-folds", "1",
+                        "--no-threshold-config",
+                        "--pattern", "rec_*.wav", "--plot"])
+    (argv,) = seen
+    assert argv[argv.index("--pattern") + 1] == "rec_*.wav"
+    assert "--plot" in argv
+
+    seen.clear()
+    run_all_folds.main(["runs", "--long-audio-root", "Long",
+                        "--ids-root", str(ids_root), "--num-folds", "1",
+                        "--no-threshold-config"])
+    (argv,) = seen
+    assert argv[argv.index("--pattern") + 1] == "*.wav"  # wrapper default
+    assert "--plot" not in argv  # plots are opt-in here
+
+
 def test_run_all_folds_auto_threshold_detection(tmp_path, monkeypatch, capsys):
     from zenker_audio_detection_tpu.cli import run_all_folds
 

@@ -33,6 +33,16 @@ def main(argv=None):
     ap.add_argument("--threshold-config", default=None)
     ap.add_argument("--stage1-forward-min-prob", type=float, default=None)
     ap.add_argument("--stage2-argmax", action="store_true")
+    ap.add_argument("--pattern", default="*.wav",
+                    help="recording filename glob forwarded to each fold's "
+                         "batch run (reference wrapper PATTERN, "
+                         "src/run_all_folds_simple_batch.sh:26)")
+    ap.add_argument("--plot", action="store_true",
+                    help="per-patient two-stage plots in each fold's batch "
+                         "run; the reference wrapper hardcodes this ON with "
+                         "an edit-the-script opt-out (PLOT_FLAG, "
+                         "run_all_folds_simple_batch.sh:86-87) — here it is "
+                         "an explicit flag, default off")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--f32", action="store_true")
@@ -110,6 +120,9 @@ def main(argv=None):
                     str(args.stage1_forward_min_prob)]
         if args.stage2_argmax:
             sub.append("--stage2-argmax")
+        sub += ["--pattern", args.pattern]
+        if args.plot:
+            sub.append("--plot")
         if args.force:
             sub.append("--force")
         if args.dry_run:
