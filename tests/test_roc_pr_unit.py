@@ -145,3 +145,26 @@ def test_load_split_val_fallback(tmp_path):
     assert used == "val" and X == ["b.wav"]
     with pytest.raises(FileNotFoundError):
         roc_pr.load_split(str(d), 2, "val")
+
+
+def test_load_fold_thresholds_shapes_and_errors(tmp_path):
+    """Per-fold lookup, legacy flat fallback (reference
+    src/run_batch_simple_2stage.py:97-118), and typed errors that NAME the
+    config file on corrupt/malformed input."""
+    from zenker_audio_detection_tpu.analysis import thresholds as T
+
+    p = str(tmp_path / "thr.json")
+    Path(p).write_text(json.dumps(
+        {"folds": {"2": {"stage1": {"threshold": 0.61},
+                         "stage2": {"threshold": 0.42}}},
+         "thresholds": {"stage2": {"threshold": 0.33}}}))
+    assert T.load_fold_thresholds(p, 2) == {"stage1": 0.61, "stage2": 0.42}
+    # fold absent -> legacy flat shape applies to every fold
+    assert T.load_fold_thresholds(p, 1) == {"stage1": None, "stage2": 0.33}
+
+    for bad in ('{"folds": [1,2]}',                       # wrong shape
+                '{"folds": {"1": {"stage1": {"threshold": "x"}}}}',
+                '{truncated'):                            # corrupt JSON
+        Path(p).write_text(bad)
+        with pytest.raises(ValueError, match="thr.json"):
+            T.load_fold_thresholds(p, 1)

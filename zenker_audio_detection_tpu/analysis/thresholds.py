@@ -95,12 +95,19 @@ def load_fold_thresholds(config_path: str, fold: int) -> dict:
     {"thresholds": {"stage1": {...}, ...}} shape applies to every fold
     (src/run_batch_simple_2stage.py:97-118). The canonical implementation —
     cli/run_batch_2stage.resolve_thresholds delegates here."""
-    with open(config_path) as f:
-        config = json.load(f)
-    fold_cfg = config.get("folds", {}).get(str(fold))
-    source = fold_cfg if fold_cfg else config.get("thresholds", {})
-    out = {}
-    for stage in ("stage1", "stage2"):
-        thr = (source or {}).get(stage, {}).get("threshold")
-        out[stage] = float(thr) if thr is not None else None
-    return out
+    try:
+        with open(config_path) as f:
+            config = json.load(f)
+        fold_cfg = config.get("folds", {}).get(str(fold))
+        source = fold_cfg if fold_cfg else config.get("thresholds", {})
+        out = {}
+        for stage in ("stage1", "stage2"):
+            thr = (source or {}).get(stage, {}).get("threshold")
+            out[stage] = float(thr) if thr is not None else None
+        return out
+    except (ValueError, TypeError, AttributeError) as e:
+        # corrupt JSON / wrong shape ("folds" a list, threshold a string):
+        # fail with the offending FILE named, not a bare decode traceback
+        raise ValueError(
+            f"corrupt or malformed threshold config {config_path!r}: "
+            f"{e}") from e
