@@ -172,3 +172,33 @@ def test_engine_cache_hit_identical_probs_int16(tmp_path, rng):
     p1b, p2b = eng.window_probs(loaded, wavpath)  # hit from f32 frame cache
     np.testing.assert_array_equal(p1b, p1a)
     np.testing.assert_array_equal(p2b, p2a)
+
+
+def test_structurally_corrupt_bundles_are_misses(tmp_path, wav, rng):
+    """Beyond byte-level damage: bundles that ARE valid npz files but
+    violate the schema (missing members, non-JSON metadata, pickled
+    payloads) must read as misses — and the pickled case must never be
+    unpickled (allow_pickle=False)."""
+    import json as _json
+
+    cache_dir = str(tmp_path / "cache")
+    frames = rng.standard_normal((50, 128)).astype(np.float32)
+    out = FC.save_frames(wav, frames, 1.0, 0.5, 16000, cache_dir)
+    meta = _json.dumps(FC._metadata(wav, 1.0, 0.5, 16000))
+
+    variants = [
+        {"frames": frames},                              # metadata missing
+        {"metadata": meta},                              # frames missing
+        {"metadata": "not json {", "frames": frames},    # metadata not JSON
+        {"metadata": _json.dumps({"path": "other"}),     # metadata mismatch
+         "frames": frames},
+        {"metadata": np.array({"a": 1}, dtype=object),   # pickled payload
+         "frames": frames},
+    ]
+    for kw in variants:
+        np.savez(out, **kw)
+        assert FC.load_frames(wav, 1.0, 0.5, 16000, cache_dir) is None
+    # and a good rewrite heals it
+    FC.save_frames(wav, frames, 1.0, 0.5, 16000, cache_dir)
+    np.testing.assert_array_equal(
+        FC.load_frames(wav, 1.0, 0.5, 16000, cache_dir), frames)

@@ -1,0 +1,107 @@
+"""Corrupt-config robustness for the model-dir loaders.
+
+Every infer CLI starts with `load_hf_model_dir` + `load_feature_extractor_
+config` on a user-supplied directory; a half-copied or disk-damaged dir
+must fail with a typed error NAMING the offending file, not a bare
+JSONDecodeError / AttributeError / KeyError from deep inside the loader.
+(Reference counterpart: HF `from_pretrained` raises its own typed errors
+for corrupt config.json.)
+"""
+
+import json
+import os
+
+import jax
+import pytest
+
+from zenker_audio_detection_tpu.models import ast as ast_mod
+from zenker_audio_detection_tpu.models import convert
+from zenker_audio_detection_tpu.train import loop as train_loop
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mdl"))
+    cfg = ast_mod.ASTConfig(hidden_size=16, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=32,
+                            patch_size=8, max_length=32, num_labels=2)
+    params = ast_mod.init_params(jax.random.PRNGKey(0), cfg)
+    convert.save_hf_model_dir(params, cfg, d, {0: "Idle", 1: "Swallow"})
+    train_loop.save_feature_extractor_config(d, -1.0, 2.0, max_length=32)
+    return d
+
+
+def _clobber(path, payload):
+    with open(path, "w") as f:
+        f.write(payload)
+
+
+def test_corrupt_config_json_names_file(model_dir, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "m")
+    shutil.copytree(model_dir, d)
+    cfg_path = os.path.join(d, "config.json")
+    for payload in ('{"hidden_size": 16', "[1, 2, 3]", "", "not json"):
+        _clobber(cfg_path, payload)
+        with pytest.raises(ValueError, match="config.json"):
+            convert.load_hf_model_dir(d)
+
+
+def test_corrupt_preprocessor_config_names_file(model_dir, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "m")
+    shutil.copytree(model_dir, d)
+    fx_path = os.path.join(d, "preprocessor_config.json")
+
+    _clobber(fx_path, '{"mean": -1.0')  # truncated
+    with pytest.raises(ValueError, match="preprocessor_config.json"):
+        train_loop.load_feature_extractor_config(d)
+
+    _clobber(fx_path, json.dumps({"std": 2.0}))  # mean missing
+    with pytest.raises(ValueError, match="mean/std"):
+        train_loop.load_feature_extractor_config(d)
+
+    _clobber(fx_path, json.dumps({"mean": "oops", "std": 2.0}))  # non-numeric
+    with pytest.raises(ValueError, match="mean/std"):
+        train_loop.load_feature_extractor_config(d)
+
+
+def test_valid_dir_still_loads(model_dir):
+    params, cfg = convert.load_hf_model_dir(model_dir)
+    assert cfg.hidden_size == 16
+    mean, std = train_loop.load_feature_extractor_config(model_dir)
+    assert (mean, std) == (-1.0, 2.0)
+
+
+def test_corrupt_class_mapping_names_file(tmp_path):
+    from zenker_audio_detection_tpu.analysis.snippet_eval import (
+        load_class_names)
+
+    p = str(tmp_path / "class_mapping.json")
+    _clobber(p, '{"Healthy": 0, ')
+    with pytest.raises(ValueError, match="class_mapping.json"):
+        load_class_names(p, "stage1")
+    _clobber(p, '["Healthy", "Zenker"]')  # list, not name->index object
+    with pytest.raises(ValueError, match="JSON object"):
+        load_class_names(p, "stage1")
+    # absent path keeps the reference's stage fallback
+    names = load_class_names(str(tmp_path / "absent.json"), "stage1")
+    assert len(names) == 2
+
+
+def test_sweep_config_typed_errors(tmp_path):
+    from zenker_audio_detection_tpu.tune import sweep as sw
+
+    p = str(tmp_path / "sweep.yaml")
+    with open(p, "w") as f:
+        f.write("- just\n- a list\n")
+    with pytest.raises(ValueError, match="YAML mapping"):
+        sw.load_sweep_config(p)
+
+    import numpy as np
+
+    with pytest.raises(ValueError, match="'learning-rate'"):
+        sw.sample_parameters({"learning-rate": 3e-5},  # bare scalar spec
+                             np.random.default_rng(0))

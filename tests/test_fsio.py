@@ -3,6 +3,7 @@
 import json
 import os
 
+import numpy as np
 import pytest
 
 from zenker_audio_detection_tpu.utils import fsio
@@ -43,3 +44,69 @@ def test_atomic_json_dump_unserializable_leaves_no_trace(tmp_path):
     with pytest.raises(TypeError):
         fsio.atomic_json_dump({"bad": object()}, p)
     assert os.listdir(tmp_path) == []
+
+
+# ---------------------------------------------------------------------------
+# load_json_object — the typed reader used by every config-file consumer
+# ---------------------------------------------------------------------------
+
+
+def test_load_json_object_roundtrip(tmp_path):
+    p = str(tmp_path / "c.json")
+    fsio.atomic_json_dump({"k": 1}, p)
+    assert fsio.load_json_object(p) == {"k": 1}
+
+
+def test_load_json_object_corrupt_names_file(tmp_path):
+    p = str(tmp_path / "c.json")
+    with open(p, "w") as f:
+        f.write('{"k": 1')  # truncated
+    with pytest.raises(ValueError, match="c.json"):
+        fsio.load_json_object(p, "model config")
+
+
+def test_load_json_object_non_object_names_file(tmp_path):
+    p = str(tmp_path / "c.json")
+    for payload in ("[1, 2]", '"a string"', "3.5", "null"):
+        with open(p, "w") as f:
+            f.write(payload)
+        with pytest.raises(ValueError, match="JSON object"):
+            fsio.load_json_object(p)
+
+
+def test_load_json_object_missing_is_file_not_found(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        fsio.load_json_object(str(tmp_path / "absent.json"))
+
+
+def test_load_json_object_fuzz_only_typed_errors(tmp_path, rng):
+    """Deterministic byte-level fuzz: every corrupt payload must raise
+    ValueError (never a bare JSONDecodeError reaching the user without the
+    filename, never any other exception type)."""
+    import json as _json
+
+    p = str(tmp_path / "f.json")
+    good = _json.dumps({"hidden_size": 768, "id2label": {"0": "a"}}).encode()
+    for i in range(200):
+        mode = i % 4
+        if mode == 0:
+            blob = good[: int(rng.integers(len(good)))]
+        elif mode == 1:
+            b = bytearray(good)
+            for _ in range(int(rng.integers(1, 6))):
+                b[int(rng.integers(len(b)))] = int(rng.integers(256))
+            blob = bytes(b)
+        elif mode == 2:
+            blob = rng.integers(0, 256, int(rng.integers(1, 80)),
+                                dtype=np.uint8).tobytes()
+        else:
+            blob = b"[" + good + b"]"  # valid JSON, wrong top-level type
+        with open(p, "wb") as f:
+            f.write(blob)
+        try:
+            out = fsio.load_json_object(p, "fuzzed config")
+            assert isinstance(out, dict)  # mutation may keep it valid
+        except ValueError as e:
+            # UnicodeDecodeError subclasses ValueError, so undecodable
+            # bytes are wrapped with the filename too
+            assert "f.json" in str(e) or "JSON object" in str(e)

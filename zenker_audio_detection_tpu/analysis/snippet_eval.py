@@ -34,8 +34,8 @@ def load_class_names(mapping_path: str | None, stage: str) -> list[str]:
     """Dynamic class order from class_mapping.json, stage fallback otherwise
     (reference load_class_names :40-71)."""
     if mapping_path and os.path.exists(mapping_path):
-        with open(mapping_path) as f:
-            mapping = json.load(f)
+        from ..utils.fsio import load_json_object
+        mapping = load_json_object(mapping_path, "class mapping")
         names = sorted(mapping, key=lambda k: mapping[k])
         if len(names) == 2:
             return names

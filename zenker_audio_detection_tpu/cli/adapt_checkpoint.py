@@ -13,12 +13,12 @@ locked to 1024-frame inputs).
 """
 
 import argparse
-import json
 import os
 
 from ..models import ast as ast_mod
 from ..models import convert
 from ..train import loop as train_loop
+from ..utils import fsio
 
 
 def main(argv=None):
@@ -53,8 +53,7 @@ def main(argv=None):
 
     id2label = None
     cfg_path = os.path.join(args.model_dir, "config.json")
-    with open(cfg_path) as f:
-        d = json.load(f)
+    d = fsio.load_json_object(cfg_path, "model config")
     if "id2label" in d:
         id2label = {int(k): v for k, v in d["id2label"].items()}
     if args.int8:
@@ -65,8 +64,7 @@ def main(argv=None):
 
     fx_path = os.path.join(args.model_dir, "preprocessor_config.json")
     if os.path.exists(fx_path):
-        with open(fx_path) as f:
-            fx = json.load(f)
+        fx = fsio.load_json_object(fx_path, "feature-extractor config")
         train_loop.save_feature_extractor_config(
             args.output_dir, fx.get("mean", -4.2677393),
             fx.get("std", 4.5689974), max_length=config.max_length)

@@ -346,10 +346,14 @@ def derive_two_stage_splits(cv_dir: str, out_stage1: str, out_stage2: str,
         raise FileNotFoundError(
             f"class_mapping.json not found in {cv_dir}; run the base CV "
             f"splitter first")
-    with open(mapping_path) as f:
-        class_mapping = json.load(f)
-    idle_idx = class_mapping["Idle"]
-    healthy_idx = class_mapping["Healthy"]
+    from ..utils.fsio import load_json_object
+    class_mapping = load_json_object(mapping_path, "class mapping")
+    try:
+        idle_idx = class_mapping["Idle"]
+        healthy_idx = class_mapping["Healthy"]
+    except KeyError as e:
+        raise ValueError(f"class mapping {mapping_path} is missing the "
+                         f"{e} class entry") from e
 
     capping = opts.max_files_per_patient is not None
     if capping:

@@ -290,8 +290,10 @@ def load_hf_model_dir(model_dir: str) -> tuple[Params, ASTConfig]:
     the returned params carry the quantized encoder leaves
     ({kernel_int8, scale, bias}) that `models.ast._dense` dispatches on —
     serving code needs no changes and pays no load-time quantization."""
-    with open(os.path.join(model_dir, "config.json")) as f:
-        config = config_from_hf_dict(json.load(f))
+    from ..utils.fsio import load_json_object
+    config = config_from_hf_dict(
+        load_json_object(os.path.join(model_dir, "config.json"),
+                         "model config"))
 
     int8_path = os.path.join(model_dir, "model_int8.safetensors")
     if os.path.exists(int8_path):

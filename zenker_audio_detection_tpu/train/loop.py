@@ -42,6 +42,7 @@ from ..models import ast as ast_mod
 from ..models import convert
 from ..ops import fbank as F
 from ..parallel import mesh as pmesh
+from ..utils import fsio
 from . import losses, metrics as metrics_mod, optim, steps
 
 SAMPLING_RATE = 16000
@@ -352,9 +353,12 @@ def save_feature_extractor_config(path: str, mean: float, std: float,
 
 def load_feature_extractor_config(model_dir: str) -> tuple[float, float]:
     p = os.path.join(model_dir, "preprocessor_config.json")
-    with open(p) as f:
-        d = json.load(f)
-    return float(d["mean"]), float(d["std"])
+    d = fsio.load_json_object(p, "feature-extractor config")
+    try:
+        return float(d["mean"]), float(d["std"])
+    except (KeyError, TypeError, ValueError) as e:
+        raise ValueError(f"feature-extractor config {p} has missing or "
+                         f"non-numeric mean/std: {e!r}") from e
 
 
 # ---------------------------------------------------------------------------

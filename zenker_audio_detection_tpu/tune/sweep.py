@@ -50,7 +50,11 @@ def load_sweep_config(path: str) -> dict:
     import yaml
 
     with open(path) as f:
-        return yaml.safe_load(f)
+        cfg = yaml.safe_load(f)
+    if not isinstance(cfg, dict):
+        raise ValueError(f"sweep config {path} must be a YAML mapping at "
+                         f"the top level, got {type(cfg).__name__}")
+    return cfg
 
 
 def sample_parameters(parameters: dict, rng: np.random.Generator) -> dict:
@@ -59,6 +63,12 @@ def sample_parameters(parameters: dict, rng: np.random.Generator) -> dict:
     for name, spec in parameters.items():
         if name in _IGNORED:
             continue
+        if not isinstance(spec, dict):
+            # a scalar / list here is a hand-edited YAML mistake (W&B
+            # wraps constants as {value: x}); without this check it
+            # surfaces as an AttributeError three branches down
+            raise ValueError(f"sweep parameter '{name}' spec must be a "
+                             f"mapping, got {type(spec).__name__}: {spec!r}")
         if "value" in spec:
             # canonical W&B constant form: {value: x}
             out[name] = spec["value"]

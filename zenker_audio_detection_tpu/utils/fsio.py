@@ -16,6 +16,26 @@ import threading
 from typing import Any
 
 
+def load_json_object(path: str, what: str = "JSON config") -> dict:
+    """json.load that fails with a typed, file-naming error.
+
+    Raw ``json.JSONDecodeError`` carries no filename, and a top-level
+    non-object (list/string/number where a dict is expected) surfaces as
+    an ``AttributeError`` deep inside the consumer — both useless for a
+    user staring at a half-copied model dir. Missing files still raise
+    ``FileNotFoundError`` (callers that treat absence as optional check
+    existence first)."""
+    try:
+        with open(path) as f:
+            obj = json.load(f)
+    except ValueError as e:  # JSONDecodeError subclasses ValueError
+        raise ValueError(f"{what} {path} is not valid JSON: {e}") from e
+    if not isinstance(obj, dict):
+        raise ValueError(f"{what} {path} must be a JSON object at the top "
+                         f"level, got {type(obj).__name__}")
+    return obj
+
+
 def atomic_json_dump(obj: Any, path: str, **dump_kwargs) -> None:
     """json.dump to a pid-suffixed sibling tmp, then os.replace into place.
 
