@@ -105,3 +105,70 @@ def test_sweep_config_typed_errors(tmp_path):
     with pytest.raises(ValueError, match="'learning-rate'"):
         sw.sample_parameters({"learning-rate": 3e-5},  # bare scalar spec
                              np.random.default_rng(0))
+
+
+def test_stats_loaders_typed_errors(tmp_path):
+    from zenker_audio_detection_tpu.data import stats as stats_mod
+
+    d = str(tmp_path)
+    pf = os.path.join(d, "stats_per_fold.json")
+
+    _clobber(pf, '[{"fold": 1')  # truncated
+    with pytest.raises(ValueError, match="stats_per_fold.json"):
+        stats_mod.load_fold_normalization(d, 1)
+
+    _clobber(pf, '{"fold": 1}')  # object, not list
+    with pytest.raises(ValueError, match="list"):
+        stats_mod.load_fold_normalization(d, 1)
+
+    _clobber(pf, '[{"fold": 1, "count": 3, "std": 2.0}]')  # mean missing
+    with pytest.raises(ValueError, match="mean/std"):
+        stats_mod.load_fold_normalization(d, 1)
+
+    # absent files still resolve to the documented default
+    os.remove(pf)
+    mean, std, src = stats_mod.load_fold_normalization(d, 1)
+    assert src == "default"
+
+    agg = os.path.join(d, "stats_aggregate.json")
+    _clobber(agg, '{"total_count": 5, "mean": "x", "std": 2.0}')
+    with pytest.raises(ValueError, match="mean/std"):
+        stats_mod.load_fold_normalization(d, 1)
+
+    from zenker_audio_detection_tpu.analysis import snippet_eval
+    _clobber(agg, "[")
+    with pytest.raises(ValueError, match="stats_aggregate.json"):
+        snippet_eval.load_mean_std(d, 1, use_aggregate=True)
+
+
+def test_rocpr_metrics_loader_typed_errors(tmp_path):
+    from zenker_audio_detection_tpu.analysis import thresholds as thr
+
+    p = str(tmp_path / "metrics.json")
+    _clobber(p, '{"fold_reports": [1, 2]}')  # entries not objects
+    with pytest.raises(ValueError, match="fold_reports"):
+        thr.extract_per_fold_thresholds(p)
+    _clobber(p, '{"fold_reports": ')  # truncated
+    with pytest.raises(ValueError, match="metrics.json"):
+        thr.extract_per_fold_thresholds(p)
+    # healthy shape still extracts
+    _clobber(p, json.dumps({"fold_reports": [
+        {"fold": 1, "best_f1_threshold": 0.4, "best_f1": 0.9}]}))
+    out = thr.extract_per_fold_thresholds(p)
+    assert out[1]["threshold"] == 0.4
+
+
+def test_cm_npy_loader_typed_error(tmp_path):
+    from zenker_audio_detection_tpu.analysis import cm_plots
+
+    root = str(tmp_path)
+    d = os.path.join(root, "ast_classifier_stage1", "cv_aggregate_evaluation")
+    os.makedirs(d)
+    import numpy as np
+    p = os.path.join(d, "confusion_matrix.npy")
+    np.save(p, np.eye(2))
+    with open(p, "r+b") as f:
+        f.truncate(40)  # cut inside the header
+    with pytest.raises(ValueError, match="confusion_matrix.npy"):
+        cm_plots.load_confusion_matrix_from_results("stage1", root)
+    assert cm_plots.load_confusion_matrix_from_results("stage2", root) is None

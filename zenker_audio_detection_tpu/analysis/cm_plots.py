@@ -72,7 +72,13 @@ def plot_confusion_matrix_overlay(cm, class_names, title, output_path):
 def load_confusion_matrix_from_results(stage: str, model_root: str) -> np.ndarray | None:
     cm_path = os.path.join(model_root, f"ast_classifier_{stage}",
                            "cv_aggregate_evaluation", "confusion_matrix.npy")
-    return np.load(cm_path) if os.path.exists(cm_path) else None
+    if not os.path.exists(cm_path):
+        return None
+    try:
+        return np.load(cm_path)
+    except ValueError as e:  # truncated/corrupt .npy
+        raise ValueError(f"confusion-matrix file {cm_path} is corrupt: "
+                         f"{e}") from e
 
 
 def derived_stats(cm: np.ndarray) -> dict[str, float]:

@@ -46,8 +46,8 @@ def load_mean_std(data_dir: str, fold: int, use_aggregate: bool):
     if use_aggregate:
         agg_path = os.path.join(data_dir, "stats_aggregate.json")
         if os.path.exists(agg_path):
-            with open(agg_path) as f:
-                agg = json.load(f)
+            from ..utils.fsio import load_json_object
+            agg = load_json_object(agg_path, "aggregate stats")
             if agg.get("total_count", 0) > 0:
                 return float(agg["mean"]), float(agg["std"])
     return stats_mod.load_fold_normalization(data_dir, fold)[:2]

@@ -17,9 +17,14 @@ def extract_per_fold_thresholds(metrics_path: str) -> dict | None:
     if not os.path.exists(metrics_path):
         print(f"Error: {metrics_path} not found")
         return None
-    with open(metrics_path) as f:
-        data = json.load(f)
+    from ..utils.fsio import load_json_object
+    data = load_json_object(metrics_path, "ROC/PR metrics JSON")
     fold_reports = data.get("fold_reports", [])
+    if not isinstance(fold_reports, list) or any(
+            not isinstance(r, dict) for r in fold_reports):
+        raise ValueError(f"ROC/PR metrics JSON {metrics_path} has a "
+                         f"malformed fold_reports entry (expected a list "
+                         f"of objects)")
     if not fold_reports:
         print(f"Warning: No fold_reports found in {metrics_path}")
         return None

@@ -140,17 +140,32 @@ def load_fold_normalization(data_dir: str, fold: int,
     """3-level resolution: per-fold -> aggregate -> default, as the trainers
     do (src/train_ast_stage1_cross_validation.py:235-282). Returns
     (mean, std, source)."""
+    from ..utils import fsio
+
     per_fold_path = os.path.join(data_dir, "stats_per_fold.json")
     if os.path.exists(per_fold_path):
-        with open(per_fold_path) as f:
-            entries = json.load(f)
+        entries = fsio.load_json_value(per_fold_path, "per-fold stats")
+        if not isinstance(entries, list) or any(
+                not isinstance(d, dict) for d in entries):
+            raise ValueError(f"per-fold stats {per_fold_path} must be a "
+                             f"JSON list of per-fold objects")
         for d in entries:
             if d.get("fold") == fold and d.get("count", 0) > 0:
-                return float(d["mean"]), float(d["std"]), "per_fold"
+                try:
+                    return float(d["mean"]), float(d["std"]), "per_fold"
+                except (KeyError, TypeError, ValueError) as e:
+                    raise ValueError(
+                        f"per-fold stats {per_fold_path} entry for fold "
+                        f"{fold} has missing or non-numeric mean/std: "
+                        f"{e!r}") from e
     agg_path = os.path.join(data_dir, "stats_aggregate.json")
     if os.path.exists(agg_path):
-        with open(agg_path) as f:
-            agg = json.load(f)
+        agg = fsio.load_json_object(agg_path, "aggregate stats")
         if agg.get("total_count", 0) > 0:
-            return float(agg["mean"]), float(agg["std"]), "aggregate"
+            try:
+                return float(agg["mean"]), float(agg["std"]), "aggregate"
+            except (KeyError, TypeError, ValueError) as e:
+                raise ValueError(
+                    f"aggregate stats {agg_path} has missing or "
+                    f"non-numeric mean/std: {e!r}") from e
     return default_mean, default_std, "default"

@@ -16,20 +16,25 @@ import threading
 from typing import Any
 
 
-def load_json_object(path: str, what: str = "JSON config") -> dict:
+def load_json_value(path: str, what: str = "JSON file") -> Any:
     """json.load that fails with a typed, file-naming error.
 
-    Raw ``json.JSONDecodeError`` carries no filename, and a top-level
-    non-object (list/string/number where a dict is expected) surfaces as
-    an ``AttributeError`` deep inside the consumer — both useless for a
-    user staring at a half-copied model dir. Missing files still raise
+    Raw ``json.JSONDecodeError`` carries no filename — useless for a user
+    staring at a half-copied model dir. Missing files still raise
     ``FileNotFoundError`` (callers that treat absence as optional check
     existence first)."""
     try:
         with open(path) as f:
-            obj = json.load(f)
+            return json.load(f)
     except ValueError as e:  # JSONDecodeError subclasses ValueError
         raise ValueError(f"{what} {path} is not valid JSON: {e}") from e
+
+
+def load_json_object(path: str, what: str = "JSON config") -> dict:
+    """load_json_value + require a JSON object at the top level (a
+    list/string/number where a dict is expected otherwise surfaces as an
+    ``AttributeError`` deep inside the consumer)."""
+    obj = load_json_value(path, what)
     if not isinstance(obj, dict):
         raise ValueError(f"{what} {path} must be a JSON object at the top "
                          f"level, got {type(obj).__name__}")
