@@ -99,6 +99,9 @@ def full_report(assets, tmp_path_factory):
 def test_full_chain_passes_and_reports(full_report, capsys):
     report, out = full_report
     assert report["passed"] is True
+    # fake 12-window assets never match the paper's eval N: the run is
+    # clean but must be flagged as not-actually-compared
+    assert report["paper_comparable"] is False
     names = {c["name"]: c for c in report["checks"]}
 
     conv = [c for c in report["checks"] if "converter" in c["name"]]
@@ -153,12 +156,14 @@ def test_cm_comparison_discriminates(assets, full_report, tmp_path,
     cm_checks = [c for c in good["checks"] if "summed" in c["name"]]
     assert all(c["verdict"] == "PASS" for c in cm_checks)
     assert good["passed"] is True
+    assert good["paper_comparable"] is True  # N matched -> a real verdict
 
     shifted = {k: v + np.array([[3, -3], [0, 0]]) for k, v in ours.items()}
     bad = rerun(shifted, "shift")
     cm_checks = [c for c in bad["checks"] if "summed" in c["name"]]
     assert all(c["verdict"] == "FAIL" for c in cm_checks)
     assert bad["passed"] is False
+    assert bad["paper_comparable"] is True
 
 
 def test_cli_exit_codes(assets, tmp_path):
@@ -172,4 +177,6 @@ def test_cli_exit_codes(assets, tmp_path):
             "--data-stage2", str(root / "data_ast_stage2"),
             "--output-dir", str(tmp_path / "cli"),
             "--folds", "1,2", "--skip-converter", "--f32"])
-    assert e.value.code == 0
+    # clean run on fake assets: the paper comparison never happened, so
+    # the CLI signals INCONCLUSIVE (2), not a parity-proving 0
+    assert e.value.code == 2

@@ -222,6 +222,12 @@ def run_validation(*, runs_dir: str, data_stage1: str, data_stage2: str,
         "runs_dir": runs_dir, "folds": folds,
         "checks": checks,
         "passed": all(c["verdict"] != "FAIL" for c in checks),
+        # the runbook's PURPOSE is the paper-CM comparison; when the
+        # evaluated N never matches the paper's, every CM check is INFO and
+        # "nothing failed" must not read as "quality parity proven"
+        "paper_comparable": any(
+            c["verdict"] in ("PASS", "FAIL")
+            for c in checks if "summed" in c["name"]),
     }
     with open(os.path.join(output_dir, "validation_report.json"), "w") as f:
         json.dump(report, f, indent=2)
@@ -248,5 +254,14 @@ def print_report(report: dict) -> None:
         if c.get("detail"):
             print(f"       note : {c['detail']}")
     print("-" * 78)
-    print("OVERALL:", "PASS" if report["passed"] else "FAIL")
+    if not report["passed"]:
+        print("OVERALL: FAIL")
+    elif report.get("paper_comparable", True):
+        print("OVERALL: PASS")
+    else:
+        print("OVERALL: INCONCLUSIVE — every check ran clean, but the "
+              "evaluation-set sizes never matched the paper's, so the "
+              "published confusion matrices were not actually compared "
+              "(wrong --data-stage* splits, or a partial/synthetic "
+              "dataset)")
     print("=" * 78)

@@ -64,7 +64,13 @@ def main(argv=None):
         batch_size=args.batch_size, cm_tolerance=args.cm_tolerance,
         aggregate_threshold=args.aggregate_threshold,
         skip_converter=args.skip_converter, dtype=dtype)
-    sys.exit(0 if report["passed"] else 1)
+    # 0 = paper CMs compared and matched; 1 = any check failed;
+    # 2 = ran clean but the paper comparison never happened (eval-set
+    # sizes differ — wrong splits or partial/synthetic data), so quality
+    # parity is NOT established and CI must not treat this as a pass
+    if not report["passed"]:
+        sys.exit(1)
+    sys.exit(0 if report["paper_comparable"] else 2)
 
 
 if __name__ == "__main__":
