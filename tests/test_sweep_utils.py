@@ -28,6 +28,34 @@ def test_sample_parameters_distributions():
     assert "wandb-group" not in samples[0]
 
 
+def test_sample_parameters_malformed_specs_raise_typed():
+    """Hand-edited YAML mistakes must name the parameter, not surface as
+    numpy internals (KeyError 'min', OverflowError on log(0), 'high <= 0'
+    from an empty choice list)."""
+    rng = np.random.default_rng(0)
+    bad = [
+        {"lr": {"distribution": "uniform", "max": 1.0}},          # no min
+        {"lr": {"distribution": "log_uniform_values",
+                "min": 0, "max": 1e-2}},                          # log(0)
+        {"lr": {"distribution": "log_uniform_values",
+                "min": -1e-3, "max": 1e-2}},                      # log(<0)
+        {"lr": {"values": []}},                                   # empty
+        {"lr": {"values": 3}},                                    # scalar
+        {"lr": {"distribution": "uniform", "min": 2.0, "max": 1.0}},
+        {"lr": {"distribution": "uniform", "min": "a", "max": 1.0}},
+        {"lr": {"distribution": "uniform", "min": float("nan"),
+                "max": 1.0}},
+    ]
+    for spec in bad:
+        with pytest.raises(ValueError, match="'lr'"):
+            S.sample_parameters(spec, rng)
+    # boundary sanity: min == max is legal and degenerate, not an error
+    got = S.sample_parameters(
+        {"lr": {"distribution": "log_uniform_values",
+                "min": 1e-3, "max": 1e-3}}, rng)
+    assert got["lr"] == pytest.approx(1e-3)
+
+
 def test_hyperband_rungs():
     et = {"type": "hyperband", "min_iter": 3, "eta": 2, "s": 2}
     assert S.hyperband_rungs(et, max_epochs=10) == [3, 6]
@@ -99,6 +127,25 @@ def test_run_sweep_rejects_unknown_parameters(tmp_path):
     with pytest.raises(ValueError, match="goal"):
         S.run_sweep(str(bad_goal), train_loop.TrainFoldConfig(), count=1,
                     output_dir=str(tmp_path / "sw2"))
+
+    # `parameters:` written as a YAML list of names must be rejected with
+    # a message, not an AttributeError from the num-epochs probe
+    bad_params = tmp_path / "bad_params.yaml"
+    bad_params.write_text(yaml.safe_dump({
+        "method": "random", "parameters": ["fold", "learning-rate"]}))
+    with pytest.raises(ValueError, match="mapping"):
+        S.run_sweep(str(bad_params), train_loop.TrainFoldConfig(), count=1,
+                    output_dir=str(tmp_path / "sw3"))
+
+    # a scalar num-epochs spec dies at the epoch probe BEFORE sampling —
+    # needs its own typed error
+    bad_ne = tmp_path / "bad_ne.yaml"
+    bad_ne.write_text(yaml.safe_dump({
+        "method": "random",
+        "parameters": {"fold": {"values": [1]}, "num-epochs": 4}}))
+    with pytest.raises(ValueError, match="num-epochs"):
+        S.run_sweep(str(bad_ne), train_loop.TrainFoldConfig(), count=1,
+                    output_dir=str(tmp_path / "sw4"))
 
 
 def test_run_sweep_goal_defaults_to_minimize(tmp_path, monkeypatch):

@@ -57,6 +57,33 @@ def load_sweep_config(path: str) -> dict:
     return cfg
 
 
+def _range_bounds(name: str, spec: dict, *, positive: bool) -> tuple[float,
+                                                                    float]:
+    """Validated (min, max) from a distribution spec. Without this, a
+    hand-edited YAML typo surfaces as numpy internals (KeyError 'min',
+    'high <= 0', OverflowError for log of a nonpositive min) instead of a
+    message naming the parameter."""
+    missing = [k for k in ("min", "max") if k not in spec]
+    if missing:
+        raise ValueError(f"sweep parameter '{name}': distribution "
+                         f"{spec.get('distribution')!r} needs "
+                         f"{'/'.join(missing)} (got {spec!r})")
+    try:
+        lo, hi = float(spec["min"]), float(spec["max"])
+    except (TypeError, ValueError):
+        raise ValueError(f"sweep parameter '{name}': min/max must be "
+                         f"numbers, got min={spec['min']!r} "
+                         f"max={spec['max']!r}") from None
+    if not (np.isfinite(lo) and np.isfinite(hi)) or lo > hi:
+        raise ValueError(f"sweep parameter '{name}': need finite "
+                         f"min <= max, got [{lo}, {hi}]")
+    if positive and lo <= 0:
+        raise ValueError(f"sweep parameter '{name}': "
+                         f"log_uniform_values needs min > 0 in value "
+                         f"space, got min={lo}")
+    return lo, hi
+
+
 def sample_parameters(parameters: dict, rng: np.random.Generator) -> dict:
     """One sample from a W&B-format parameter-space dict."""
     out: dict[str, Any] = {}
@@ -73,17 +100,22 @@ def sample_parameters(parameters: dict, rng: np.random.Generator) -> dict:
             # canonical W&B constant form: {value: x}
             out[name] = spec["value"]
         elif "values" in spec:
-            out[name] = spec["values"][int(rng.integers(len(spec["values"])))]
+            choices = spec["values"]
+            if not isinstance(choices, (list, tuple)) or not choices:
+                raise ValueError(f"sweep parameter '{name}': values must "
+                                 f"be a non-empty list, got {choices!r}")
+            out[name] = choices[int(rng.integers(len(choices)))]
         elif spec.get("distribution") == "uniform":
-            out[name] = float(rng.uniform(spec["min"], spec["max"]))
+            lo, hi = _range_bounds(name, spec, positive=False)
+            out[name] = float(rng.uniform(lo, hi))
         elif spec.get("distribution") == "log_uniform_values":
             # W&B: min/max in VALUE space
-            lo, hi = np.log(float(spec["min"])), np.log(float(spec["max"]))
-            out[name] = float(np.exp(rng.uniform(lo, hi)))
+            lo, hi = _range_bounds(name, spec, positive=True)
+            out[name] = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
         elif spec.get("distribution") == "log_uniform":
             # W&B legacy: min/max already in LOG space (exp(U(min,max)))
-            out[name] = float(np.exp(rng.uniform(float(spec["min"]),
-                                                 float(spec["max"]))))
+            lo, hi = _range_bounds(name, spec, positive=False)
+            out[name] = float(np.exp(rng.uniform(lo, hi)))
         else:
             raise ValueError(f"unsupported distribution for {name}: {spec}")
     return out
@@ -205,7 +237,14 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
     sweep = load_sweep_config(sweep_config_path)
     if sweep.get("method", "random") != "random":
         raise ValueError(f"unsupported sweep method {sweep.get('method')}")
-    unknown = [k for k in sweep.get("parameters", {})
+    params = sweep.get("parameters") or {}
+    if not isinstance(params, dict):
+        # catches `parameters:` written as a YAML list of names — without
+        # this the num-epochs probe below AttributeErrors on a str key
+        raise ValueError(f"sweep config {sweep_config_path}: 'parameters' "
+                         f"must be a mapping of name -> spec, got "
+                         f"{type(params).__name__}")
+    unknown = [k for k in params
                if k not in _PARAM_MAP and k not in _IGNORED]
     if unknown:
         # a silently-dropped parameter would train every trial at the base
@@ -231,8 +270,11 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
     # rungs derive from the EFFECTIVE epoch count: a num-epochs pinned in
     # the sweep parameters overrides base_cfg's default
     eff_epochs = base_cfg.num_epochs
-    ne_spec = sweep["parameters"].get("num-epochs")
+    ne_spec = params.get("num-epochs")
     if ne_spec:
+        if not isinstance(ne_spec, dict):
+            raise ValueError(f"sweep parameter 'num-epochs' spec must be "
+                             f"a mapping, got {ne_spec!r}")
         vals = ne_spec.get("values")
         if "value" in ne_spec:  # canonical W&B constant form
             eff_epochs = int(ne_spec["value"])
@@ -290,7 +332,7 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
     if parallel_trials:
         from ..train import trial_parallel
 
-        samples = [sample_parameters(sweep["parameters"], rng)
+        samples = [sample_parameters(params, rng)
                    for _ in range(count)]
         if not samples:
             return {"results": results, "best": best}
@@ -313,7 +355,7 @@ def run_sweep(sweep_config_path: str, base_cfg, *, count: int = 10,
         return {"results": results, "best": best}
 
     for trial in range(count):
-        sampled = sample_parameters(sweep["parameters"], rng)
+        sampled = sample_parameters(params, rng)
         fold, cfg = trial_cfg(trial, sampled)
         cfg = dataclasses.replace(
             cfg, on_epoch_end=cutter.callback() if cutter else None)
