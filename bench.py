@@ -110,16 +110,32 @@ def assert_chip_reachable(timeout_s: float = 180.0,
             jax.devices()
 
     done = threading.Event()
-    t = threading.Thread(target=lambda: (probe(), done.set()), daemon=True)
+    failure = []
+
+    def _run():
+        # done must be set even when the probe RAISES — otherwise a fast
+        # backend-init failure idles the full timeout and gets reported
+        # as a tunnel stall (the wrong diagnosis for the one JSON line
+        # built to be diagnosable)
+        try:
+            probe()
+        except BaseException as e:  # noqa: BLE001 — diagnostic path
+            failure.append(f"{type(e).__name__}: {e}")
+        finally:
+            done.set()
+
+    t = threading.Thread(target=_run, daemon=True)
     t.start()
-    if not done.wait(timeout_s):
+    if not done.wait(timeout_s) or failure:
+        err = (f"TPU unreachable: {failure[0]}" if failure else
+               f"TPU unreachable: device enumeration blocked "
+               f"> {timeout_s:.0f}s (stalled axon tunnel)")
         print(json.dumps({
             "metric": "e2e_2stage_windows_per_sec_per_chip",
             "value": 0.0,
             "unit": "windows/s",
             "vs_baseline": 0.0,
-            "error": f"TPU unreachable: device enumeration blocked "
-                     f"> {timeout_s:.0f}s (stalled axon tunnel)",
+            "error": err,
         }))
         sys.exit(1)
 

@@ -213,8 +213,18 @@ def main(argv=None):
                                "--model-root", "runs_short",
                                "--output-json", "outputs/short_Z00.json",
                                "--f32"])
+        # serve the int8 stage-1 export too (engine auto-detects
+        # model_int8.safetensors from the dir) — f32 short-seq stage 2
+        infer_long_audio.main(
+            ["--patient-id", "Z00", "--long-audio-root", long_dir,
+             "--stage1-model-root",
+             "runs_short_int8/ast_classifier_stage1/fold1/best",
+             "--stage2-model-root",
+             "runs_short/ast_classifier_stage2/fold1/best",
+             "--output-json", "outputs/int8_Z00.json", "--f32"])
         log("E1", "short-seq (max_length=128) adaptation + int8 export; "
-            "single-patient inference served from the adapted dirs")
+            "single-patient inference served from the adapted dirs "
+            "(f32-short and int8-stage1 variants)")
 
         # E2: a 2-trial random-search sweep through the local agent
         with open("sweep_tiny.yaml", "w") as f:

@@ -107,7 +107,7 @@ def test_safetensors_all_dtypes_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(out[k], v, err_msg=k)
 
 
-def _fuzz_safetensors_corpus(rng):
+def _fuzz_safetensors_corpus(rng, tmp_path):
     """Deterministic corrupt-safetensors corpus: truncations, random byte
     flips of a valid file, random garbage, pathological declared header
     lengths (a corrupt u64 previously drove f.read() into a multi-TB
@@ -116,11 +116,12 @@ def _fuzz_safetensors_corpus(rng):
     import struct
 
     hdr = lambda h: struct.pack("<Q", len(h)) + h
+    base_path = str(tmp_path / "_st_fuzz_base.safetensors")
     convert.write_safetensors(
         {"a": rng.standard_normal((4, 3)).astype(np.float32),
          "b": rng.integers(0, 9, 7).astype(np.int64)},
-        "/tmp/_st_fuzz_base.safetensors")
-    with open("/tmp/_st_fuzz_base.safetensors", "rb") as f:
+        base_path)
+    with open(base_path, "rb") as f:
         base = bytearray(f.read())
     cases = [bytes(base[:cut]) for cut in range(0, len(base), 11)]
     for _ in range(150):
@@ -150,6 +151,7 @@ def _fuzz_safetensors_corpus(rng):
         ent(dtype="F32", shape=[1], data_offsets=[0, 4, 8]) + b"\0" * 8,
         ent(dtype="F32") + b"\0" * 4,
         ent(dtype="I16", shape=[1], data_offsets=[0, 3]) + b"\0" * 3,
+        ent(dtype="BF16", shape=[2], data_offsets=[0, 5]) + b"\0" * 5,  # odd
         ent(dtype="BF16", shape=[2], data_offsets=[0, 4]) + b"\0" * 4,  # valid
     ]
     return cases
@@ -162,7 +164,7 @@ def test_safetensors_fuzz_only_typed_errors(tmp_path, rng):
     8-byte header-length field is attacker/corruption-controlled and
     f.read() preallocates it). Same contract as the WAV decode layer
     (tests/test_audio.py::test_wav_decode_fuzz_only_typed_errors)."""
-    for i, c in enumerate(_fuzz_safetensors_corpus(rng)):
+    for i, c in enumerate(_fuzz_safetensors_corpus(rng, tmp_path)):
         p = str(tmp_path / f"f{i}.safetensors")
         with open(p, "wb") as f:
             f.write(c)

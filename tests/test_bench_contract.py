@@ -51,3 +51,24 @@ def test_bench_unreachable_chip_fails_fast(capsys):
 def test_bench_reachable_chip_prints_nothing(capsys):
     bench.assert_chip_reachable(timeout_s=5.0, probe=lambda: None)
     assert capsys.readouterr().out == ""
+
+
+def test_bench_probe_exception_reported_not_misdiagnosed(capsys):
+    """A probe that RAISES instantly (broken backend init) must fail fast
+    with the actual exception in the error field — not idle the full
+    timeout and claim a tunnel stall."""
+    import time
+
+    import pytest
+
+    def boom():
+        raise RuntimeError("unable to initialize backend")
+
+    t0 = time.monotonic()
+    with pytest.raises(SystemExit) as e:
+        bench.assert_chip_reachable(timeout_s=30.0, probe=boom)
+    assert time.monotonic() - t0 < 5.0  # did NOT wait out the watchdog
+    assert e.value.code == 1
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert "unable to initialize backend" in payload["error"]
+    assert "blocked" not in payload["error"]

@@ -140,6 +140,23 @@ def test_stats_loaders_typed_errors(tmp_path):
     with pytest.raises(ValueError, match="stats_aggregate.json"):
         snippet_eval.load_mean_std(d, 1, use_aggregate=True)
 
+    # non-numeric counts would otherwise hit the `> 0` comparison as a
+    # bare TypeError; both the trainer chain and the evaluators'
+    # --use-aggregate fast path must name the file
+    _clobber(agg, '{"total_count": "5", "mean": 1.0, "std": 2.0}')
+    with pytest.raises(ValueError, match="total_count"):
+        stats_mod.load_fold_normalization(d, 1)
+    with pytest.raises(ValueError, match="total_count"):
+        snippet_eval.load_mean_std(d, 1, use_aggregate=True)
+    _clobber(agg, '{"total_count": 5, "std": 2.0}')  # mean missing
+    with pytest.raises(ValueError, match="mean/std"):
+        snippet_eval.load_mean_std(d, 1, use_aggregate=True)
+    pf2 = os.path.join(d, "stats_per_fold.json")
+    _clobber(pf2, '[{"fold": 1, "count": "3", "mean": 1.0, "std": 2.0}]')
+    with pytest.raises(ValueError, match="count"):
+        stats_mod.load_fold_normalization(d, 1)
+    os.remove(pf2)
+
 
 def test_rocpr_metrics_loader_typed_errors(tmp_path):
     from zenker_audio_detection_tpu.analysis import thresholds as thr
@@ -169,6 +186,10 @@ def test_cm_npy_loader_typed_error(tmp_path):
     np.save(p, np.eye(2))
     with open(p, "r+b") as f:
         f.truncate(40)  # cut inside the header
+    with pytest.raises(ValueError, match="confusion_matrix.npy"):
+        cm_plots.load_confusion_matrix_from_results("stage1", root)
+    with open(p, "wb"):
+        pass  # ZERO-byte file (np.save is not atomic): np.load -> EOFError
     with pytest.raises(ValueError, match="confusion_matrix.npy"):
         cm_plots.load_confusion_matrix_from_results("stage1", root)
     assert cm_plots.load_confusion_matrix_from_results("stage2", root) is None

@@ -165,6 +165,19 @@ def test_cm_comparison_discriminates(assets, full_report, tmp_path,
     assert bad["passed"] is False
     assert bad["paper_comparable"] is True
 
+    # only ONE stage's N matching must NOT certify parity: the other
+    # stage's published CM was never compared (e.g. a wrong --data-stage2
+    # tree), so the run is INCONCLUSIVE, not PASS
+    half = {"stage1": ours["stage1"],
+            "stage2": ours["stage2"] + np.full((2, 2), 1000)}
+    part = rerun(half, "half")
+    verdicts = {("stage1" if "stage1" in c["name"] else "stage2"):
+                c["verdict"]
+                for c in part["checks"] if "summed" in c["name"]}
+    assert verdicts["stage1"] == "PASS" and verdicts["stage2"] == "INFO"
+    assert part["passed"] is True
+    assert part["paper_comparable"] is False
+
 
 def test_cli_exit_codes(assets, tmp_path):
     from zenker_audio_detection_tpu.cli import validate_real

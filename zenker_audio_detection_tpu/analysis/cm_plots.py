@@ -76,7 +76,9 @@ def load_confusion_matrix_from_results(stage: str, model_root: str) -> np.ndarra
         return None
     try:
         return np.load(cm_path)
-    except ValueError as e:  # truncated/corrupt .npy
+    except (ValueError, EOFError) as e:
+        # truncated/garbage .npy -> ValueError; a ZERO-byte file (crash
+        # right after open — np.save is not atomic) -> EOFError
         raise ValueError(f"confusion-matrix file {cm_path} is corrupt: "
                          f"{e}") from e
 

@@ -44,12 +44,9 @@ def load_class_names(mapping_path: str | None, stage: str) -> list[str]:
 
 def load_mean_std(data_dir: str, fold: int, use_aggregate: bool):
     if use_aggregate:
-        agg_path = os.path.join(data_dir, "stats_aggregate.json")
-        if os.path.exists(agg_path):
-            from ..utils.fsio import load_json_object
-            agg = load_json_object(agg_path, "aggregate stats")
-            if agg.get("total_count", 0) > 0:
-                return float(agg["mean"]), float(agg["std"])
+        agg = stats_mod.load_aggregate_normalization(data_dir)
+        if agg is not None:
+            return agg
     return stats_mod.load_fold_normalization(data_dir, fold)[:2]
 
 

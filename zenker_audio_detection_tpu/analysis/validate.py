@@ -218,16 +218,20 @@ def run_validation(*, runs_dir: str, data_stage1: str, data_stage2: str,
                        "verdict": "SKIP",
                        "detail": "no --long-audio-root given"})
 
+    summed = [c for c in checks if "summed" in c["name"]]
     report = {
         "runs_dir": runs_dir, "folds": folds,
         "checks": checks,
         "passed": all(c["verdict"] != "FAIL" for c in checks),
         # the runbook's PURPOSE is the paper-CM comparison; when the
-        # evaluated N never matches the paper's, every CM check is INFO and
-        # "nothing failed" must not read as "quality parity proven"
-        "paper_comparable": any(
-            c["verdict"] in ("PASS", "FAIL")
-            for c in checks if "summed" in c["name"]),
+        # evaluated N never matches the paper's, the CM check is INFO and
+        # "nothing failed" must not read as "quality parity proven".
+        # BOTH stages must have received a real verdict: with any(), a
+        # correct --data-stage1 paired with a wrong --data-stage2 tree
+        # would certify parity while stage 2's published CM was never
+        # compared
+        "paper_comparable": len(summed) == 2 and all(
+            c["verdict"] in ("PASS", "FAIL") for c in summed),
     }
     with open(os.path.join(output_dir, "validation_report.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -150,7 +150,8 @@ def load_fold_normalization(data_dir: str, fold: int,
             raise ValueError(f"per-fold stats {per_fold_path} must be a "
                              f"JSON list of per-fold objects")
         for d in entries:
-            if d.get("fold") == fold and d.get("count", 0) > 0:
+            if d.get("fold") == fold and _count(d, "count",
+                                                per_fold_path) > 0:
                 try:
                     return float(d["mean"]), float(d["std"]), "per_fold"
                 except (KeyError, TypeError, ValueError) as e:
@@ -158,14 +159,38 @@ def load_fold_normalization(data_dir: str, fold: int,
                         f"per-fold stats {per_fold_path} entry for fold "
                         f"{fold} has missing or non-numeric mean/std: "
                         f"{e!r}") from e
-    agg_path = os.path.join(data_dir, "stats_aggregate.json")
-    if os.path.exists(agg_path):
-        agg = fsio.load_json_object(agg_path, "aggregate stats")
-        if agg.get("total_count", 0) > 0:
-            try:
-                return float(agg["mean"]), float(agg["std"]), "aggregate"
-            except (KeyError, TypeError, ValueError) as e:
-                raise ValueError(
-                    f"aggregate stats {agg_path} has missing or "
-                    f"non-numeric mean/std: {e!r}") from e
+    agg = load_aggregate_normalization(data_dir)
+    if agg is not None:
+        return agg[0], agg[1], "aggregate"
     return default_mean, default_std, "default"
+
+
+def _count(d: dict, key: str, path: str) -> float:
+    """Numeric count field, or a typed error naming the file — a string
+    count would otherwise raise a bare TypeError from the `> 0` test."""
+    v = d.get(key, 0)
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise ValueError(f"stats file {path}: {key!r} must be numeric, "
+                         f"got {v!r}")
+    return float(v)
+
+
+def load_aggregate_normalization(data_dir: str) -> tuple[float, float] | None:
+    """(mean, std) from stats_aggregate.json, or None when the file is
+    absent or records zero pooled count. Shared by the trainer fallback
+    chain above and the evaluators' --use-aggregate fast path
+    (analysis/snippet_eval.py) so both get the same typed errors."""
+    from ..utils import fsio
+
+    agg_path = os.path.join(data_dir, "stats_aggregate.json")
+    if not os.path.exists(agg_path):
+        return None
+    agg = fsio.load_json_object(agg_path, "aggregate stats")
+    if _count(agg, "total_count", agg_path) <= 0:
+        return None
+    try:
+        return float(agg["mean"]), float(agg["std"])
+    except (KeyError, TypeError, ValueError) as e:
+        raise ValueError(
+            f"aggregate stats {agg_path} has missing or "
+            f"non-numeric mean/std: {e!r}") from e

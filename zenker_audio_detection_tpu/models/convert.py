@@ -85,6 +85,11 @@ def read_safetensors(path: str) -> dict[str, np.ndarray]:
                 f"data_offsets [{start}, {end}) outside the "
                 f"{len(buf)}-byte buffer")
         if dtype_str == "BF16":
+            if (end - start) % 2:
+                raise ValueError(
+                    f"corrupt safetensors entry {name!r} in {path!r}: "
+                    f"{end - start} bytes is not a whole number of "
+                    f"BF16 elements")
             raw = np.frombuffer(buf[start:end], dtype=np.uint16)
             arr = (raw.astype(np.uint32) << 16).view(np.float32).astype(np.float32)
         else:
