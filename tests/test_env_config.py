@@ -88,3 +88,12 @@ def test_env_example_parses():
     vars_ = C.parse_env_file(repo / ".env.example")
     assert vars_["RAW_DATA_DIR"].endswith("/Raw")
     assert vars_["LONG_AUDIO_ROOT"] == vars_["LONG_AUDIO_DIR"]
+
+
+def test_binary_env_file_typed_error(tmp_path):
+    import pytest
+
+    p = tmp_path / ".env"
+    p.write_bytes(b"\xff\xfe\x00\x01 DATASET_ROOT=/x\n\x80\x81")
+    with pytest.raises(ValueError, match=".env"):
+        C.parse_env_file(p)

@@ -31,7 +31,13 @@ def parse_env_file(path: str | Path) -> dict[str, str]:
     at lookup time AND inside interpolations, so .env-derived paths stay
     consistent with the exported root they reference."""
     out: dict[str, str] = {}
-    text = Path(path).read_text()
+    try:
+        text = Path(path).read_text()
+    except UnicodeDecodeError as e:
+        # a binary file dropped in as .env should name itself, not
+        # surface as a bare UnicodeDecodeError mid-config-load
+        raise ValueError(f".env file {path} is not valid UTF-8 text: "
+                         f"{e}") from e
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith("#") or "=" not in line:
