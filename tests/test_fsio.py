@@ -110,3 +110,79 @@ def test_load_json_object_fuzz_only_typed_errors(tmp_path, rng):
             # UnicodeDecodeError subclasses ValueError, so undecodable
             # bytes are wrapped with the filename too
             assert "f.json" in str(e) or "JSON object" in str(e)
+
+
+def test_load_npy_roundtrip(tmp_path):
+    p = str(tmp_path / "a.npy")
+    np.save(p, np.arange(6).reshape(2, 3))
+    out = fsio.load_npy(p, "test array")
+    np.testing.assert_array_equal(out, np.arange(6).reshape(2, 3))
+    # object payloads (split path lists) need allow_pickle=True
+    p2 = str(tmp_path / "b.npy")
+    np.save(p2, np.asarray(["x/1.wav", "y/2.wav"], dtype=object),
+            allow_pickle=True)
+    assert fsio.load_npy(p2, "paths", allow_pickle=True).tolist() == [
+        "x/1.wav", "y/2.wav"]
+
+
+def test_load_npy_missing_is_file_not_found(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        fsio.load_npy(str(tmp_path / "absent.npy"), "test array")
+
+
+def test_load_npy_fuzz_only_typed_errors(tmp_path):
+    """Deterministic corruption corpus over a real .npy blob: every
+    corrupt variant must either load (a mutation can keep it valid) or
+    raise ValueError naming the file — never a path-less EOFError,
+    UnpicklingError, BadZipFile, or crash (the same contract the
+    safetensors/WAV fuzz pins)."""
+    rng = np.random.default_rng(20260818)
+    src = str(tmp_path / "good.npy")
+    np.save(src, np.arange(64, dtype=np.float32))
+    good = open(src, "rb").read()
+    p = str(tmp_path / "f.npy")
+    for i in range(250):
+        mode = i % 5
+        if mode == 0:  # truncation (incl. zero-byte)
+            blob = good[: int(rng.integers(len(good)))]
+        elif mode == 1:  # byte flips
+            b = bytearray(good)
+            for _ in range(int(rng.integers(1, 6))):
+                b[int(rng.integers(len(b)))] = int(rng.integers(256))
+            blob = bytes(b)
+        elif mode == 2:  # random garbage
+            blob = rng.integers(0, 256, int(rng.integers(1, 120)),
+                                dtype=np.uint8).tobytes()
+        elif mode == 3:  # zip-masquerade ('PK' magic -> BadZipFile path)
+            blob = b"PK\x03\x04" + bytes(rng.integers(
+                0, 256, int(rng.integers(0, 60)), dtype=np.uint8))
+        else:  # pickle payload with allow_pickle=False at the call site
+            import pickle
+            blob = good[:8] + pickle.dumps({"o": 1})
+        with open(p, "wb") as f:
+            f.write(blob)
+        try:
+            fsio.load_npy(p, "fuzzed array")
+        except ValueError as e:
+            assert "f.npy" in str(e)
+
+
+def test_load_npy_consumers_name_the_file(tmp_path):
+    """The split/CM loaders route corrupt artifacts through load_npy."""
+    from zenker_audio_detection_tpu.analysis import cm_plots
+    from zenker_audio_detection_tpu.train import loop as L
+
+    # zero-byte CM under the expected layout
+    cm_dir = tmp_path / "ast_classifier_stage1" / "cv_aggregate_evaluation"
+    cm_dir.mkdir(parents=True)
+    (cm_dir / "confusion_matrix.npy").write_bytes(b"")
+    with pytest.raises(ValueError, match="confusion_matrix.npy"):
+        cm_plots.load_confusion_matrix_from_results("stage1", str(tmp_path))
+
+    # truncated split pair
+    d = tmp_path / "splits"
+    d.mkdir()
+    (d / "train_x_fold1.npy").write_bytes(b"\x93NUMPY\x01\x00trunc")
+    (d / "train_y_fold1.npy").write_bytes(b"")
+    with pytest.raises(ValueError, match="train_x_fold1.npy"):
+        L._load_split(str(d), "train", 1)

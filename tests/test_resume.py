@@ -116,6 +116,64 @@ def test_checkpoint_roundtrip_primitives(tmp_path):
     assert s2["rng_state"] == state["rng_state"]
 
 
+def test_corrupt_train_state_raises_typed(tmp_path):
+    """A tampered train_state.json must fail with an error naming the file
+    and the problem — not a bare JSONDecodeError/KeyError from deep inside
+    the resume loop (checkpoint writes are atomic, so this only happens on
+    external edits; the message is the debugging surface)."""
+    import jax
+
+    cfg = ast_mod.ASTConfig(hidden_size=8, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=16,
+                            num_mel_bins=16, max_length=32, patch_size=8,
+                            frequency_stride=4, time_stride=4)
+    params = ast_mod.init_params(jax.random.PRNGKey(0), cfg)
+    from zenker_audio_detection_tpu.train import optim
+    tx = optim.make_optimizer(1e-4, 10, 0.1, 0.01)
+    opt_state = tx.init(params)
+    good = {"epoch": 3, "best_f1": 0.5, "best_epoch": 2, "patience_left": 1,
+            "rng_state": np.random.default_rng(7).bit_generator.state}
+    ck = str(tmp_path / "ck")
+    L.save_checkpoint(ck, params, opt_state, good)
+    state_path = Path(ck) / "train_state.json"
+
+    # corrupt bytes -> typed error naming the file
+    state_path.write_text("{truncated")
+    with pytest.raises(ValueError, match="train_state.json.*not valid JSON"):
+        L.load_checkpoint(ck, params, tx.init(params))
+
+    # top-level list -> typed error
+    state_path.write_text("[1, 2]")
+    with pytest.raises(ValueError, match="JSON object"):
+        L.load_checkpoint(ck, params, tx.init(params))
+
+    # each required key: missing and wrong-typed both name the key
+    import json as _json
+    for key in ("epoch", "best_f1", "best_epoch", "patience_left",
+                "rng_state"):
+        bad = {k: v for k, v in good.items() if k != key}
+        state_path.write_text(_json.dumps(bad))
+        with pytest.raises(ValueError, match=f"missing required key '{key}'"):
+            L.load_checkpoint(ck, params, tx.init(params))
+        bad = dict(good, **{key: "nope"})
+        state_path.write_text(_json.dumps(bad))
+        with pytest.raises(ValueError, match=f"key '{key}'"):
+            L.load_checkpoint(ck, params, tx.init(params))
+
+    # bools are not epochs (bool subclasses int — must still be rejected)
+    state_path.write_text(_json.dumps(dict(good, epoch=True)))
+    with pytest.raises(ValueError, match="key 'epoch'"):
+        L.load_checkpoint(ck, params, tx.init(params))
+
+
+def _full_state(epoch):
+    # load_checkpoint validates the complete trainer-written key set, so
+    # mechanics-focused tests must save a real state shape too
+    return {"epoch": epoch, "best_f1": 0.0, "best_epoch": 0,
+            "patience_left": 2,
+            "rng_state": np.random.default_rng(0).bit_generator.state}
+
+
 def test_checkpoint_roundtrip_with_scalar_leaf(tmp_path):
     """Non-array leaves in the opt state (Python scalars ARE pytree leaves)
     must not leave gaps in the saved leaf_NNNN numbering: load_checkpoint
@@ -128,7 +186,7 @@ def test_checkpoint_roundtrip_with_scalar_leaf(tmp_path):
                  "py_scalar": 7,  # no .shape -> skipped by the writer
                  "mu": jax.tree.map(jnp.zeros_like, params)}
     ck = str(tmp_path / "ck")
-    L.save_checkpoint(ck, params, opt_state, {"epoch": 1})
+    L.save_checkpoint(ck, params, opt_state, _full_state(1))
     _, o2, _ = L.load_checkpoint(ck, params, opt_state)
     assert o2["py_scalar"] == 7  # non-array template leaf passes through
     np.testing.assert_array_equal(np.asarray(o2["count"]), 0)
@@ -148,7 +206,7 @@ def test_checkpoint_save_crash_preserves_previous(tmp_path, monkeypatch):
     opt = {"mu": jnp.zeros((3, 2))}
     fold_dir = tmp_path / "fold1"
     ck10 = str(fold_dir / "checkpoint-10")
-    L.save_checkpoint(ck10, params, opt, {"epoch": 1})
+    L.save_checkpoint(ck10, params, opt, _full_state(1))
 
     calls = {"n": 0}
     real = convert.write_safetensors
@@ -162,7 +220,7 @@ def test_checkpoint_save_crash_preserves_previous(tmp_path, monkeypatch):
     monkeypatch.setattr(L.convert, "write_safetensors", crashing)
     with pytest.raises(RuntimeError):
         L.save_checkpoint(str(fold_dir / "checkpoint-20"), params, opt,
-                          {"epoch": 2})
+                          _full_state(2))
     monkeypatch.undo()
 
     assert not (fold_dir / "checkpoint-20").exists()  # nothing partial
@@ -172,7 +230,7 @@ def test_checkpoint_save_crash_preserves_previous(tmp_path, monkeypatch):
 
     # a retry with the stale .tmp staging dir still present must succeed
     L.save_checkpoint(str(fold_dir / "checkpoint-20"), params, opt,
-                      {"epoch": 2})
+                      _full_state(2))
     assert L.latest_checkpoint(str(fold_dir)).endswith("checkpoint-20")
 
 
@@ -181,7 +239,7 @@ def test_latest_checkpoint_ignores_staging_dirs(tmp_path):
 
     fold_dir = tmp_path / "fold1"
     L.save_checkpoint(str(fold_dir / "checkpoint-10"),
-                      {"w": jnp.ones(2)}, {}, {"epoch": 1})
+                      {"w": jnp.ones(2)}, {}, _full_state(1))
     (fold_dir / "checkpoint-20.tmp").mkdir()  # crashed save's leftover
     assert L.latest_checkpoint(str(fold_dir)).endswith("checkpoint-10")
 

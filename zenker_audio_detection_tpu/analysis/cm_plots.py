@@ -74,13 +74,8 @@ def load_confusion_matrix_from_results(stage: str, model_root: str) -> np.ndarra
                            "cv_aggregate_evaluation", "confusion_matrix.npy")
     if not os.path.exists(cm_path):
         return None
-    try:
-        return np.load(cm_path)
-    except (ValueError, EOFError) as e:
-        # truncated/garbage .npy -> ValueError; a ZERO-byte file (crash
-        # right after open — np.save is not atomic) -> EOFError
-        raise ValueError(f"confusion-matrix file {cm_path} is corrupt: "
-                         f"{e}") from e
+    from ..utils.fsio import load_npy
+    return load_npy(cm_path, "confusion-matrix file")
 
 
 def derived_stats(cm: np.ndarray) -> dict[str, float]:

@@ -50,8 +50,12 @@ def load_split(data_dir: str, fold: int, preferred_split: str):
         x_path = os.path.join(data_dir, f"{split}_x_fold{fold}.npy")
         y_path = os.path.join(data_dir, f"{split}_y_fold{fold}.npy")
         if os.path.exists(x_path) and os.path.exists(y_path):
-            X = np.load(x_path, allow_pickle=True).tolist()
-            y = np.asarray(np.load(y_path, allow_pickle=True), dtype=int).tolist()
+            from ..utils import fsio
+            X = fsio.load_npy(x_path, "split paths",
+                              allow_pickle=True).tolist()
+            y = np.asarray(fsio.load_npy(y_path, "split labels",
+                                         allow_pickle=True),
+                           dtype=int).tolist()
             return X, y, split
     raise FileNotFoundError(
         f"No {preferred_split} or test split found for fold {fold} in {data_dir}.")

@@ -79,10 +79,12 @@ def evaluate_fold(fold: int, *, stage: str, data_dir: str, model_root: str,
     if dtype is None:
         dtype = jnp.bfloat16
 
-    test_x = np.load(os.path.join(data_dir, f"test_x_fold{fold}.npy"),
-                     allow_pickle=True).tolist()
-    y_true = np.asarray(np.load(os.path.join(data_dir, f"test_y_fold{fold}.npy"),
-                                allow_pickle=True), dtype=int)
+    from ..utils import fsio
+    test_x = fsio.load_npy(os.path.join(data_dir, f"test_x_fold{fold}.npy"),
+                           "split paths", allow_pickle=True).tolist()
+    y_true = np.asarray(
+        fsio.load_npy(os.path.join(data_dir, f"test_y_fold{fold}.npy"),
+                      "split labels", allow_pickle=True), dtype=int)
 
     mean, std = load_mean_std(data_dir, fold, use_aggregate_stats)
     model_dir = os.path.join(model_root, f"fold{fold}", "best")

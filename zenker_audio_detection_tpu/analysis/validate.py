@@ -240,9 +240,11 @@ def run_validation(*, runs_dir: str, data_stage1: str, data_stage2: str,
 
 
 def _single_fold_cm(runs_dir: str, stage: str, fold: int) -> np.ndarray:
-    return np.load(os.path.join(runs_dir, f"ast_classifier_{stage}",
-                                f"fold{fold}", "best", "evaluation",
-                                "confusion_matrix.npy"))
+    from ..utils.fsio import load_npy
+    return load_npy(os.path.join(runs_dir, f"ast_classifier_{stage}",
+                                 f"fold{fold}", "best", "evaluation",
+                                 "confusion_matrix.npy"),
+                    "confusion-matrix file")
 
 
 def print_report(report: dict) -> None:

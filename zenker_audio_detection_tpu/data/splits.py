@@ -385,10 +385,13 @@ def derive_two_stage_splits(cv_dir: str, out_stage1: str, out_stage2: str,
         if not all(os.path.exists(p) for p in paths):
             print(f"[WARN] Missing one or more base files for fold {fold}; skipping.")
             continue
-        train_x = np.load(paths[0], allow_pickle=True)
-        train_y = np.load(paths[1], allow_pickle=True).astype(int)
-        test_x = np.load(paths[2], allow_pickle=True)
-        test_y = np.load(paths[3], allow_pickle=True).astype(int)
+        from ..utils.fsio import load_npy
+        train_x = load_npy(paths[0], "base split paths", allow_pickle=True)
+        train_y = load_npy(paths[1], "base split labels",
+                           allow_pickle=True).astype(int)
+        test_x = load_npy(paths[2], "base split paths", allow_pickle=True)
+        test_y = load_npy(paths[3], "base split labels",
+                          allow_pickle=True).astype(int)
 
         # ---- Stage 1: Idle vs Swallow (full 3-class labels for val strat) ----
         # remap to 0=Idle 1=Healthy 2=Zenker regardless of base mapping order

@@ -33,7 +33,9 @@ def compute_fold_stats(data_dir: str, fold: int) -> dict:
     if not os.path.exists(train_x_path):
         raise FileNotFoundError(
             f"Missing fold {fold} train data. Expected {train_x_path}")
-    train_x = np.load(train_x_path, allow_pickle=True).tolist()
+    from ..utils import fsio
+    train_x = fsio.load_npy(train_x_path, "split paths",
+                            allow_pickle=True).tolist()
     if not train_x:
         return {"fold": fold, "mean": 0.0, "std": 0.0, "count": 0}
 

@@ -327,8 +327,9 @@ def _load_split(data_dir, split, fold):
     y_path = os.path.join(data_dir, f"{split}_y_fold{fold}.npy")
     if not (os.path.exists(x_path) and os.path.exists(y_path)):
         return None, None
-    x = np.load(x_path, allow_pickle=True).tolist()
-    y = np.asarray(np.load(y_path, allow_pickle=True), dtype=np.int32)
+    x = fsio.load_npy(x_path, "split paths", allow_pickle=True).tolist()
+    y = np.asarray(fsio.load_npy(y_path, "split labels", allow_pickle=True),
+                   dtype=np.int32)
     return x, y
 
 
@@ -952,8 +953,23 @@ def load_checkpoint(ck_dir: str, params_template, opt_state_template):
         else:
             new_leaves.append(leaf)
     opt_state = jax.tree.unflatten(treedef, new_leaves)
-    with open(os.path.join(ck_dir, "train_state.json")) as f:
-        state = json.load(f)
+    state_path = os.path.join(ck_dir, "train_state.json")
+    state = fsio.load_json_object(state_path, "train state")
+    # checkpoint dirs are written atomically (tmp dir + os.replace), so a
+    # malformed state here means external tampering or a hand-edited file —
+    # name exactly what is wrong instead of KeyError-ing deep in the
+    # resume loop (resume reads every one of these fields).
+    required = {"epoch": int, "best_f1": (int, float), "best_epoch": int,
+                "patience_left": int, "rng_state": dict}
+    for key, typ in required.items():
+        if key not in state:
+            raise ValueError(f"train state {state_path} is missing "
+                             f"required key {key!r}")
+        if not isinstance(state[key], typ) or isinstance(state[key], bool):
+            raise ValueError(
+                f"train state {state_path} key {key!r} must be "
+                f"{getattr(typ, '__name__', 'numeric')}, got "
+                f"{type(state[key]).__name__}")
     return params, opt_state, state
 
 

@@ -41,6 +41,31 @@ def load_json_object(path: str, what: str = "JSON config") -> dict:
     return obj
 
 
+def load_npy(path: str, what: str = "array file",
+             allow_pickle: bool = False):
+    """np.load that fails with a typed, file-naming error.
+
+    Corrupt .npy artifacts surface as path-less ValueError (truncated
+    header), EOFError (zero-byte file — np.save is not atomic),
+    UnpicklingError (garbage object payload), BadZipFile (a file that
+    happens to start with 'PK'), or SyntaxError/TokenError (numpy
+    *tokenizes the header dict as Python source* — fuzz-discovered); all
+    collapse into one ValueError naming the file. Missing files still
+    raise FileNotFoundError."""
+    import pickle
+    import tokenize
+    import zipfile
+
+    import numpy as np
+
+    try:
+        return np.load(path, allow_pickle=allow_pickle)
+    except (ValueError, EOFError, pickle.UnpicklingError,
+            zipfile.BadZipFile, SyntaxError, tokenize.TokenError) as e:
+        raise ValueError(f"{what} {path} is corrupt or not a .npy file: "
+                         f"{e}") from e
+
+
 def atomic_json_dump(obj: Any, path: str, **dump_kwargs) -> None:
     """json.dump to a pid-suffixed sibling tmp, then os.replace into place.
 
