@@ -68,6 +68,43 @@ def test_corrupt_preprocessor_config_names_file(model_dir, tmp_path):
         train_loop.load_feature_extractor_config(d)
 
 
+def test_wrong_typed_config_values_name_the_field(model_dir, tmp_path):
+    """Valid JSON with wrong-TYPED values (hand-edited config.json) must
+    fail naming the field and the file — not a reshape/TypeError deep
+    inside the jitted forward."""
+    import shutil
+
+    d = str(tmp_path / "m")
+    shutil.copytree(model_dir, d)
+    cfg_path = os.path.join(d, "config.json")
+    good = json.load(open(cfg_path))
+
+    bad_values = [("hidden_size", "big"), ("hidden_size", -16),
+                  ("hidden_size", 16.5), ("hidden_size", True),
+                  ("num_hidden_layers", 0), ("max_length", None),
+                  ("layer_norm_eps", "tiny"), ("layer_norm_eps", False),
+                  ("qkv_bias", 1), ("id2label", [0, 1])]
+    for field, value in bad_values:
+        _clobber(cfg_path, json.dumps(dict(good, **{field: value})))
+        with pytest.raises(ValueError) as ei:
+            convert.load_hf_model_dir(d)
+        assert field in str(ei.value) and "config.json" in str(ei.value), \
+            (field, value, str(ei.value))
+
+    # structural constraints: named message, not a jit reshape error
+    _clobber(cfg_path, json.dumps(dict(good, hidden_size=17)))
+    with pytest.raises(ValueError, match="divisible by num_attention_heads"):
+        convert.load_hf_model_dir(d)
+    _clobber(cfg_path, json.dumps(dict(good, patch_size=4096)))
+    with pytest.raises(ValueError, match="patch_size"):
+        convert.load_hf_model_dir(d)
+
+    # restore -> loads again (validation is non-destructive)
+    _clobber(cfg_path, json.dumps(good))
+    params, cfg = convert.load_hf_model_dir(d)
+    assert cfg.hidden_size == 16
+
+
 def test_valid_dir_still_loads(model_dir):
     params, cfg = convert.load_hf_model_dir(model_dir)
     assert cfg.hidden_size == 16

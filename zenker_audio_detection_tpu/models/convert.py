@@ -151,10 +151,38 @@ def write_safetensors(tensors: Mapping[str, np.ndarray], path: str) -> None:
 # --------------------------------------------------------------------------
 
 
+_INT_CONFIG_FIELDS = ("hidden_size", "num_hidden_layers",
+                      "num_attention_heads", "intermediate_size",
+                      "patch_size", "frequency_stride", "time_stride",
+                      "max_length", "num_mel_bins", "num_labels")
+_FLOAT_CONFIG_FIELDS = ("layer_norm_eps", "initializer_range")
+
+
 def config_from_hf_dict(d: Mapping[str, Any]) -> ASTConfig:
-    """Build our ASTConfig from an HF config.json dict."""
+    """Build our ASTConfig from an HF config.json dict.
+
+    Values are validated with errors naming the offending field: a
+    hand-edited config.json with `"hidden_size": "big"` must fail here,
+    not as a reshape/TypeError deep inside the jitted forward (same typed-
+    error contract as every other artifact loader in the package)."""
+    for k in _INT_CONFIG_FIELDS:
+        if k in d and (isinstance(d[k], bool) or not isinstance(d[k], int)
+                       or d[k] <= 0):
+            raise ValueError(f"model config field {k!r} must be a positive "
+                             f"integer, got {d[k]!r}")
+    for k in _FLOAT_CONFIG_FIELDS:
+        if k in d and (isinstance(d[k], bool)
+                       or not isinstance(d[k], (int, float))):
+            raise ValueError(f"model config field {k!r} must be numeric, "
+                             f"got {d[k]!r}")
+    if "qkv_bias" in d and not isinstance(d["qkv_bias"], bool):
+        raise ValueError(f"model config field 'qkv_bias' must be a bool, "
+                         f"got {d['qkv_bias']!r}")
+    if "id2label" in d and not isinstance(d["id2label"], Mapping):
+        raise ValueError(f"model config field 'id2label' must be an object, "
+                         f"got {type(d['id2label']).__name__}")
     n_labels = len(d.get("id2label", {})) or d.get("num_labels", 2)
-    return ASTConfig(
+    cfg = ASTConfig(
         hidden_size=d.get("hidden_size", 768),
         num_hidden_layers=d.get("num_hidden_layers", 12),
         num_attention_heads=d.get("num_attention_heads", 12),
@@ -169,6 +197,18 @@ def config_from_hf_dict(d: Mapping[str, Any]) -> ASTConfig:
         initializer_range=d.get("initializer_range", 0.02),
         qkv_bias=d.get("qkv_bias", True),
     )
+    # structural constraints the forward pass depends on — catch them here
+    # with a message instead of a reshape error inside jit
+    if cfg.hidden_size % cfg.num_attention_heads != 0:
+        raise ValueError(
+            f"model config: hidden_size ({cfg.hidden_size}) must be "
+            f"divisible by num_attention_heads ({cfg.num_attention_heads})")
+    if cfg.patch_size > cfg.num_mel_bins or cfg.patch_size > cfg.max_length:
+        raise ValueError(
+            f"model config: patch_size ({cfg.patch_size}) exceeds "
+            f"num_mel_bins ({cfg.num_mel_bins}) or max_length "
+            f"({cfg.max_length})")
+    return cfg
 
 
 def _np(x) -> np.ndarray:
@@ -296,9 +336,14 @@ def load_hf_model_dir(model_dir: str) -> tuple[Params, ASTConfig]:
     ({kernel_int8, scale, bias}) that `models.ast._dense` dispatches on —
     serving code needs no changes and pays no load-time quantization."""
     from ..utils.fsio import load_json_object
-    config = config_from_hf_dict(
-        load_json_object(os.path.join(model_dir, "config.json"),
-                         "model config"))
+    config_path = os.path.join(model_dir, "config.json")
+    try:
+        config = config_from_hf_dict(
+            load_json_object(config_path, "model config"))
+    except ValueError as e:
+        if config_path in str(e):
+            raise  # load_json_object already named the file
+        raise ValueError(f"{config_path}: {e}") from e
 
     int8_path = os.path.join(model_dir, "model_int8.safetensors")
     if os.path.exists(int8_path):
