@@ -231,3 +231,59 @@ def test_full_size_logit_parity(rng):
         ref = model(torch.from_numpy(x)).logits.numpy()
     ours = np.asarray(ast_mod.forward(params, x, cfg))
     np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-4)
+
+
+def _random_geometry(r):
+    """One random-but-valid AST geometry (all sizes tiny; torch CPU fast).
+
+    Exercises the dimensions the fixed-config tests hold constant: head
+    count/width, layer count, MLP width, patch/stride relations (overlap,
+    exact tiling, AND gaps — stride > patch is legal conv geometry), label
+    count, and the out-dimension formula down to its freq_out==1 /
+    time_out==1 edge (num_mel_bins == patch_size).
+    """
+    heads = int(r.choice([1, 2, 4]))
+    head_dim = int(r.choice([4, 8]))
+    patch = int(r.choice([4, 8]))
+    # mel bins: from the degenerate freq_out==1 case up to a few patches.
+    num_mel = patch + int(r.integers(0, 3)) * int(r.integers(2, 9))
+    f_stride = int(r.integers(2, patch + 3))  # < patch (overlap) .. > patch (gap)
+    t_stride = int(r.integers(2, patch + 3))
+    max_len = patch + int(r.integers(0, 6)) * t_stride
+    return dict(
+        hidden_size=heads * head_dim,
+        num_hidden_layers=int(r.integers(1, 4)),
+        num_attention_heads=heads,
+        intermediate_size=int(r.integers(8, 97)),
+        patch_size=patch,
+        frequency_stride=f_stride,
+        time_stride=t_stride,
+        num_mel_bins=num_mel,
+        max_length=max_len,
+        num_labels=int(r.choice([2, 3, 5])),
+    )
+
+
+@pytest.mark.slow
+def test_randomized_geometry_logit_parity():
+    """Differential parity across 8 random geometries (deterministic draw).
+
+    The fixed-config tests pin two shapes; geometry-dependent code (the
+    patch-embed conv strides, pos-embed length, head split, label head)
+    must hold for ANY valid ASTConfig — mirrors the reference's reliance
+    on HF handling arbitrary configs (src/train_ast_stage1_cross_
+    validation.py builds the model purely from a config dict).
+    """
+    r = np.random.default_rng(20260818)
+    for trial in range(8):
+        kw = _random_geometry(r)
+        model, params, cfg = make_pair(seed=100 + trial, **kw)
+        assert cfg.seq_length >= 3  # cls + dist + >=1 patch
+        x = rand_features(np.random.default_rng(trial), int(r.integers(1, 4)), cfg)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(x)).logits.numpy()
+        ours = np.asarray(ast_mod.forward(params, x, cfg))
+        np.testing.assert_allclose(
+            ours, ref, atol=5e-5, rtol=1e-4,
+            err_msg=f"geometry trial {trial}: {kw}",
+        )

@@ -134,3 +134,37 @@ def test_frame_reuse_rejects_out_of_range_starts(rng):
     with pytest.raises(ValueError, match="out of range"):
         F.window_features_from_frames(
             file_frames, jnp.asarray([-1], dtype=jnp.int32), fpw)
+
+
+def test_ast_features_randomized_lengths(fx, rng):
+    """Differential parity at random waveform lengths (deterministic draw).
+
+    The fixed tests pin 1 s and 0.5 s clips; the pad/truncate boundary
+    logic (num_frames rounding, zero-pad to max_length=1024 frames,
+    truncation past 1024) must hold for any length — including the exact
+    163,840-sample boundary (1024 frames), one hop either side of it,
+    sub-frame clips, and lengths not on the 160-sample hop grid.
+    """
+    r = np.random.default_rng(48151623)
+    lengths = [399, 400, 401, 163680, 163840, 164000, 170000] + [
+        int(v) for v in r.integers(300, 200_000, size=5)
+    ]
+    for n in lengths:
+        wave = _rand_wave(r, n)
+        ref = fx(wave, sampling_rate=16000, return_tensors="np")["input_values"][0]
+        ours = np.asarray(F.ast_features(wave[None, :])[0])
+        assert ours.shape == ref.shape == (1024, 128), n
+        np.testing.assert_allclose(
+            ours, ref, atol=5e-4, rtol=1e-4, err_msg=f"length {n}"
+        )
+
+
+def test_ast_features_subframe_all_pad(fx):
+    """A <400-sample clip yields all-pad features, exactly as HF (found by
+    the randomized-length differential test: HF pads the empty fbank and
+    normalizes; raising here would fail files the reference handles)."""
+    wave = np.full(399, 0.01, np.float32)
+    ref = fx(wave, sampling_rate=16000, return_tensors="np")["input_values"][0]
+    ours = np.asarray(F.ast_features(wave[None, :])[0])
+    assert ours.shape == (1024, 128)
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-4)

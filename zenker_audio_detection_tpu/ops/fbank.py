@@ -272,8 +272,17 @@ def ast_features(
 
     Equivalent to `ASTFeatureExtractor.__call__` on a batch of equal-length
     waveforms (the reference always featurizes fixed 1 s windows).
+
+    A sub-frame waveform (< 400 samples, i.e. zero whole frames) yields
+    all-pad features, exactly as HF does — the extractor pads the empty
+    fbank to max_length and normalizes, so every row is (0 - mean)/(2 std).
+    (`logmel_frames` itself still raises on n_frames<=0: zero frames is a
+    caller bug on the window/streaming paths, which own their geometry.)
     """
     n = num_frames(waveforms.shape[-1])
+    if n <= 0:
+        feats = jnp.zeros(waveforms.shape[:-1] + (0, NUM_MEL_BINS), jnp.float32)
+        return pad_and_normalize(feats, config)
     feats = logmel_frames(waveforms, n, use_matmul_dft=use_matmul_dft)
     return pad_and_normalize(feats, config)
 
