@@ -168,3 +168,37 @@ def test_ast_features_subframe_all_pad(fx):
     ours = np.asarray(F.ast_features(wave[None, :])[0])
     assert ours.shape == (1024, 128)
     np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_frame_reuse_randomized_geometry(rng):
+    """Frame reuse must equal per-window featurization for ANY window/hop
+    on the 160-sample frame grid, not just the reference's 1.0 s / 0.5 s —
+    6 random (file length, window, hop) draws, incl. a window shorter than
+    max_length*HOP (pad path) and windows ending at the file's last frame."""
+    import jax.numpy as jnp
+
+    r = np.random.default_rng(31337)
+    for trial in range(6):
+        win_sec = float(r.integers(4, 21)) / 10.0  # 0.4 .. 2.0 s
+        hop_sec = float(r.integers(1, 11)) / 10.0  # 0.1 .. 1.0 s
+        win = int(win_sec * 16000)
+        n = win + int(r.integers(0, 16000 * 3))
+        audio = _rand_wave(r, n)
+        fpw, frame_hop = F.window_frame_geometry(win_sec, hop_sec)
+        n_file_frames = F.num_frames(n)
+        max_start = n_file_frames - fpw
+        starts_f = np.arange(0, max_start + 1, frame_hop, dtype=np.int32)
+        if not len(starts_f):
+            continue
+        per_window = np.stack([
+            np.asarray(F.ast_features(
+                audio[None, s * F.HOP_LENGTH: s * F.HOP_LENGTH + win])[0])
+            for s in starts_f
+        ])
+        file_frames = F.logmel_frames(jnp.asarray(audio), n_file_frames)
+        reused = np.asarray(F.window_features_from_frames(
+            file_frames, jnp.asarray(starts_f), fpw))
+        np.testing.assert_allclose(
+            reused, per_window, atol=1e-5, rtol=1e-5,
+            err_msg=f"trial {trial}: win={win_sec}s hop={hop_sec}s n={n}")

@@ -189,3 +189,42 @@ def test_traced_stage1_gradient_finite_at_branch_points(rng):
     for gamma in (0.0, 2.0):
         g = jax.grad(f)(jnp.float32(1.0), jnp.float32(gamma))
         assert np.isfinite(float(g)), f"gamma={gamma}"
+
+
+def test_losses_randomized_params_parity():
+    """Differential parity at 10 random (batch, gamma, smoothing, weights,
+    alpha) draws — incl. single-class batches (the batch-majority alpha
+    flip's boundary), extreme logits, and batch sizes the fixed grid
+    doesn't touch."""
+    r = np.random.default_rng(20260818)
+    for trial in range(10):
+        n = int(r.integers(1, 33))
+        scale = float(r.choice([0.5, 2.0, 12.0]))
+        logits = (r.standard_normal((n, 2)) * scale).astype(np.float32)
+        kind = trial % 3  # mixed / all-zeros / all-ones label batches
+        if kind == 0:
+            labels = r.integers(0, 2, size=n).astype(np.int64)
+        else:
+            labels = np.full(n, kind - 1, np.int64)
+        gamma = float(r.choice([0.0, r.uniform(0.1, 5.0)]))
+        ls = float(r.choice([0.0, r.uniform(0.0, 0.3)]))
+        ours1 = float(losses.stage1_loss(logits, labels, gamma, ls))
+        ref1 = torch_stage1(logits, labels, gamma, ls)
+        np.testing.assert_allclose(ours1, ref1, rtol=2e-5, atol=1e-6,
+                                   err_msg=f"stage1 trial {trial}")
+
+        weights = (None if r.uniform() < 0.3 else
+                   [float(10 ** r.uniform(-1, 1)) for _ in range(2)])
+        alpha = None if r.uniform() < 0.3 else float(r.uniform(0.05, 0.95))
+        ours2 = float(losses.stage2_focal_loss(
+            logits, labels, weights, alpha, gamma, ls))
+        ref2 = torch_stage2_focal(logits, labels, weights, alpha, gamma, ls)
+        np.testing.assert_allclose(ours2, ref2, rtol=2e-5, atol=1e-6,
+                                   err_msg=f"stage2 trial {trial}")
+
+        oursw = float(losses.stage2_weighted_ce(logits, labels, weights, ls))
+        w = torch.tensor(weights) if weights is not None else None
+        refw = float(torch.nn.CrossEntropyLoss(weight=w, label_smoothing=ls)(
+            torch.from_numpy(logits), torch.from_numpy(labels)))
+        np.testing.assert_allclose(oursw, refw, rtol=2e-5, atol=1e-6,
+                                   err_msg=f"weighted-ce trial {trial}")

@@ -29,20 +29,21 @@ def _tree(rng):
     }
 
 
-def _hf_lr_lambda(step):
+def _hf_lr_lambda(step, warmup=WARMUP, total=TOTAL):
     """transformers.get_linear_schedule_with_warmup's lr_lambda with
     HF TrainingArguments.get_warmup_steps = ceil(ratio * total)."""
-    warmup_steps = math.ceil(WARMUP * TOTAL)
+    warmup_steps = math.ceil(warmup * total)
     if step < warmup_steps:
         return step / max(1, warmup_steps)
-    return max(0.0, (TOTAL - step) / max(1, TOTAL - warmup_steps))
+    return max(0.0, (total - step) / max(1, total - warmup_steps))
 
 
-def _run_optax(tree, grad_seq):
+def _run_optax(tree, grad_seq, *, lr=LR, wd=WD, beta2=BETA2,
+               warmup=WARMUP, total=TOTAL):
     import jax
     import jax.numpy as jnp
 
-    tx = optim.make_optimizer(LR, TOTAL, WARMUP, WD, beta2=BETA2)
+    tx = optim.make_optimizer(lr, total, warmup, wd, beta2=beta2)
     params = jax.tree.map(jnp.asarray, tree)
     opt_state = tx.init(params)
     import optax as ox
@@ -54,7 +55,8 @@ def _run_optax(tree, grad_seq):
     return jax.tree.map(np.asarray, params)
 
 
-def _run_torch(tree, grad_seq):
+def _run_torch(tree, grad_seq, *, lr=LR, wd=WD, beta2=BETA2,
+               warmup=WARMUP, total=TOTAL):
     flat = {f"{a}.{b}": torch.tensor(v, requires_grad=True)
             for a, sub in tree.items() for b, v in sub.items()}
     # HF get_decay_parameter_names: exclude biases and LayerNorm params
@@ -63,10 +65,11 @@ def _run_torch(tree, grad_seq):
     no_decay = [v for k, v in flat.items()
                 if k.endswith(".bias") or k.startswith("ln")]
     opt = torch.optim.AdamW(
-        [{"params": decay, "weight_decay": WD},
+        [{"params": decay, "weight_decay": wd},
          {"params": no_decay, "weight_decay": 0.0}],
-        lr=LR, betas=(0.9, BETA2), eps=1e-8)
-    sched = torch.optim.lr_scheduler.LambdaLR(opt, _hf_lr_lambda)
+        lr=lr, betas=(0.9, beta2), eps=1e-8)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda s: _hf_lr_lambda(s, warmup, total))
     for g in grad_seq:
         for a, sub in g.items():
             for b, gv in sub.items():
@@ -149,3 +152,36 @@ def test_traced_adamw_apply_matches_optax(lr, wd, b2, warmup):
                         jax.tree.leaves(params_new)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-7, err_msg=f"step {step}")
+
+
+def test_adamw_randomized_hyperparams_vs_torch():
+    """Differential parity at 6 random hyperparameter draws (deterministic).
+
+    The fixed-constant test pins one (lr, wd, beta2, warmup) point; the
+    update rule must match torch for any values the trainer CLI accepts —
+    incl. warmup=0, wd=0, and warmup covering the whole run.
+    """
+    r = np.random.default_rng(20260818)
+    for trial in range(6):
+        lr = float(10 ** r.uniform(-5, -2))
+        wd = float(r.choice([0.0, 10 ** r.uniform(-3, -0.5)]))
+        beta2 = float(r.uniform(0.9, 0.9999))
+        total = int(r.integers(3, 12))
+        warmup = float(r.choice([0.0, r.uniform(0.05, 1.0)]))
+        tree = _tree(np.random.default_rng(trial))
+        gr = np.random.default_rng(1000 + trial)
+        grad_seq = [
+            {a: {b: (gr.standard_normal(v.shape)
+                     * (10.0 if s % 3 == 1 else 0.05)).astype(np.float32)
+                 for b, v in sub.items()}
+             for a, sub in tree.items()}
+            for s in range(total)
+        ]
+        kw = dict(lr=lr, wd=wd, beta2=beta2, warmup=warmup, total=total)
+        ours = _run_optax(tree, grad_seq, **kw)
+        ref = _run_torch(tree, grad_seq, **kw)
+        for a in tree:
+            for b in tree[a]:
+                np.testing.assert_allclose(
+                    ours[a][b], ref[a][b], atol=1e-6,
+                    err_msg=f"trial {trial} {kw}: {a}.{b}")

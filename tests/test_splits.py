@@ -48,10 +48,8 @@ def tree(tmp_path_factory):
     return make_tree(tmp_path_factory.mktemp("swallowset"), rng)
 
 
-@pytest.fixture(scope="module")
-def ref_cv_dir(tree, tmp_path_factory):
+def _run_ref_base(tree, out_parent):
     """Run the reference base splitter via exec with redirected paths."""
-    out_parent = tmp_path_factory.mktemp("refbase")
     fake_file = out_parent / "utils" / "PrepareTrainingData_AST_cv.py"
     fake_file.parent.mkdir()
     src = (REF / "utils" / "PrepareTrainingData_AST_cv.py").read_text()
@@ -67,6 +65,11 @@ def ref_cv_dir(tree, tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def ref_cv_dir(tree, tmp_path_factory):
+    return _run_ref_base(tree, tmp_path_factory.mktemp("refbase"))
+
+
+@pytest.fixture(scope="module")
 def our_cv_dir(tree, tmp_path_factory):
     out = tmp_path_factory.mktemp("ourbase") / "data_ast_cv"
     S.make_base_cv_splits(str(tree), str(out))
@@ -78,6 +81,10 @@ def _load(p):
 
 
 def test_base_cv_bit_parity(ref_cv_dir, our_cv_dir):
+    _assert_base_parity(ref_cv_dir, our_cv_dir)
+
+
+def _assert_base_parity(ref_cv_dir, our_cv_dir):
     for fold in range(1, 6):
         for side in ("train", "test"):
             ref_x = _load(ref_cv_dir / f"{side}_x_fold{fold}.npy")
@@ -190,3 +197,92 @@ def test_path_arrays_load_without_allow_pickle(our_cv_dir):
     object arrays."""
     arr = np.load(our_cv_dir / "train_x_fold1.npy")  # allow_pickle=False
     assert arr.dtype.kind == "U" and len(arr) > 0
+
+
+def _random_tree(root: Path, r):
+    """Random Class/<patient>/*.wav tree: random patient counts (>=5 per
+    class for 5-fold KFold), random per-patient file counts, random-shaped
+    names, and SHUFFLED creation order — on tmpfs, os.listdir returns
+    creation order, so this permutes the enumeration the splitters must
+    preserve unsorted."""
+    def name(prefix):
+        return prefix + "".join(
+            r.choice(list("abcXYZ0123456789_"))
+            for _ in range(int(r.integers(2, 9))))
+
+    healthy = [name("H") for _ in range(int(r.integers(5, 14)))]
+    zenker = [name("Z") for _ in range(int(r.integers(5, 13)))]
+    idle = (list(r.choice(healthy, size=int(r.integers(0, 4)), replace=False))
+            + list(r.choice(zenker, size=int(r.integers(0, 3)), replace=False))
+            + ([name("X")] if r.uniform() < 0.5 else []))
+    entries = []
+    for cls, pids in (("Healthy", healthy), ("Zenker", zenker), ("Idle", idle)):
+        for pid in pids:
+            for k in range(int(r.integers(1, 7))):
+                entries.append((cls, pid, f"{pid}_c{k}.wav"))
+    r.shuffle(entries)
+    for cls, pid, fname in entries:
+        d = root / cls / pid
+        d.mkdir(parents=True, exist_ok=True)
+        (d / fname).touch()
+    return root
+
+
+@pytest.mark.slow
+def test_randomized_trees_bit_parity(tmp_path):
+    """Full splitter stack (base + 2stage + capped) bit-parity against the
+    executed reference scripts on 3 random trees — fold assignment, idle
+    matching, enumeration order, and capping must hold for arbitrary
+    dataset shapes, not just the fixed fixture tree."""
+    for trial in range(3):
+        r = np.random.default_rng(7000 + trial)
+        base = tmp_path / f"t{trial}"
+        tree = _random_tree(base / "swallowset", r)
+        (base / "refbase").mkdir(parents=True)
+        ref_cv = _run_ref_base(tree, base / "refbase")
+        our_cv = base / "ourbase" / "data_ast_cv"
+        S.make_base_cv_splits(str(tree), str(our_cv))
+        _assert_base_parity(ref_cv, our_cv)
+
+        ref1, ref2 = base / "r1", base / "r2"
+        our1, our2 = base / "o1", base / "o2"
+        _run_ref_2stage("PrepareTrainingData_AST_cv_2stage.py",
+                        ref_cv, ref1, ref2,
+                        ("--val-ratio", "0.2", "--val-mode", "per-fold"))
+        S.derive_two_stage_splits(
+            str(ref_cv), str(our1), str(our2),
+            S.TwoStageOptions(val_ratio=0.2, val_mode="per-fold"))
+        for fold in range(1, 6):
+            for stage_ref, stage_our in ((ref1, our1), (ref2, our2)):
+                for side in ("train", "test", "val"):
+                    rx = _load(stage_ref / f"{side}_x_fold{fold}.npy")
+                    ox = _load(stage_our / f"{side}_x_fold{fold}.npy")
+                    assert [str(a) for a in ox] == [str(a) for a in rx], \
+                        (trial, side, fold)
+                    ry = _load(stage_ref / f"{side}_y_fold{fold}.npy")
+                    oy = _load(stage_our / f"{side}_y_fold{fold}.npy")
+                    np.testing.assert_array_equal(oy.astype(int),
+                                                  ry.astype(int))
+
+        refc1, refc2 = base / "rc1", base / "rc2"
+        ourc1, ourc2 = base / "oc1", base / "oc2"
+        cap = int(r.integers(1, 5))
+        _run_ref_2stage("PrepareTrainingData_AST_cv_2stage_capped.py",
+                        ref_cv, refc1, refc2,
+                        ("--max-files-per-patient", str(cap),
+                         "--val-ratio", "0.25"))
+        S.derive_two_stage_splits(
+            str(ref_cv), str(ourc1), str(ourc2),
+            S.TwoStageOptions(max_files_per_patient=cap, val_ratio=0.25))
+        for fold in range(1, 6):
+            for ref_d, our_d in ((refc1, ourc1), (refc2, ourc2)):
+                for side in ("train", "test", "val"):
+                    rx = _load(ref_d / f"{side}_x_fold{fold}.npy")
+                    ox = _load(our_d / f"{side}_x_fold{fold}.npy")
+                    assert [str(a) for a in ox] == [str(a) for a in rx], \
+                        (trial, "capped", side, fold, cap)
+        ref_stats = json.loads(
+            (refc2 / "capping_stats_all_folds.json").read_text())
+        our_stats = json.loads(
+            (ourc2 / "capping_stats_all_folds.json").read_text())
+        assert our_stats == ref_stats, trial
