@@ -203,3 +203,62 @@ def test_stage1_forward_min_prob_and_argmax_gates(engines, rng):
     # argmax mode labels every evaluated window by argmax
     for g, probs in s2_results:
         assert aligned[g] == int(np.argmax(probs))
+
+
+@pytest.mark.slow
+def test_cascade_randomized_config_parity(engines, rng):
+    """Engine vs torch-pipeline oracle at 4 random (audio length, window,
+    hop, gate threshold, batch size) draws — the fixed test pins the
+    reference's 1.0 s/0.5 s/0.5 point; the window grid, bucketing, gating
+    and summary must agree for any CLI-reachable configuration."""
+    import jax.numpy as jnp
+
+    m1, m2, s1, s2 = engines
+    fx1 = ASTFeatureExtractor(mean=MEAN1, std=STD1)
+    fx2 = ASTFeatureExtractor(mean=MEAN2, std=STD2)
+    r = np.random.default_rng(20260818)
+    for trial in range(4):
+        window_sec = float(r.integers(5, 21)) / 10.0
+        hop_sec = float(r.integers(1, 11)) / 10.0
+        thr = float(r.uniform(0.2, 0.8))
+        seconds = float(r.uniform(0.3, 6.0))
+        batch = int(r.choice([3, 8, 128]))
+        audio = make_audio(r, seconds)
+
+        windows = ref_window_audio(audio, window_sec, hop_sec)
+        r1 = ref_probs(m1, fx1, windows)
+        r2_all = ref_probs(m2, fx2, windows)
+
+        eng = C.TwoStageEngine(s1, s2, C.CascadeConfig(
+            dtype=jnp.float32, stage2_mode="all", window_sec=window_sec,
+            hop_sec=hop_sec, stage1_threshold=thr, batch_size=batch))
+        p1, p2 = eng.window_probs(audio)
+        tag = (f"trial {trial}: win={window_sec} hop={hop_sec} thr={thr:.2f} "
+               f"len={seconds:.2f}s batch={batch}")
+        assert p1.shape == r1.shape and p2.shape == r2_all.shape, tag
+        np.testing.assert_allclose(p1, r1, atol=2e-4, err_msg=tag)
+        np.testing.assert_allclose(p2, r2_all, atol=2e-4, err_msg=tag)
+
+        # reference gating at this threshold
+        preds = np.where((r1.argmax(1) == 1) & (r1[:, 1] >= thr), 1, 0)
+        swallow_idx = np.where(preds == 1)[0]
+        ref_summary = C.summarize_stage_outputs(
+            r1, [(int(g), r2_all[g]) for g in swallow_idx],
+            ["Idle", "Swallow"], ["Healthy", "Zenker"], 0.5)
+        summary, s1_preds, _, _ = eng.gate_and_summarize(p1, p2)
+        for key in ["num_windows", "stage1_idle_windows",
+                    "stage1_swallow_windows",
+                    "stage2_swallow_windows_evaluated",
+                    "stage2_healthy_windows", "stage2_zenker_windows"]:
+            assert summary[key] == ref_summary[key], (tag, key)
+        np.testing.assert_array_equal(s1_preds, preds, err_msg=tag)
+
+        # gated mode agrees wherever the gate passes at this threshold
+        eng_g = C.TwoStageEngine(s1, s2, C.CascadeConfig(
+            dtype=jnp.float32, stage2_mode="gated", window_sec=window_sec,
+            hop_sec=hop_sec, stage1_threshold=thr, batch_size=batch))
+        g1, g2 = eng_g.window_probs(audio)
+        np.testing.assert_allclose(g1, p1, atol=1e-6, err_msg=tag)
+        gidx = eng_g._gate_indices(g1)
+        np.testing.assert_allclose(g2[gidx], p2[gidx], atol=1e-6, err_msg=tag)
+        assert eng_g.gate_and_summarize(g1, g2)[0] == summary, tag
