@@ -206,7 +206,9 @@ def run_patient(engine: C.TwoStageEngine, files, args,
         from ..infer import plotting
 
         plotting.plot_two_stage(plot_assets, args.window_sec, args.hop_sec,
-                                args.plot_dir, args.patient_id)
+                                args.plot_dir, args.patient_id,
+                                cached_name=getattr(args, "plot_cached_name",
+                                                    False))
 
     print("\n=== Aggregate (Two-Stage) Summary ===")
     print(json.dumps(aggregate, indent=2))

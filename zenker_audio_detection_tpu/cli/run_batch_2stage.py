@@ -124,6 +124,10 @@ def main(argv=None, mesh=None):
         cache_dir=os.path.join(".cache", "ast_features"),
         disable_cache=args.disable_cache, refresh_cache=False,
         f32=args.f32, plot=args.plot, plot_dir=args.output_dir,
+        # the reference batch driver invokes the CACHE-variant script
+        # (run_batch_simple_2stage.py SCRIPT_NAME), whose plot artifacts
+        # are named {pid}_2stage_plot_cached.*
+        plot_cached_name=True,
         num_devices=args.num_devices, num_slices=args.num_slices,
         mesh=mesh, int8=args.int8,
         show_first_n=0, pattern=args.pattern,

@@ -26,9 +26,18 @@ def ground_truth_from_path(path: str) -> str:
 
 
 def plot_two_stage(plot_assets, window_sec: float, hop_sec: float,
-                   plot_dir: str, patient_id: str | None = None) -> str:
+                   plot_dir: str, patient_id: str | None = None,
+                   cached_name: bool = False) -> str:
     """plot_assets: list of (audio, s1_preds, stage2_aligned_classes, label,
-    path) per file. Returns the PNG path."""
+    path) per file. Returns the PNG path.
+
+    cached_name selects the cache-variant script's artifact names
+    (`{pid}_2stage_plot_cached.{png,pdf}`,
+    src/test_long_audio_windows_2stage_cache.py:693-694) over the base
+    script's (`{pid}_2stage_plot.*`, …_2stage.py:515-516). The reference
+    batch driver and all-folds wrapper always invoke the cache variant
+    (run_batch_simple_2stage.py SCRIPT_NAME), so our batch paths pass
+    True; the direct infer CLI presents the base script's surface."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -79,8 +88,10 @@ def plot_two_stage(plot_assets, window_sec: float, hop_sec: float,
     ], loc="upper right")
 
     base_id = patient_id or "pair"
-    png = os.path.join(plot_dir, f"{base_id}_2stage_plot.png")
-    pdf = os.path.join(plot_dir, f"{base_id}_2stage_plot.pdf")
+    stem = f"{base_id}_2stage_plot_cached" if cached_name \
+        else f"{base_id}_2stage_plot"
+    png = os.path.join(plot_dir, f"{stem}.png")
+    pdf = os.path.join(plot_dir, f"{stem}.pdf")
     fig.tight_layout()
     fig.savefig(png, dpi=150)
     fig.savefig(pdf, format="pdf", bbox_inches="tight")
