@@ -137,3 +137,63 @@ def test_organizers_parity_vs_executed_reference(tmp_path, monkeypatch,
         np.testing.assert_allclose(our_pcm.astype(np.int32),
                                    pcm.astype(np.int32), atol=1,
                                    err_msg=rel)
+
+
+def _exec_ref_argv(script, argv, monkeypatch):
+    path = REF_UTILS / script
+    monkeypatch.setattr(sys, "argv", [script, *argv])
+    _exec_ref(script)
+
+
+@pytest.mark.parametrize("with_real_cms", [True, False])
+def test_cm_plotter_parity_vs_executed_reference(tmp_path, monkeypatch,
+                                                 capsys, with_real_cms):
+    """cli.plot_confusion_matrices vs the executed reference plotter:
+    derived-stats printout (accuracy/recall/precision from the CMs),
+    artifact names, and the paper-CM fallback path must match."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from zenker_audio_detection_tpu.cli import plot_confusion_matrices
+
+    def make_root(root):
+        root.mkdir(parents=True)
+        if with_real_cms:
+            r = np.random.default_rng(7)
+            for stage in ("stage1", "stage2"):
+                d = (root / f"ast_classifier_{stage}"
+                     / "cv_aggregate_evaluation")
+                d.mkdir(parents=True)
+                np.save(d / "confusion_matrix.npy",
+                        r.integers(5, 900, size=(2, 2)))
+        return root
+
+    ref_root = make_root(tmp_path / "refroot")
+    _exec_ref_argv("plot_confusion_matrices.py",
+                   ["--model-root", str(ref_root)], monkeypatch)
+    ref_out = capsys.readouterr().out
+
+    our_root = make_root(tmp_path / "ourroot")
+    plot_confusion_matrices.main(["--model-root", str(our_root)])
+    our_out = capsys.readouterr().out
+
+    def derived_stats(text):
+        # print FORMATTING differs (ours is a compact line per stage); the
+        # derived VALUES — accuracy/recall/precision percentages and the
+        # total sample counts, in print order — must match exactly
+        import re
+        return (re.findall(r"\d+\.\d+%", text),
+                re.findall(r"[Tt]otal[^0-9\n]*?(\d+)", text))
+
+    assert derived_stats(our_out) == derived_stats(ref_out)
+    assert len(derived_stats(ref_out)[0]) >= 6  # both stages' acc/rec/prec
+    if not with_real_cms:
+        # both sides announce the paper-CM fallback (wording differs only
+        # in stage-name casing: "Stage 1" vs "stage1")
+        assert "Using hardcoded Stage 1 confusion matrix" in ref_out
+        assert "using hardcoded stage" in our_out.lower().replace(" 1", "1")
+    for name in ("stage1_confusion_matrix_clean.png",
+                 "stage1_confusion_matrix_clean.pdf",
+                 "stage2_confusion_matrix_clean.png",
+                 "stage2_confusion_matrix_clean.pdf"):
+        assert (ref_root / "results" / name).exists(), name
+        assert (our_root / "results" / name).exists(), name
