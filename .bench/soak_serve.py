@@ -128,6 +128,17 @@ def main():
                           rss_mb(proc.pid), state["windows"]))
             last_rss_t = now
     proc.stdin.close()
+    # keep sampling through the drain/summary phase: the server still
+    # processes the buffered tail and builds the final summary after the
+    # last write, and growth concentrated there must count too
+    deadline = time.perf_counter() + 600
+    while proc.poll() is None and time.perf_counter() < deadline:
+        try:
+            marks.append((1.0, time.perf_counter() - t0,
+                          rss_mb(proc.pid), state["windows"]))
+        except Exception:
+            break  # process exited between poll() and the rss read
+        time.sleep(0.5)
     proc.wait(timeout=600)
     rt.join(timeout=60)
     total = time.perf_counter() - t0

@@ -83,6 +83,14 @@ def test_wrong_typed_config_values_name_the_field(model_dir, tmp_path):
                   ("hidden_size", 16.5), ("hidden_size", True),
                   ("num_hidden_layers", 0), ("max_length", None),
                   ("layer_norm_eps", "tiny"), ("layer_norm_eps", False),
+                  # non-finite/non-positive floats: json.load accepts the
+                  # NaN/Infinity tokens, and eps<=0 would mean silent NaN
+                  # logits from rsqrt inside jit
+                  ("layer_norm_eps", float("nan")),
+                  ("layer_norm_eps", float("inf")),
+                  ("layer_norm_eps", -1e-12), ("layer_norm_eps", 0.0),
+                  ("initializer_range", float("nan")),
+                  ("initializer_range", -0.02),
                   ("qkv_bias", 1), ("id2label", [0, 1])]
     for field, value in bad_values:
         _clobber(cfg_path, json.dumps(dict(good, **{field: value})))

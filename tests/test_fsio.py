@@ -186,3 +186,26 @@ def test_load_npy_consumers_name_the_file(tmp_path):
     (d / "train_y_fold1.npy").write_bytes(b"")
     with pytest.raises(ValueError, match="train_x_fold1.npy"):
         L._load_split(str(d), "train", 1)
+
+
+def test_load_npy_unpickling_error_with_allow_pickle(tmp_path):
+    """A corrupt pickled OBJECT payload read with allow_pickle=True (the
+    real split-file path) must hit load_npy's UnpicklingError branch and
+    come back as a typed, file-naming ValueError — the fuzz modes above
+    all run allow_pickle=False and never reach it."""
+    import numpy as np
+
+    p = tmp_path / "paths.npy"
+    np.save(p, np.array([["a"], ["b"]], dtype=object), allow_pickle=True)
+    good = p.read_bytes()
+    # truncate inside the pickle stream (past the npy header, which ends
+    # at the first newline after the magic)
+    header_end = good.index(b"\n") + 1
+    p.write_bytes(good[: header_end + max(1, (len(good) - header_end) // 3)])
+    import pickle
+
+    with pytest.raises(ValueError, match="paths.npy") as ei:
+        fsio.load_npy(p, "split paths", allow_pickle=True)
+    # pin the BRANCH: this corpus must come in via UnpicklingError, so a
+    # refactor dropping it from the except tuple fails here
+    assert isinstance(ei.value.__cause__, pickle.UnpicklingError)

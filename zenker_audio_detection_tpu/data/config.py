@@ -32,7 +32,10 @@ def parse_env_file(path: str | Path) -> dict[str, str]:
     consistent with the exported root they reference."""
     out: dict[str, str] = {}
     try:
-        text = Path(path).read_text()
+        # explicit utf-8: without it read_text uses the locale's preferred
+        # encoding, so under LANG=C/latin-1 a binary .env would silently
+        # decode to garbage instead of hitting the typed error below
+        text = Path(path).read_text(encoding="utf-8")
     except UnicodeDecodeError as e:
         # a binary file dropped in as .env should name itself, not
         # surface as a bare UnicodeDecodeError mid-config-load

@@ -378,6 +378,8 @@ def derive_two_stage_splits(cv_dir: str, out_stage1: str, out_stage2: str,
         return patient_stratified_split(x, y, opts.val_ratio, opts.seed,
                                         key_fn=key_fn)
 
+    from ..utils.fsio import load_npy
+
     metas = []
     for fold in range(1, opts.num_folds + 1):
         paths = [os.path.join(cv_dir, f"{side}_{ax}_fold{fold}.npy")
@@ -385,7 +387,6 @@ def derive_two_stage_splits(cv_dir: str, out_stage1: str, out_stage2: str,
         if not all(os.path.exists(p) for p in paths):
             print(f"[WARN] Missing one or more base files for fold {fold}; skipping.")
             continue
-        from ..utils.fsio import load_npy
         train_x = load_npy(paths[0], "base split paths", allow_pickle=True)
         train_y = load_npy(paths[1], "base split labels",
                            allow_pickle=True).astype(int)

@@ -19,6 +19,7 @@ Everything is handled in numpy; no torch required to *load* safetensors.
 from __future__ import annotations
 
 import json
+import math
 import os
 import struct
 import threading
@@ -171,10 +172,15 @@ def config_from_hf_dict(d: Mapping[str, Any]) -> ASTConfig:
             raise ValueError(f"model config field {k!r} must be a positive "
                              f"integer, got {d[k]!r}")
     for k in _FLOAT_CONFIG_FIELDS:
+        # finite and positive: json.load accepts the non-standard
+        # NaN/Infinity tokens, and a negative/zero layer_norm_eps would
+        # surface as silent NaN logits from rsqrt deep inside jit — the
+        # exact failure class this validation exists to catch early
         if k in d and (isinstance(d[k], bool)
-                       or not isinstance(d[k], (int, float))):
-            raise ValueError(f"model config field {k!r} must be numeric, "
-                             f"got {d[k]!r}")
+                       or not isinstance(d[k], (int, float))
+                       or not math.isfinite(d[k]) or d[k] <= 0):
+            raise ValueError(f"model config field {k!r} must be a positive "
+                             f"finite number, got {d[k]!r}")
     if "qkv_bias" in d and not isinstance(d["qkv_bias"], bool):
         raise ValueError(f"model config field 'qkv_bias' must be a bool, "
                          f"got {d['qkv_bias']!r}")
@@ -337,12 +343,12 @@ def load_hf_model_dir(model_dir: str) -> tuple[Params, ASTConfig]:
     serving code needs no changes and pays no load-time quantization."""
     from ..utils.fsio import load_json_object
     config_path = os.path.join(model_dir, "config.json")
+    # load_json_object's own errors already name the file; only
+    # config_from_hf_dict's field errors need the path prefixed
+    config_dict = load_json_object(config_path, "model config")
     try:
-        config = config_from_hf_dict(
-            load_json_object(config_path, "model config"))
+        config = config_from_hf_dict(config_dict)
     except ValueError as e:
-        if config_path in str(e):
-            raise  # load_json_object already named the file
         raise ValueError(f"{config_path}: {e}") from e
 
     int8_path = os.path.join(model_dir, "model_int8.safetensors")
