@@ -80,6 +80,8 @@ def _compare(tree, seq_tag, par_tag, seq_metrics, par_metrics, folds=(1, 2)):
     for ms, mp in zip(seq_metrics, par_metrics):
         assert set(ms) == set(mp)
         for k in ms:
+            if "runtime" in k or "per_second" in k:
+                continue  # wall-clock speed metrics differ run to run
             assert abs(ms[k] - mp[k]) < 1e-4, (k, ms[k], mp[k])
     for fold in folds:
         hs = json.loads((tree / f"runs_{seq_tag}" / f"fold{fold}"
@@ -261,7 +263,7 @@ def test_run_cross_validation_dispatches_fold_parallel(tree):
     out = L.run_cross_validation([1, 2], cfg,
                                  tracking_opts={"enabled": False})
     assert len(out["per_fold"]) == 2
-    assert any(k.startswith("f1") or k.startswith("accuracy")
+    assert any(k.startswith("eval_f1") or k.startswith("eval_accuracy")
                for k in out["aggregate"])
     for f in (1, 2):
         assert (tree / "runs_cv_par" / f"fold{f}" / "run_config.json").exists()

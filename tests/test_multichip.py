@@ -180,6 +180,8 @@ def test_train_fold_mesh_matches_single_device(product_tree):
     m_mesh = _train_metrics(product_tree, 8, "mesh8")
     assert set(m_single) == set(m_mesh)
     for k, v in m_single.items():
+        if "runtime" in k or "per_second" in k:
+            continue  # wall-clock speed metrics differ run to run
         assert abs(v - m_mesh[k]) < 1e-5, (k, v, m_mesh[k])
 
 

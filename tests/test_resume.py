@@ -67,6 +67,8 @@ def test_interrupted_equals_straight(env):
     m_resumed = L.train_fold(1, part2)
 
     for k in m_straight:
+        if "runtime" in k or "per_second" in k:
+            continue  # wall-clock speed metrics differ run to run
         assert m_straight[k] == pytest.approx(m_resumed[k], abs=1e-6), k
     a = _best_logits(straight.output_root, base.data_dir, tmp_path)
     b = _best_logits(part2.output_root, base.data_dir, tmp_path)

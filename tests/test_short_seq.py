@@ -163,7 +163,7 @@ def test_train_fold_short_seq_end_to_end(tmp_path):
         num_epochs=2, batch_size=4, learning_rate=1e-3,
         enable_early_stopping=False, augment=False, dtype=jnp.float32)
     metrics = L.train_fold(1, cfg)
-    assert f"fold1_test_f1" in metrics
+    assert f"fold1_test_eval_f1" in metrics
 
     best = tmp_path / "runs" / "fold1" / "best"
     exported_cfg = json.loads((best / "config.json").read_text())

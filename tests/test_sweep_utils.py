@@ -85,7 +85,7 @@ def test_run_sweep_tiny(tmp_path, monkeypatch):
     def fake_train_fold(fold, cfg):
         calls.append((fold, cfg.learning_rate))
         f1 = 0.5 + 0.1 * len(calls)
-        return {f"fold{fold}_val_f1": f1, f"fold{fold}_test_f1": f1}
+        return {f"fold{fold}_val_eval_f1": f1, f"fold{fold}_test_eval_f1": f1}
 
     monkeypatch.setattr(train_loop, "train_fold", fake_train_fold)
     base = train_loop.TrainFoldConfig(stage="stage1", data_dir="unused",
@@ -161,7 +161,7 @@ def test_run_sweep_goal_defaults_to_minimize(tmp_path, monkeypatch):
 
     def fake_train_fold(fold, cfg):
         calls.append(1)
-        return {f"fold{fold}_val_loss": losses[len(calls) - 1]}
+        return {f"fold{fold}_val_eval_loss": losses[len(calls) - 1]}
 
     monkeypatch.setattr(train_loop, "train_fold", fake_train_fold)
     p = tmp_path / "s.yaml"
@@ -192,7 +192,7 @@ def test_run_sweep_no_metric_block_maximizes_default_f1(tmp_path,
 
     def fake_train_fold(fold, cfg):
         calls.append(1)
-        return {f"fold{fold}_val_f1": f1s[len(calls) - 1]}
+        return {f"fold{fold}_val_eval_f1": f1s[len(calls) - 1]}
 
     monkeypatch.setattr(train_loop, "train_fold", fake_train_fold)
     p = tmp_path / "s.yaml"
@@ -361,8 +361,9 @@ def test_sweep_reuses_active_wandb_run(tmp_path, monkeypatch):
     monkeypatch.setitem(sys.modules, "wandb", fake_wandb)
 
     def fake_train_fold(fold, cfg):
-        return {f"fold{fold}_val_f1": 0.8, f"fold{fold}_test_f1": 0.75,
-                f"fold{fold}_test_accuracy": 0.7}
+        return {f"fold{fold}_val_eval_f1": 0.8,
+                f"fold{fold}_test_eval_f1": 0.75,
+                f"fold{fold}_test_eval_accuracy": 0.7}
 
     monkeypatch.setattr(train_loop, "train_fold", fake_train_fold)
     base = train_loop.TrainFoldConfig(stage="stage1", data_dir="unused",
@@ -374,8 +375,8 @@ def test_sweep_reuses_active_wandb_run(tmp_path, monkeypatch):
     assert len(fake_run.logged) == 1
     payload = fake_run.logged[0]
     assert payload["eval_f1"] == pytest.approx(0.8)  # sweep objective
-    assert payload["test_f1"] == pytest.approx(0.75)  # duplicate test_* keys
-    assert payload["test_accuracy"] == pytest.approx(0.7)
+    assert payload["test_eval_f1"] == pytest.approx(0.75)  # dup test_* keys
+    assert payload["test_eval_accuracy"] == pytest.approx(0.7)
 
 
 def test_log_uniform_legacy_log_space_bounds():
@@ -398,15 +399,15 @@ def test_log_uniform_legacy_log_space_bounds():
 def test_objective_resolution_and_goal():
     from zenker_audio_detection_tpu.tune import sweep as S
 
-    metrics = {"fold3_val_f1": 0.8, "fold3_val_loss": 0.4,
-               "fold3_test_f1": 0.7}
+    metrics = {"fold3_val_eval_f1": 0.8, "fold3_val_eval_loss": 0.4,
+               "fold3_test_eval_f1": 0.7}
     assert S._objective_value(metrics, 3, "eval_f1") == 0.8
     assert S._objective_value(metrics, 3, "eval_loss") == 0.4
     assert S._objective_value(metrics, 3, "test_f1") == 0.7
     with pytest.raises(ValueError, match="not found"):
         S._objective_value(metrics, 3, "eval_auroc")
     # no-val fallback (HF eval loop falls back to the test split)
-    assert S._objective_value({"fold1_test_during_train_f1": 0.5}, 1,
+    assert S._objective_value({"fold1_test_during_train_eval_f1": 0.5}, 1,
                               "eval_f1") == 0.5
     assert S.epoch_metric_key("eval_loss") == "loss"
     with pytest.raises(ValueError, match="unsupported"):

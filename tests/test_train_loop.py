@@ -87,8 +87,8 @@ def trained(tmp_path_factory):
 def test_training_learns(trained):
     _, _, result = trained
     agg = result["aggregate"]
-    assert agg["f1_mean"] > 0.8, agg
-    assert agg["accuracy_mean"] > 0.8, agg
+    assert agg["eval_f1_mean"] > 0.8, agg
+    assert agg["eval_accuracy_mean"] > 0.8, agg
 
 
 def test_artifact_contract(trained):
@@ -217,11 +217,12 @@ def test_per_fold_tracking_runs(tmp_path):
     assert {r[0] for r in table["rows"]} >= {"Idle", "Swallow"}
     assert any((fold_run / "artifacts").glob("run_config*"))
     # fold summary + cv summary
-    assert "fold1_test_f1" in json.loads(
+    assert "fold1_test_eval_f1" in json.loads(
         (fold_run / "summary.json").read_text())
     summary_run = next(p for p in tracking_dir.iterdir()
                        if p.name.endswith("_cv_summary"))
-    assert "f1_mean" in json.loads((summary_run / "summary.json").read_text())
+    assert "eval_f1_mean" in json.loads(
+        (summary_run / "summary.json").read_text())
 
 
 def test_streaming_matches_eager(tmp_path):
@@ -247,6 +248,8 @@ def test_streaming_matches_eager(tmp_path):
     stream = run(True, "stream")
     assert set(eager) == set(stream)
     for k, v in eager.items():
+        if "runtime" in k or "per_second" in k:
+            continue  # wall-clock speed metrics differ run to run
         assert abs(v - stream[k]) < 1e-6, (k, v, stream[k])
 
 

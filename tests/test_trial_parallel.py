@@ -102,6 +102,8 @@ def test_trials_parallel_match_sequential(tree, stage):
     for t, (ms, mp) in enumerate(zip(seq, par)):
         assert set(ms) == set(mp)
         for k in ms:
+            if "runtime" in k or "per_second" in k:
+                continue  # wall-clock speed metrics differ run to run
             assert abs(ms[k] - mp[k]) < 1e-4, (t, k, ms[k], mp[k])
         hs = json.loads((tree / f"runs_seq_{stage}_t{t}" / "fold1"
                          / "history.json").read_text())

@@ -436,5 +436,7 @@ def train_folds_parallel(folds: list[int], cfg: L.TrainFoldConfig,
             fd.fold, cfg, fd.fold_dir, model_cfg, fd.mean, fd.std,
             prog.best_params, prog.best_epoch, prog.best_f1, fd.eval_feats,
             fd.eval_y, fd.has_val, fd.test_feats, fd.test_y, single_eval,
-            jnp.asarray, trackers.get(fd.fold), prog.history))
+            jnp.asarray, trackers.get(fd.fold), prog.history,
+            class_weights=(fd.class_weights if cfg.use_class_weights
+                           else None)))
     return all_metrics

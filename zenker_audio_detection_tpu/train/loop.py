@@ -28,6 +28,7 @@ import dataclasses
 import json
 import os
 import shutil
+import time
 from datetime import datetime
 from typing import Any
 
@@ -473,10 +474,13 @@ def finalize_fold(fold: int, cfg: TrainFoldConfig, fold_dir: str, model_cfg,
                   mean: float, std: float, best_params, best_epoch: int,
                   best_f1: float, eval_feats, eval_y, has_val: bool,
                   test_feats, test_y, eval_step, shard, tracker,
-                  history) -> dict[str, float]:
+                  history, class_weights=None) -> dict[str, float]:
     """Best-model export + final metrics + CM artifacts, shared by both
     trainers (mirrors the reference's fold{k}/best export and per-split
-    reports, :521-524, :542-644)."""
+    reports, :521-524, :542-644). The per-split metric dicts are shaped
+    like `trainer.evaluate()` output — eval_-prefixed sklearn metrics plus
+    eval_loss, speed metrics and the final epoch — so cv_metrics.npy keys
+    match the executed reference (test_trainer_exec_parity.py)."""
     print(f"[Best] fold {fold}: epoch {best_epoch} eval_f1={best_f1:.4f}")
     best_dir = os.path.join(fold_dir, "best")
     labels_map = {i: name for i, name in enumerate(STAGE_LABELS[cfg.stage])}
@@ -484,22 +488,42 @@ def finalize_fold(fold: int, cfg: TrainFoldConfig, fold_dir: str, model_cfg,
     save_feature_extractor_config(best_dir, mean, std,
                                   max_length=model_cfg.max_length)
 
+    loss_fn = _make_loss(cfg, class_weights)
+    final_epoch = (float(history[-1]["epoch"]) if history
+                   else float(max(best_epoch, 0)))
     metrics: dict[str, float] = {}
     prefix = "val" if has_val else "test_during_train"
+    t0 = time.perf_counter()
     logits = _predict(eval_step, best_params, eval_feats, cfg.eval_batch_size,
                       shard=shard)
-    for k, v in metrics_mod.compute_metrics_from_logits(logits, eval_y).items():
+    eval_rt = time.perf_counter() - t0
+    for k, v in metrics_mod.hf_eval_metrics(
+            logits, eval_y, runtime=eval_rt, epoch=final_epoch,
+            batch_size=cfg.eval_batch_size,
+            loss=losses.hf_eval_loss(loss_fn, logits, eval_y,
+                                     cfg.eval_batch_size)).items():
         metrics[f"fold{fold}_{prefix}_{k}"] = v
     if eval_feats is test_feats:
         # no val split: the eval split IS the test split — reuse the pass
         # above instead of running an identical full forward again
         test_logits = logits
+        test_rt = eval_rt
     else:
+        t0 = time.perf_counter()
         test_logits = _predict(eval_step, best_params, test_feats,
                                cfg.eval_batch_size, shard=shard)
-    for k, v in metrics_mod.compute_metrics_from_logits(
-            test_logits, test_y).items():
+        test_rt = time.perf_counter() - t0
+    for k, v in metrics_mod.hf_eval_metrics(
+            test_logits, test_y, runtime=test_rt, epoch=final_epoch,
+            batch_size=cfg.eval_batch_size,
+            loss=losses.hf_eval_loss(loss_fn, test_logits, test_y,
+                                     cfg.eval_batch_size)).items():
         metrics[f"fold{fold}_test_{k}"] = v
+        if cfg.stage == "stage2":
+            # the stage-2 reference also duplicates test metrics under
+            # generic names for sweep optimization
+            # (train_ast_stage2_cross_validation.py:592-597)
+            metrics[f"test_{k.replace('eval_', '')}"] = v
 
     if not cfg.dry_run:
         splits = [("test", test_logits, test_y)]
@@ -548,8 +572,17 @@ def epoch_bookkeeping(cfg: TrainFoldConfig, fold_dir: str, epoch: int,
     caller appends to prog.history BEFORE calling."""
     params_now, opt_now = snapshot()
     f1 = m["f1"]
-    if f1 > prog.best_f1 + (cfg.early_stopping_threshold
-                            if prog.best_f1 >= 0 else 0):
+    # HF EarlyStoppingCallback.check_metric_value resets the patience
+    # counter on the FIRST eval unconditionally, afterwards only when the
+    # metric is strictly greater AND the margin (computed as a difference,
+    # not a shifted comparison — bit-faithful at threshold boundaries)
+    # strictly exceeds the threshold. The no-threshold best update below
+    # mirrors Trainer._determine_best_metric, which runs AFTER on_evaluate —
+    # so each epoch's patience check compares against the previous epoch's
+    # best (test_trainer_exec_parity.py drives the real callback).
+    if prog.best_f1 < 0 or (
+            f1 > prog.best_f1
+            and (f1 - prog.best_f1) > cfg.early_stopping_threshold):
         prog.best_f1, prog.best_params, prog.best_epoch = f1, params_now, epoch
         prog.patience_left = cfg.early_stopping_patience
     else:
@@ -817,7 +850,8 @@ def train_fold(fold: int, cfg: TrainFoldConfig,
     return finalize_fold(fold, cfg, fold_dir, model_cfg, mean, std,
                          prog.best_params, prog.best_epoch, prog.best_f1,
                          eval_feats, eval_y, has_val, test_feats, test_y,
-                         eval_step, _shard, tracker, prog.history)
+                         eval_step, _shard, tracker, prog.history,
+                         class_weights=class_weights)
 
 
 def _track_split_report(tracker, stage: str, fold: int, split_name: str,
@@ -1002,10 +1036,18 @@ def run_cross_validation(folds, cfg: TrainFoldConfig,
     cv_summary run carrying the aggregate metrics (:922-941)."""
     os.makedirs(cfg.output_root, exist_ok=True)
     run_started = datetime.now()
+    topts = tracking_opts or {}
+    folds = list(folds)
     run_config = {
         "run_id": run_started.strftime("%Y%m%d_%H%M%S"),
         "timestamp": run_started.isoformat(),
+        # schema mirrors the reference's build_run_config snapshot
+        # (train_ast_stage1_cross_validation.py:108-158, executed-reference
+        # key-structure parity in test_trainer_exec_parity.py)
+        "script": f"train_ast_{cfg.stage}_cross_validation",
         "stage": cfg.stage,
+        "pretrained_model": (cfg.pretrained_model_dir
+                             or "MIT/ast-finetuned-audioset-10-10-0.4593"),
         "seed": cfg.seed,
         "num_epochs": 1 if cfg.dry_run else cfg.num_epochs,
         "per_device_train_batch_size": cfg.batch_size,
@@ -1021,12 +1063,26 @@ def run_cross_validation(folds, cfg: TrainFoldConfig,
             "label_smoothing": cfg.label_smoothing,
         },
         "dry_run": cfg.dry_run,
-        "target_folds": list(folds),
+        "target_folds": folds,
+        "fold_requested": folds[0] if len(folds) == 1 else None,
         "early_stopping": {
             "enabled": cfg.enable_early_stopping,
             "patience": cfg.early_stopping_patience,
         },
-        "paths": {"data_dir": cfg.data_dir, "output_root": cfg.output_root},
+        # the reference SNAPSHOT divides by 4 while its train_fold divides
+        # by 2 (an upstream inconsistency, :118 vs :475) — mirror both
+        "checkpoint_limit": 1 if cfg.dry_run else max(
+            2, (cfg.num_epochs + 1) // 4),
+        "paths": {"data_dir": cfg.data_dir, "output_root": cfg.output_root,
+                  "log_dir": os.path.join(cfg.output_root, "tracking")},
+        "wandb": {
+            "enabled": topts.get("enabled", True),
+            "project": topts.get("project") or f"zenker-ast-{cfg.stage}",
+            "entity": topts.get("entity"),
+            "group": topts.get("group"),
+            "per_fold": topts.get("per_fold", False),
+            "offline": topts.get("offline", False),
+        },
         **(run_config_extra or {}),
     }
     config_path = os.path.join(
@@ -1036,7 +1092,6 @@ def run_cross_validation(folds, cfg: TrainFoldConfig,
 
     from ..utils import tracking
 
-    topts = tracking_opts or {}
     per_fold_runs = topts.get("per_fold", False)
     group = topts.get("group") or (run_config["run_id"] if per_fold_runs
                                    else None)

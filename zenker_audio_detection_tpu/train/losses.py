@@ -182,3 +182,25 @@ def inverse_frequency_weights(labels, num_classes: int = 2):
     labels = np.asarray(labels)
     counts = np.bincount(labels, minlength=num_classes).astype(np.float64)
     return (len(labels) / (num_classes * np.maximum(counts, 1))).astype(np.float32)
+
+
+def hf_eval_loss(loss_fn, logits, labels, batch_size: int) -> float:
+    """HF Trainer eval-loss reduction: mean loss per eval batch, combined
+    as a sample-weighted mean (the Trainer repeats each batch's mean per
+    sample before the final mean; the trailing batch is PARTIAL, never
+    padded). The batching matters for stage-2 focal loss, whose batch-level
+    alpha quirk makes the value depend on how samples are grouped
+    (src/train_ast_stage2_cross_validation.py:459-466)."""
+    import numpy as np
+
+    logits = np.asarray(logits)
+    labels = np.asarray(labels)
+    n = len(labels)
+    if n == 0:
+        return float("nan")
+    total = 0.0
+    for s in range(0, n, int(batch_size)):
+        yb = labels[s: s + int(batch_size)]
+        total += float(loss_fn(jnp.asarray(logits[s: s + int(batch_size)]),
+                               jnp.asarray(yb))) * len(yb)
+    return total / n

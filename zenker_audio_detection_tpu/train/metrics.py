@@ -29,6 +29,27 @@ def compute_metrics_from_logits(logits, labels) -> dict[str, float]:
     return binary_metrics(labels, np.argmax(np.asarray(logits), axis=-1))
 
 
+def hf_eval_metrics(logits, labels, *, loss, runtime, batch_size,
+                    epoch) -> dict[str, float]:
+    """Metric dict shaped like the reference trainer's `trainer.evaluate()`
+    output (executed-reference differential, test_trainer_exec_parity.py):
+    HF prefixes the compute_metrics keys with `eval_`, prepends the eval
+    loss, appends speed metrics (transformers.trainer_utils.speed_metrics
+    rounding: runtime to 4 places, rates to 3) and reports the final
+    `epoch` unprefixed (train_ast_stage1_cross_validation.py:528-537)."""
+    n = int(len(labels))
+    m: dict[str, float] = {"eval_loss": float(loss)}
+    for k, v in compute_metrics_from_logits(logits, labels).items():
+        m[f"eval_{k}"] = v
+    runtime = max(float(runtime), 1e-9)
+    steps = -(-n // int(batch_size)) if n else 0
+    m["eval_runtime"] = round(runtime, 4)
+    m["eval_samples_per_second"] = round(n / runtime, 3)
+    m["eval_steps_per_second"] = round(steps / runtime, 3)
+    m["epoch"] = float(epoch)
+    return m
+
+
 def confusion_and_report(y_true, y_pred, class_names) -> tuple[np.ndarray, str]:
     from sklearn.metrics import classification_report, confusion_matrix
 

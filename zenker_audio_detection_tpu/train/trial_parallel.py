@@ -354,7 +354,8 @@ def train_trials_parallel(fold: int, cfgs: list[L.TrainFoldConfig], *,
             fold, cfgs[t], fold_dirs[t], model_cfg, mean, std,
             prog.best_params, prog.best_epoch, prog.best_f1, eval_feats,
             eval_y, has_val, test_feats, np.asarray(test_y, np.int32),
-            single_eval, jnp.asarray, None, prog.history)
+            single_eval, jnp.asarray, None, prog.history,
+            class_weights=class_weights)
         if cut_at_rung[t] is not None:
             m["hyperband_cut_at_epoch"] = cut_at_rung[t]
         all_metrics.append(m)

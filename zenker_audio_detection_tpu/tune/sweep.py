@@ -210,12 +210,15 @@ def _objective_value(metrics: dict, fold: int, metric: str) -> float:
     `eval_<m>` reads the validation split (test-during-train when no val
     split exists, like HF's eval loop), `test_<m>` the held-out test
     split. Unknown names fail loudly instead of silently optimizing F1."""
-    suffix = metric.split("_", 1)[1] if "_" in metric else metric
+    # stored per-fold keys are HF-Trainer-shaped (fold{k}_{split}_eval_<m>,
+    # test_trainer_exec_parity.py), so the bare metric name maps to eval_<m>
     if metric.startswith("test_"):
-        candidates = [f"fold{fold}_test_{suffix}"]
+        candidates = [f"fold{fold}_test_eval_{metric[len('test_'):]}"]
     else:
-        candidates = [f"fold{fold}_val_{suffix}",
-                      f"fold{fold}_test_during_train_{suffix}"]
+        base = (metric[len("eval_"):] if metric.startswith("eval_")
+                else metric)
+        candidates = [f"fold{fold}_val_eval_{base}",
+                      f"fold{fold}_test_during_train_eval_{base}"]
     for key in candidates:
         if key in metrics:
             return metrics[key]
