@@ -8,7 +8,9 @@ on CPU — timed on a window sample and extrapolated. vs_baseline is
 ours / reference on IDENTICAL work: both sides run BOTH stages on EVERY
 window (stage2_mode="all"), so the headline is apples-to-apples. The
 production default ("gated": Stage 2 only on windows passing the Stage-1
-gate, the reference's own semantics) is timed too and reported on stderr.
+gate, the reference's own semantics) is timed too, with the gate
+calibrated to the study's real ~34 % pass-rate (SURVEY §6), and reported
+as gated_windows_per_sec + gate_rate inside the same JSON line.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -20,7 +22,8 @@ import time
 import numpy as np
 
 
-def build_engine(stage2_mode="all"):
+def build_engine(stage2_mode="all", params1_override=None,
+                 stage1_threshold=0.5):
     import jax
     import jax.numpy as jnp
 
@@ -28,30 +31,77 @@ def build_engine(stage2_mode="all"):
     from zenker_audio_detection_tpu.models import ast as ast_mod
 
     cfg = ast_mod.ASTConfig()
-    params1 = ast_mod.init_params(jax.random.PRNGKey(0), cfg)
+    params1 = (params1_override if params1_override is not None
+               else ast_mod.init_params(jax.random.PRNGKey(0), cfg))
     params2 = ast_mod.init_params(jax.random.PRNGKey(1), cfg)
     s1 = C.StageSpec(params1, cfg, -1.1509622, 3.5340312, ("Idle", "Swallow"))
     s2 = C.StageSpec(params2, cfg, -1.1509622, 3.5340312, ("Healthy", "Zenker"))
     # 256-window chunks amortize per-call overhead on long recordings
     return C.TwoStageEngine(s1, s2, C.CascadeConfig(
-        dtype=jnp.bfloat16, batch_size=256, stage2_mode=stage2_mode))
+        dtype=jnp.bfloat16, batch_size=256, stage2_mode=stage2_mode,
+        stage1_threshold=stage1_threshold))
 
 
-def bench_tpu(engine, seconds_of_audio=600.0, repeats=5):
+def bench_audio(seconds_of_audio=600.0):
     rng = np.random.default_rng(0)
     # int16 PCM, like the study's recordings: transferred raw, scaled on
     # device (bit-identical to host conversion; test_cascade_edge.py)
-    audio = np.clip(rng.standard_normal(int(16000 * seconds_of_audio))
-                    * 0.1 * 32768.0, -32768, 32767).astype(np.int16)
-    # warmup / compile
-    p1, _ = engine.window_probs(audio)
+    return np.clip(rng.standard_normal(int(16000 * seconds_of_audio))
+                   * 0.1 * 32768.0, -32768, 32767).astype(np.int16)
+
+
+def bench_tpu(engine, audio=None, repeats=5):
+    if audio is None:
+        audio = bench_audio()
+    # warmup / compile; gated windows show as nonzero stage-2 prob rows
+    p1, p2 = engine.window_probs(audio)
     n_windows = len(p1)
+    n_gated = int((np.abs(np.asarray(p2)).sum(axis=1) > 0).sum())
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         engine.window_probs(audio)
         times.append(time.perf_counter() - t0)
-    return n_windows / float(np.median(times)), n_windows
+    return n_windows / float(np.median(times)), n_windows, n_gated
+
+
+def calibrated_gated_engine(audio, rate=1432.0 / 4251.0):
+    """Gated engine whose Stage-1 gate passes ~`rate` of the bench windows
+    — the study's REAL pass-rate (SURVEY §6: 1432 of 4251 test windows are
+    true swallows), so the secondary gated figure tracks production
+    scaling (~2/(1+rate), measured .bench/probe_gated_rates.py) instead of
+    trivially equaling "all" at rate 1.0 (VERDICT r4 item #3). Random
+    weights can't choose the rate directly, so shape it exactly as the
+    probe does: measure the stage-1 p_swallow distribution once (thr=2.0
+    -> zero stage-2 work), shift the head's class-1 bias so ~all windows
+    clear the argmax half of the gate, then set stage1_threshold to the
+    (1 - rate) quantile of the shifted distribution."""
+    import jax
+    import jax.numpy as jnp
+
+    from zenker_audio_detection_tpu.models import ast as ast_mod
+
+    probe = build_engine(stage2_mode="gated", stage1_threshold=2.0)
+    p1_probs, _ = probe.window_probs(audio)
+    p = np.clip(np.asarray(p1_probs)[:, 1], 1e-9, 1 - 1e-9)
+    d = np.log((1 - p) / p)  # logit margin l0 - l1
+    delta = float(np.quantile(d, 0.995))
+    p_shift = 1.0 / (1.0 + np.exp(d - delta))
+    thr = max(0.5, float(np.quantile(p_shift, 1.0 - rate)))
+
+    cfg = ast_mod.ASTConfig()
+    params1 = ast_mod.init_params(jax.random.PRNGKey(0), cfg)
+    patched = dict(params1)
+    patched["head"] = {
+        "ln": params1["head"]["ln"],
+        "dense": {
+            "kernel": params1["head"]["dense"]["kernel"],
+            "bias": (params1["head"]["dense"]["bias"]
+                     + jnp.asarray([0.0, delta])),
+        },
+    }
+    return build_engine(stage2_mode="gated", params1_override=patched,
+                        stage1_threshold=thr)
 
 
 def bench_cpu_reference(n_windows_sample=8):
@@ -152,12 +202,16 @@ def main():
 
     from zenker_audio_detection_tpu.utils import profiling
 
+    audio = bench_audio()
     engine = build_engine(stage2_mode="all")
     with profiling.trace(args.trace_dir):
-        tpu_wps, n_windows = bench_tpu(engine)
-    # production default (Stage 2 only on gate-passing windows) — reported
-    # separately because its work depends on the gate pass-rate
-    gated_wps, _ = bench_tpu(build_engine(stage2_mode="gated"), repeats=3)
+        tpu_wps, n_windows, _ = bench_tpu(engine, audio)
+    # production default (Stage 2 only on gate-passing windows), with the
+    # gate calibrated to the study's real ~34 % pass-rate so the figure
+    # tracks production scaling (~1.37x the identical-work headline)
+    gated_wps, _, n_gated = bench_tpu(calibrated_gated_engine(audio),
+                                      audio, repeats=3)
+    gate_rate = n_gated / n_windows
     cpu_wps = bench_cpu_reference()
     # cpu_windows_per_sec rides inside the one-line contract so the driver
     # can see denominator drift instead of a silently moving vs_baseline
@@ -171,10 +225,14 @@ def main():
         "unit": "windows/s",
         "vs_baseline": round(tpu_wps / cpu_wps, 2),
         "cpu_windows_per_sec": round(cpu_wps, 3),
+        "gated_windows_per_sec": round(gated_wps, 2),
+        "gate_rate": round(gate_rate, 4),
         "host_load_1min": round(os.getloadavg()[0], 2),
     }))
     print(f"# windows={n_windows} cpu_reference={cpu_wps:.2f} windows/s "
-          f"gated_mode={gated_wps:.2f} windows/s", file=sys.stderr)
+          f"gated_mode={gated_wps:.2f} windows/s at realized gate rate "
+          f"{gate_rate:.3f} (study rate 1432/4251={1432 / 4251:.3f})",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -7,10 +7,17 @@ import bench
 
 
 def test_bench_prints_one_json_line(monkeypatch, capsys):
-    monkeypatch.setattr(bench, "bench_tpu",
-                        lambda engine, **kw: (160.0, 1199))
+    monkeypatch.setattr(bench, "bench_audio", lambda *a, **kw: None)
+    monkeypatch.setattr(
+        bench, "bench_tpu",
+        lambda engine, audio=None, **kw: ((160.0, 1199, 1199)
+                                          if engine == "all-engine"
+                                          else (219.0, 1199, 404)))
     monkeypatch.setattr(bench, "bench_cpu_reference", lambda: 0.192)
-    monkeypatch.setattr(bench, "build_engine", lambda stage2_mode="all": None)
+    monkeypatch.setattr(bench, "build_engine",
+                        lambda stage2_mode="all", **kw: "all-engine")
+    monkeypatch.setattr(bench, "calibrated_gated_engine",
+                        lambda audio, **kw: "gated-engine")
     monkeypatch.setattr("sys.argv", ["bench.py"])
     bench.main()
     out = capsys.readouterr().out
@@ -23,6 +30,11 @@ def test_bench_prints_one_json_line(monkeypatch, capsys):
     assert payload["vs_baseline"] == round(160.0 / 0.192, 2)
     # denominator drift must be visible to the driver (VERDICT r2 weak #5)
     assert payload["cpu_windows_per_sec"] == 0.192
+    # the secondary gated figure must carry its REALIZED gate rate so a
+    # drifted calibration can't masquerade as production scaling
+    # (VERDICT r4 item #3)
+    assert payload["gated_windows_per_sec"] == 219.0
+    assert payload["gate_rate"] == round(404 / 1199, 4)
     # host load flags a deflated CPU denominator (concurrent jobs cost ~2x)
     assert isinstance(payload["host_load_1min"], float)
     assert payload["host_load_1min"] >= 0

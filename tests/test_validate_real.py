@@ -193,3 +193,67 @@ def test_cli_exit_codes(assets, tmp_path):
     # clean run on fake assets: the paper comparison never happened, so
     # the CLI signals INCONCLUSIVE (2), not a parity-proving 0
     assert e.value.code == 2
+
+def test_manifest_matches_checker_requirements(assets, full_report):
+    """VERDICT r4 item #7: the shipped manifest must describe what the
+    checker ACTUALLY requires — eval-N gate, checkpoint name, fold files —
+    asserted against the live chain, not restated constants."""
+    m = validate.asset_manifest()
+
+    # the exit-0 gate is "summed CM N == paper N" (validate._compare_cm):
+    # the manifest's Ns must be exactly the paper CM totals
+    for s in ("stage1", "stage2"):
+        paper = np.asarray(validate.PAPER_CM[s])
+        assert m["paper_eval_n"][s] == int(paper.sum())
+        assert np.array_equal(np.asarray(m["paper_cm"][s]), paper)
+    assert m["paper_eval_n"] == {"stage1": 4251, "stage2": 1432}
+
+    # the checkpoint name is the one the reference trainers hardcode and
+    # our trainer defaults to (train/loop.py run_config snapshot)
+    from zenker_audio_detection_tpu.train import loop as train_loop
+    import inspect
+    assert m["pretrained_checkpoint"] in inspect.getsource(train_loop)
+    assert m["folds"] == [1, 2, 3, 4, 5]
+
+    # every file the full chain opened in the fixture tree is covered by a
+    # manifest pattern (drive-verified, not hand-listed): collect the
+    # fixture's actual artifact names and match them against the patterns
+    root, runs = assets
+    for stage in ("stage1", "stage2"):
+        for fold in FOLDS:
+            best = os.path.join(runs, f"ast_classifier_{stage}",
+                                f"fold{fold}", "best")
+            for fn in ("model.safetensors", "config.json",
+                       "preprocessor_config.json"):
+                assert os.path.exists(os.path.join(best, fn))
+                assert any(fn in pat for pat in m["runs_tree"]), fn
+            for fn in (f"test_x_fold{fold}.npy", f"test_y_fold{fold}.npy"):
+                assert os.path.exists(
+                    os.path.join(root, f"data_ast_{stage}", fn))
+                key = f"data_{stage}"
+                assert any(fn.replace(f"fold{fold}", "fold{K}") in pat
+                           for pat in m["data_tree"][key]), fn
+
+    # exit-code table matches the CLI contract exercised in
+    # test_cli_exit_codes (all three codes present and distinct)
+    assert set(m["exit_codes"]) == {"0", "1", "2"}
+    assert "INCONCLUSIVE" in m["exit_codes"]["2"]
+
+
+def test_manifest_doc_and_cli_in_sync(capsys):
+    """VALIDATE_REAL.md is byte-identical to the rendered manifest, and
+    --print-manifest prints it without needing any asset args."""
+    import pathlib
+
+    from zenker_audio_detection_tpu.cli import validate_real
+
+    md = validate.render_manifest_md()
+    repo_root = pathlib.Path(__file__).resolve().parents[1]
+    on_disk = (repo_root / "VALIDATE_REAL.md").read_text()
+    assert on_disk == md, "VALIDATE_REAL.md drifted — regenerate via " \
+        "python -c 'from zenker_audio_detection_tpu.analysis import " \
+        "validate; open(\"VALIDATE_REAL.md\",\"w\")" \
+        ".write(validate.render_manifest_md())'"
+
+    validate_real.main(["--print-manifest"])  # must not SystemExit/require
+    assert capsys.readouterr().out.strip() == md.strip()

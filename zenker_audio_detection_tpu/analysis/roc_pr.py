@@ -64,15 +64,27 @@ def load_split(data_dir: str, fold: int, preferred_split: str):
 def positive_scores(model_dir: str, paths, batch_size: int = 16,
                     dtype=None) -> np.ndarray:
     """softmax[:, 1] over a list of clip paths using a saved model dir."""
+    from ..models import convert
+    from ..train import loop as train_loop
+
+    params, config = convert.load_hf_model_dir(model_dir)
+    mean, std = train_loop.load_feature_extractor_config(model_dir)
+    return positive_scores_from_params(params, config, mean, std, paths,
+                                       batch_size=batch_size, dtype=dtype)
+
+
+def positive_scores_from_params(params, config, mean, std, paths,
+                                batch_size: int = 16,
+                                dtype=None) -> np.ndarray:
+    """softmax[:, 1] over clip paths from an IN-MEMORY param tree — lets
+    callers score a model variant before deciding to write it to disk
+    (the adapt-checkpoint ranking-drift guardrail)."""
     import jax.numpy as jnp
 
-    from ..models import convert
     from ..train import loop as train_loop, steps
 
     if dtype is None:
         dtype = jnp.bfloat16
-    params, config = convert.load_hf_model_dir(model_dir)
-    mean, std = train_loop.load_feature_extractor_config(model_dir)
     feats = train_loop.featurize_paths(paths, mean, std,
                                        max_frames=config.max_length)
     eval_step = steps.make_eval_step(config, dtype=dtype)

@@ -53,6 +53,120 @@ PAPER_CM = {
 STAGE_CLASSES = {"stage1": ("Idle", "Swallow"),
                  "stage2": ("Healthy", "Zenker")}
 
+# The exact checkpoint the reference fine-tunes (its trainers hardcode it:
+# src/train_ast_stage1_cross_validation.py:95) — fold dirs exported from it
+# are what --runs-dir must contain.
+PRETRAINED_CHECKPOINT = "MIT/ast-finetuned-audioset-10-10-0.4593"
+
+
+def asset_manifest() -> dict[str, Any]:
+    """The exact asset tree ``run_validation`` reads — the single source of
+    truth for VALIDATE_REAL.md and ``zenker-validate-real
+    --print-manifest`` (VERDICT r4 item #7: an external runner must be able
+    to check their mounts BEFORE running, and must not misread exit 2).
+    The selftest (tests/test_validate_real.py) asserts these entries
+    against what the checker actually requires."""
+    return {
+        "pretrained_checkpoint": PRETRAINED_CHECKPOINT,
+        "folds": list(range(1, 6)),
+        # Eval-set sizes implied by the paper CMs: the stage CM comparison
+        # only gets a PASS/FAIL verdict (and exit code 0/1) when the summed
+        # fold CM over --folds counts EXACTLY this many windows; any other
+        # N -> INFO verdict -> exit 2 (INCONCLUSIVE)
+        "paper_eval_n": {s: int(PAPER_CM[s].sum()) for s in PAPER_CM},
+        "paper_cm": {s: np.asarray(PAPER_CM[s], dtype=int).tolist()
+                     for s in PAPER_CM},
+        "paper_accuracy": {s: round(_cm_accuracy(PAPER_CM[s]), 4)
+                           for s in PAPER_CM},
+        # file patterns actually opened, per fold K in --folds
+        "runs_tree": [
+            "<runs-dir>/ast_classifier_stage{1,2}/fold{K}/best/"
+            "model.safetensors",
+            "<runs-dir>/ast_classifier_stage{1,2}/fold{K}/best/config.json",
+            "<runs-dir>/ast_classifier_stage{1,2}/fold{K}/best/"
+            "preprocessor_config.json",
+        ],
+        "data_tree": {
+            "data_stage1": ["test_x_fold{K}.npy", "test_y_fold{K}.npy",
+                            "val_x_fold{K}.npy (ROC step; falls back to "
+                            "test)", "val_y_fold{K}.npy (same)"],
+            "data_stage2": ["test_x_fold{K}.npy", "test_y_fold{K}.npy"],
+            "note": "the *_x_* arrays hold WAV paths that must resolve on "
+                    "THIS machine (re-run the split prep against the local "
+                    "audio root if they were created elsewhere)",
+        },
+        "optional": {
+            "long_audio_root": "<root>/<Class>/<patient-id>/*.wav "
+                               "(Class in {Healthy, Zenker})",
+            "ids_root": "test_ids_fold{K}.txt (defaults to --data-stage2)",
+        },
+        "exit_codes": {
+            "0": "all checks passed AND both stages' summed CMs were "
+                 "compared against the paper's (eval Ns matched)",
+            "1": "a check FAILED (converter parity or a CM cell gap "
+                 "beyond --cm-tolerance)",
+            "2": "INCONCLUSIVE: every check clean but the eval-set N "
+                 "never matched the paper's for both stages — wrong "
+                 "splits, partial or synthetic data; quality parity is "
+                 "NOT established and CI must not treat this as a pass",
+        },
+    }
+
+
+def render_manifest_md() -> str:
+    """VALIDATE_REAL.md body rendered from `asset_manifest()` (kept
+    byte-identical by the selftest so the doc can't drift)."""
+    m = asset_manifest()
+    lines = [
+        "# VALIDATE_REAL — asset manifest for `zenker-validate-real`",
+        "",
+        "Generated from `analysis/validate.py:asset_manifest()` "
+        "(`zenker-validate-real --print-manifest` prints the same text; "
+        "the selftest keeps this file in sync). Mount exactly this tree "
+        "before running; anything else yields exit 2, not parity.",
+        "",
+        "## Checkpoints (`--runs-dir`)",
+        "",
+        f"Fold checkpoints fine-tuned from `{m['pretrained_checkpoint']}` "
+        f"(the reference trainers hardcode it), folds "
+        f"{m['folds'][0]}-{m['folds'][-1]}:",
+        "",
+    ]
+    lines += [f"- `{p}`" for p in m["runs_tree"]]
+    lines += [
+        "",
+        "## Split data (`--data-stage1`, `--data-stage2`)",
+        "",
+        f"- data_stage1: " + ", ".join(
+            f"`{f}`" for f in m["data_tree"]["data_stage1"]),
+        f"- data_stage2: " + ", ".join(
+            f"`{f}`" for f in m["data_tree"]["data_stage2"]),
+        "",
+        f"Note: {m['data_tree']['note']}.",
+        "",
+        "## Optional long-audio cascade",
+        "",
+        f"- `--long-audio-root`: {m['optional']['long_audio_root']}",
+        f"- `--ids-root`: {m['optional']['ids_root']}",
+        "",
+        "## Paper eval-set sizes (the exit-0 gate)",
+        "",
+        "The paper-CM comparison only carries a PASS/FAIL verdict when the "
+        "summed fold CM counts exactly the published window totals "
+        "(reference `utils/plot_confusion_matrices.py:168-184`):",
+        "",
+    ]
+    for s in ("stage1", "stage2"):
+        lines.append(
+            f"- {s} ({' vs '.join(STAGE_CLASSES[s])}): N = "
+            f"{m['paper_eval_n'][s]}, paper CM {m['paper_cm'][s]}, "
+            f"accuracy {100 * m['paper_accuracy'][s]:.2f} %")
+    lines += ["", "## Exit codes", ""]
+    for code in ("0", "1", "2"):
+        lines.append(f"- `{code}` — {m['exit_codes'][code]}")
+    lines.append("")
+    return "\n".join(lines)
+
 
 def converter_logit_gap(model_dir: str) -> float:
     """Max |logit| gap between this framework's forward and torch on the

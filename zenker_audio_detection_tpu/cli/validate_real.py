@@ -15,9 +15,18 @@ from ..analysis import validate
 
 
 def main(argv=None):
+    # manifest mode needs none of the required asset args: scan first
+    if "--print-manifest" in (argv if argv is not None else sys.argv[1:]):
+        print(validate.render_manifest_md())
+        return
     ap = argparse.ArgumentParser(
         description="Validate real checkpoints + data against the paper's "
                     "published quality numbers (one command).")
+    ap.add_argument("--print-manifest", action="store_true",
+                    help="print the exact expected asset tree "
+                         "(checkpoint name, split files, fold count, "
+                         "paper eval-set Ns) and exit — check mounts "
+                         "BEFORE running")
     ap.add_argument("--runs-dir", required=True,
                     help="runs root holding ast_classifier_stage{1,2}/"
                          "fold{K}/best")
