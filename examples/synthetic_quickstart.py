@@ -198,16 +198,20 @@ def main(argv=None):
 
         # E1: adapt the trained checkpoints to 128-frame windows (plus an
         # int8 stage-1 export) and serve them transparently — the engine
-        # reads max_length / quantization from the exported config
+        # reads max_length / quantization from the exported config.
+        # The ranking-drift guardrail auto-discovers data_ast_stage{1,2}/
+        # in cwd and prints the measured pre/post AUC; --allow-drift: this
+        # quickstart serves the adapted dirs regardless of the verdict
+        # (on real models, heed the warning and fine-tune instead)
         for stage in ("stage1", "stage2"):
             adapt_checkpoint.main(
                 [f"runs/ast_classifier_{stage}/fold1/best",
                  f"runs_short/ast_classifier_{stage}/fold1/best",
-                 "--max-length", "128"])
+                 "--max-length", "128", "--allow-drift"])
         adapt_checkpoint.main(
             ["runs/ast_classifier_stage1/fold1/best",
              "runs_short_int8/ast_classifier_stage1/fold1/best",
-             "--max-length", "128", "--int8"])
+             "--max-length", "128", "--int8", "--allow-drift"])
         infer_long_audio.main(["--fold", "1", "--patient-id", "Z00",
                                "--long-audio-root", long_dir,
                                "--model-root", "runs_short",

@@ -39,14 +39,17 @@ import numpy as np
 #
 # Patient pin (round 5): re-measured on the 48-patient overlap tree
 # (24/class; the 16-patient r3 tree put the TPU backend exactly at the band
-# edge — VERDICT r4 weak #1). Backend-specific results are recorded in
-# QUALITY_r5*.json at the repo root (committed artifacts of the
-# ``zenker-drift`` runs). Band ±3/48; int8 must stay within 1 patient of
-# its own backend's f32 run.
+# edge — VERDICT r4 weak #1). Measured via ``zenker-drift --cpu``
+# (single-device CPU, wall ~21 min): patient 0.8125 = 39/48, int8
+# identical; AUCs s1 0.8678 / s2 0.8956 (the single-device XLA config
+# reorders 12-epoch training floats vs the suite's 8-virtual-device
+# config, moving s1 ~0.015 — both inside the ±0.03 band). Backend runs
+# are committed as QUALITY_r5*.json at the repo root. Band ±3/48; int8
+# must stay within 1 patient of its own backend's f32 run.
 # ---------------------------------------------------------------------------
 PIN_S1_F32 = 0.8525
 PIN_S2_F32 = 0.8956
-PIN_PATIENT_F32 = 0.8333
+PIN_PATIENT_F32 = 0.8125
 BAND_AUC = 0.03
 N_OVERLAP_PATIENTS = 48          # 24 per class
 BAND_PATIENT = 3.0 / N_OVERLAP_PATIENTS
