@@ -106,6 +106,12 @@ def test_full_chain_passes_and_reports(full_report, capsys):
 
     conv = [c for c in report["checks"] if "converter" in c["name"]]
     assert len(conv) == 2 and all(c["verdict"] == "PASS" for c in conv)
+    # converter fidelity is scored on the CPU backend at the tight bar —
+    # on a TPU session the f32 forward takes bf16 MXU passes and a 1e-3
+    # bar would flag healthy checkpoints (found by the on-chip quickstart)
+    for c in conv:
+        assert "(cpu forward)" in c["ours"]
+        assert c["paper"] == "<=1e-03"
 
     cm_checks = [c for c in report["checks"] if "summed" in c["name"]]
     assert len(cm_checks) == 2
@@ -257,3 +263,24 @@ def test_manifest_doc_and_cli_in_sync(capsys):
 
     validate_real.main(["--print-manifest"])  # must not SystemExit/require
     assert capsys.readouterr().out.strip() == md.strip()
+
+
+def test_converter_gap_accelerator_fallback(assets, monkeypatch):
+    """Accelerator-only runtimes (no CPU backend) fall back to the session
+    backend at the documented on-chip bar (f32-on-TPU == bf16 MXU passes
+    => <=1e-2), instead of mis-applying the CPU-grade 1e-3 tolerance."""
+    import jax
+
+    root, runs = assets
+    model_dir = os.path.join(runs, "ast_classifier_stage1", "fold1", "best")
+
+    gap, tol, backend = validate.converter_logit_gap(model_dir)
+    assert (tol, backend) == (1e-3, "cpu") and gap <= tol
+
+    def no_cpu(backend=None):
+        raise RuntimeError("no cpu backend")
+
+    monkeypatch.setattr(jax, "local_devices", no_cpu)
+    gap2, tol2, backend2 = validate.converter_logit_gap(model_dir)
+    assert tol2 == 1e-2 and backend2 == jax.default_backend()
+    assert np.isclose(gap, gap2, atol=1e-6)  # same math on this host

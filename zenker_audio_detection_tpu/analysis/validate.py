@@ -168,13 +168,22 @@ def render_manifest_md() -> str:
     return "\n".join(lines)
 
 
-def converter_logit_gap(model_dir: str) -> float:
-    """Max |logit| gap between this framework's forward and torch on the
-    SAME checkpoint dir (converter + model fidelity on the deployed
-    weights)."""
+def converter_logit_gap(model_dir: str) -> tuple[float, float, str]:
+    """(max |logit| gap, tolerance, backend) between this framework's
+    forward and torch on the SAME checkpoint dir (converter + model
+    fidelity on the deployed weights).
+
+    Converter fidelity is a property of the weights, not of the serving
+    backend, so the forward is scored on JAX's CPU backend when one is
+    available — CPU f32 matches torch at <=1e-3 (tests/test_ast_model.py).
+    On an accelerator-only runtime it falls back to the session backend at
+    the documented on-chip bar: TPU f32 matmuls take bf16 MXU passes, so
+    f32 logits land within <=1e-2 of torch CPU (measured, verify notes) —
+    a 1e-3 bar there would flag healthy checkpoints."""
     import torch
     import transformers
 
+    import jax
     import jax.numpy as jnp
 
     from ..models import ast as ast_mod, convert
@@ -185,11 +194,23 @@ def converter_logit_gap(model_dir: str) -> float:
     rng = np.random.default_rng(0)
     feats = rng.standard_normal(
         (2, config.max_length, config.num_mel_bins)).astype(np.float32)
-    ours = np.asarray(ast_mod.forward(params, jnp.asarray(feats), config,
-                                      dtype=jnp.float32))
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            ours = np.asarray(ast_mod.forward(
+                params, jnp.asarray(feats), config, dtype=jnp.float32))
+        tol, backend = 1e-3, "cpu"
+    else:
+        ours = np.asarray(ast_mod.forward(
+            params, jnp.asarray(feats), config, dtype=jnp.float32))
+        tol, backend = 1e-2, jax.default_backend()
     with torch.inference_mode():
         want = ref(torch.from_numpy(feats)).logits.numpy()
-    return float(np.abs(ours - want).max())
+    return float(np.abs(ours - want).max()), tol, backend
 
 
 def _cm_accuracy(cm: np.ndarray) -> float:
@@ -250,11 +271,12 @@ def run_validation(*, runs_dir: str, data_stage1: str, data_stage2: str,
         model_dir = os.path.join(runs_dir, f"ast_classifier_{stage}",
                                  f"fold{folds[0]}", "best")
         try:
-            gap = converter_logit_gap(model_dir)
+            gap, tol, backend = converter_logit_gap(model_dir)
             checks.append({
                 "name": name,
-                "verdict": "PASS" if gap <= 1e-3 else "FAIL",
-                "ours": f"max|dlogit| {gap:.2e}", "paper": "<=1e-3",
+                "verdict": "PASS" if gap <= tol else "FAIL",
+                "ours": f"max|dlogit| {gap:.2e} ({backend} forward)",
+                "paper": f"<={tol:.0e}",
                 "detail": model_dir})
         except ImportError as e:
             checks.append({"name": name, "verdict": "SKIP",
