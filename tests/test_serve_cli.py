@@ -196,3 +196,32 @@ def test_serve_int8_model_dirs(model_dirs, tmp_path):
     assert len(windows) == len(p1_ref)
     got = np.array([w["stage1_probs"] for w in windows])
     assert np.abs(got - p1_ref).max() < 5e-2  # int8 drift band
+
+
+def test_serve_rss_limit_graceful_recycle(model_dirs):
+    """--rss-limit-mb: exceeding the bound stops the stream gracefully —
+    remaining windows flushed, a valid summary carrying
+    stopped_reason='rss_limit', exit code 3 (supervisor-restart contract
+    for the axon tunnel's transfer-buffer retention,
+    .bench/probe_tunnel_leak.py). A generous bound must not trigger."""
+    audio = make_audio(6.0, seed=5)
+    out = io.StringIO()
+    rc = serve.main(
+        ["--stage1-model-root", model_dirs[0],
+         "--stage2-model-root", model_dirs[1],
+         "--f32", "--chunk-windows", "4", "--rss-limit-mb", "1"],
+        stdin_buffer=io.BytesIO(audio.tobytes()), stdout=out)
+    assert rc == 3
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert lines, "no output at all"
+    summary = lines[-1]
+    assert summary["type"] == "summary"
+    assert summary["stopped_reason"] == "rss_limit"
+    # every pre-stop line is a well-formed window record
+    assert all(l["type"] == "window" for l in lines[:-1])
+
+    # generous bound: stream runs to completion, no recycle marker
+    lines2 = run_serve(model_dirs, ["--rss-limit-mb", "1000000"],
+                       make_audio(2.5, seed=5).tobytes())
+    assert lines2[-1]["type"] == "summary"
+    assert "stopped_reason" not in lines2[-1]

@@ -81,6 +81,15 @@ def build_arg_parser():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--no-summary", action="store_true",
                     help="suppress the final summary line")
+    ap.add_argument("--rss-limit-mb", type=float, default=None,
+                    help="graceful stop when process RSS exceeds this: "
+                    "emits remaining windows + the final summary (with "
+                    "stopped_reason='rss_limit') and exits 3 so a "
+                    "supervisor can restart the stream. Mitigates the "
+                    "axon tunnel client's transfer-buffer retention "
+                    "(~20 KB RSS/window, .bench/probe_tunnel_leak.py); "
+                    "CPU and standard-PJRT TPU hosts are RSS-flat and "
+                    "don't need it")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip pre-compiling the stream programs before "
                     "reading input (first windows may then stall on JIT)")
@@ -192,13 +201,40 @@ def main(argv=None, stdin_buffer=None, stdout=None):
         for r in results:
             print(json.dumps(window_line(engine, r)), file=out, flush=True)
 
+    stopped_reason = None
     for chunk in iter_input_chunks(args, stdin_buffer):
         emit(stream.feed(chunk))
+        if args.rss_limit_mb is not None and _rss_mb() > args.rss_limit_mb:
+            # graceful recycle: the axon tunnel's PJRT client retains
+            # every host->device transfer buffer (measured 511.6 KB/call
+            # == input size, .bench/probe_tunnel_leak.py), so an
+            # unbounded live stream grows ~20 KB RSS/window; stop at the
+            # operator's bound with a valid summary instead of OOMing
+            stopped_reason = "rss_limit"
+            print(f"[serve] rss {_rss_mb():.0f} MB > limit "
+                  f"{args.rss_limit_mb:.0f} MB; stopping for recycle",
+                  file=sys.stderr)
+            break
     emit(stream.flush())
     if not args.no_summary:
-        print(json.dumps(_json_safe({"type": "summary", **stream.summary()})),
-              file=out, flush=True)
-    return 0
+        summary = {"type": "summary", **stream.summary()}
+        if stopped_reason:
+            summary["stopped_reason"] = stopped_reason
+        print(json.dumps(_json_safe(summary)), file=out, flush=True)
+    return 3 if stopped_reason else 0
+
+
+def _rss_mb() -> float:
+    """Current RSS in MB (Linux /proc; 0.0 where unavailable, which
+    disables the limit rather than killing a healthy stream)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
 
 
 def _json_safe(obj):
