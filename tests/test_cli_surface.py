@@ -12,7 +12,7 @@ CLI_MODULES = [
     "test_stage2", "infer_long_audio", "run_batch_2stage", "run_all_folds",
     "analyze_roc_pr", "extract_thresholds", "aggregate_results",
     "plot_confusion_matrices", "sweep", "adapt_checkpoint", "serve",
-    "validate_real", "drift",
+    "serve_supervisor", "validate_real", "drift",
 ]
 
 

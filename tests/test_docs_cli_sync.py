@@ -138,7 +138,17 @@ def test_docs_reference_commands_exist():
 
 def test_every_documented_flag_parses(parsers):
     problems = []
+    checks = []
     for doc, no, module, tokens in doc_commands():
+        # zenker-serve-supervisor forwards everything after `--` to
+        # zenker-serve: validate each side against its own parser
+        if module == "serve_supervisor" and "--" in tokens:
+            cut = tokens.index("--")
+            checks.append((doc, no, module, tokens[:cut]))
+            checks.append((doc, no, "serve", tokens[cut + 1:]))
+        else:
+            checks.append((doc, no, module, tokens))
+    for doc, no, module, tokens in checks:
         opts = parsers(module)._option_string_actions
         for i, tok in enumerate(tokens):
             if not tok.startswith("--") or tok == "--":

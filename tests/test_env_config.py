@@ -97,3 +97,19 @@ def test_binary_env_file_typed_error(tmp_path):
     p.write_bytes(b"\xff\xfe\x00\x01 DATASET_ROOT=/x\n\x80\x81")
     with pytest.raises(ValueError, match=".env"):
         C.parse_env_file(p)
+
+
+def test_path_getters_cover_env_contract(tmp_path, monkeypatch):
+    """The four public path getters (the reference's get_dataset_root /
+    get_raw_data_dir / get_short_audio_dir / get_long_audio_dir surface,
+    utils/config.py) each resolve through the same .env loading."""
+    (tmp_path / ".env").write_text(
+        "DATASET_ROOT=/d\nRAW_DATA_DIR=/d/raw\n"
+        "SHORT_AUDIO_DIR=/d/short\nLONG_AUDIO_DIR=/d/long\n")
+    for k in ("DATASET_ROOT", "SHORT_AUDIO_DIR", "RAW_DATA_DIR",
+              "LONG_AUDIO_DIR", "LONG_AUDIO_ROOT"):
+        monkeypatch.delenv(k, raising=False)
+    assert C.get_dataset_root(project_root=tmp_path) == "/d"
+    assert C.get_raw_data_dir(project_root=tmp_path) == "/d/raw"
+    assert C.get_short_audio_dir(project_root=tmp_path) == "/d/short"
+    assert C.get_long_audio_dir(project_root=tmp_path) == "/d/long"

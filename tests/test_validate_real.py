@@ -284,3 +284,34 @@ def test_converter_gap_accelerator_fallback(assets, monkeypatch):
     gap2, tol2, backend2 = validate.converter_logit_gap(model_dir)
     assert tol2 == 1e-2 and backend2 == jax.default_backend()
     assert np.isclose(gap, gap2, atol=1e-6)  # same math on this host
+
+
+def test_single_fold_reads_per_fold_cm(assets, tmp_path_factory):
+    """folds=[1]: snippet_eval emits no aggregate CM for a single fold, so
+    the checker must fall back to the per-fold
+    evaluation/confusion_matrix.npy (_single_fold_cm) and still carry real
+    verdicts on both stages' CM checks."""
+    import jax.numpy as jnp
+
+    root, runs = assets
+    out = str(tmp_path_factory.mktemp("report_single"))
+    report = validate.run_validation(
+        runs_dir=runs,
+        data_stage1=str(root / "data_ast_stage1"),
+        data_stage2=str(root / "data_ast_stage2"),
+        long_audio_root=str(root / "long_audio"),
+        output_dir=out, folds=[1], dtype=jnp.float32)
+    cm_checks = [c for c in report["checks"]
+                 if "summed 1-fold CM" in c["name"]]
+    assert len(cm_checks) == 2
+    # fixture Ns never match the paper's, so the verdict is the honest
+    # INFO — but the accuracy in the detail proves the per-fold CM was
+    # actually read and compared
+    assert all(c["verdict"] == "INFO" and "accuracy" in c["detail"]
+               for c in cm_checks)
+    assert report["paper_comparable"] is False
+    # the fallback read the fold-1 artifact the evaluator wrote
+    for stage in ("stage1", "stage2"):
+        p = os.path.join(runs, f"ast_classifier_{stage}", "fold1", "best",
+                         "evaluation", "confusion_matrix.npy")
+        assert os.path.exists(p), p

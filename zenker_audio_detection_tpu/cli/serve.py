@@ -93,6 +93,18 @@ def build_arg_parser():
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip pre-compiling the stream programs before "
                     "reading input (first windows may then stall on JIT)")
+    ap.add_argument("--handoff", action="store_true",
+                    help="with --rss-limit-mb: on the rss stop, emit a "
+                    "{'type':'handoff', 'next_window_index', 'acc'} line "
+                    "instead of flushing a padded tail window + summary, "
+                    "so a successor process (zenker-serve-supervisor) can "
+                    "resume the stream with zero window loss and an exact "
+                    "whole-stream summary")
+    ap.add_argument("--expect-preamble", action="store_true",
+                    help="read one JSON line from stdin before the PCM "
+                    "bytes: {'index_offset': N, 'acc': {...}|null} — seeds "
+                    "the window numbering and summary accumulators of a "
+                    "resumed stream (supervisor handoff protocol)")
     return ap
 
 
@@ -144,8 +156,13 @@ def iter_input_chunks(args, stdin_buffer):
               file=sys.stderr)
 
 
-def window_line(engine: C.TwoStageEngine, r) -> dict:
-    """One emitted window -> JSON dict, with the engine's exact gating."""
+def window_line(engine: C.TwoStageEngine, r, index_offset: int = 0) -> dict:
+    """One emitted window -> JSON dict, with the engine's exact gating.
+
+    ``index_offset`` shifts the reported index/start_sec to the stream's
+    global frame when this process resumed a recycled stream (handoff
+    protocol): local window w == global window w + offset, starting at
+    sample (w + offset) * hop."""
     cfg = engine.config
     s1 = r.s1_probs
     # gate = thresholded Swallow AND the optional forward-min-prob second
@@ -156,8 +173,9 @@ def window_line(engine: C.TwoStageEngine, r) -> dict:
     s1_pred = engine.stage1.label_order[1 if swallow else 0]
     line = {
         "type": "window",
-        "index": int(r.window_index),
-        "start_sec": r.start_sample / C.SAMPLING_RATE,
+        "index": int(r.window_index) + index_offset,
+        "start_sec": (r.start_sample + index_offset * engine._hop)
+        / C.SAMPLING_RATE,
         "stage1_probs": [float(x) for x in s1],
         "stage1_pred": s1_pred,
         "stage2_probs": None,
@@ -178,6 +196,11 @@ def main(argv=None, stdin_buffer=None, stdout=None):
         # 0 would make read(0) return b'' and be treated as instant EOF;
         # negative buffers the whole stream (read(-n)), defeating streaming
         raise SystemExit("--read-chunk-samples must be >= 1")
+    if args.handoff and args.rss_limit_mb is None:
+        raise SystemExit("--handoff only applies with --rss-limit-mb")
+    if args.expect_preamble and args.input != "-":
+        raise SystemExit("--expect-preamble requires stdin input "
+                         "(--input -)")
     out = stdout or sys.stdout
     stdin_buffer = stdin_buffer if stdin_buffer is not None else sys.stdin.buffer
 
@@ -197,24 +220,59 @@ def main(argv=None, stdin_buffer=None, stdout=None):
         stream.warmup()
         print("[serve] programs compiled; streaming", file=sys.stderr)
 
+    index_offset = 0
+    if args.expect_preamble:
+        # handoff protocol: one JSON control line precedes the PCM bytes,
+        # carrying the global window offset + accumulator state of the
+        # predecessor process (written by zenker-serve-supervisor). An
+        # empty line/EOF means the supervisor shut down before promoting
+        # this standby — exit cleanly without touching the stream.
+        line = stdin_buffer.readline()
+        if not line.strip():
+            print("[serve] EOF before preamble; exiting", file=sys.stderr)
+            return 0
+        preamble = json.loads(line)
+        index_offset = int(preamble.get("index_offset", 0))
+        if preamble.get("acc"):
+            stream.seed_accumulators(preamble["acc"])
+        print(f"[serve] resumed at window {index_offset}", file=sys.stderr)
+
     def emit(results):
         for r in results:
-            print(json.dumps(window_line(engine, r)), file=out, flush=True)
+            print(json.dumps(window_line(engine, r, index_offset)),
+                  file=out, flush=True)
 
     stopped_reason = None
     for chunk in iter_input_chunks(args, stdin_buffer):
         emit(stream.feed(chunk))
-        if args.rss_limit_mb is not None and _rss_mb() > args.rss_limit_mb:
+        if (args.rss_limit_mb is not None and stream.windows_emitted > 0
+                and _rss_mb() > args.rss_limit_mb):
             # graceful recycle: the axon tunnel's PJRT client retains
             # every host->device transfer buffer (measured 511.6 KB/call
             # == input size, .bench/probe_tunnel_leak.py), so an
             # unbounded live stream grows ~20 KB RSS/window; stop at the
-            # operator's bound with a valid summary instead of OOMing
+            # operator's bound with a valid summary instead of OOMing.
+            # Gated on >=1 emitted window: the retention tracks emission
+            # (transfers happen per emitted batch), and a successor
+            # resuming from the same point with no progress would recycle
+            # forever.
             stopped_reason = "rss_limit"
             print(f"[serve] rss {_rss_mb():.0f} MB > limit "
                   f"{args.rss_limit_mb:.0f} MB; stopping for recycle",
                   file=sys.stderr)
             break
+    if stopped_reason and args.handoff:
+        # no flush: the tail windows would be zero-PADDED here but are
+        # completed by real future samples in the successor — flushing
+        # would emit different values for windows the successor re-emits.
+        # No summary either: the successor's (seeded) summary covers the
+        # whole stream.
+        print(json.dumps({
+            "type": "handoff",
+            "next_window_index": index_offset + stream.windows_emitted,
+            "acc": stream.acc_state(),
+        }), file=out, flush=True)
+        return 3
     emit(stream.flush())
     if not args.no_summary:
         summary = {"type": "summary", **stream.summary()}
@@ -222,6 +280,38 @@ def main(argv=None, stdin_buffer=None, stdout=None):
             summary["stopped_reason"] = stopped_reason
         print(json.dumps(_json_safe(summary)), file=out, flush=True)
     return 3 if stopped_reason else 0
+
+
+def fresh_acc() -> dict:
+    """Zero summary-accumulator state in the acc_state() wire format."""
+    return {"n": 0, "idle": 0, "swallow": 0, "s1_sum": [0.0, 0.0],
+            "eval_count": 0, "s2_sum": [0.0, 0.0], "healthy": 0,
+            "zenker": 0}
+
+
+def fold_window_line_into_acc(acc: dict, line: dict, *,
+                              stage2_threshold: float = 0.5,
+                              stage2_argmax: bool = False) -> None:
+    """Fold one emitted window line back into an acc_state()-format dict.
+
+    The supervisor's crash-recovery path: when a child dies WITHOUT a
+    graceful handoff line, the successor's accumulators are reconstructed
+    from the window lines already forwarded. Mirrors
+    ``StreamingCascade._accumulate`` element-wise; a window was gated iff
+    its ``stage2_probs`` is non-null (``window_line`` emits stage-2 fields
+    exactly for gated windows, in both stage2 modes). JSON round-trips
+    float64 exactly, so the rebuilt sums match the lost process's to the
+    summation-order ULP."""
+    s1 = line["stage1_probs"]
+    acc["n"] += 1
+    acc["idle" if s1[0] >= s1[1] else "swallow"] += 1  # argmax, ties -> 0
+    acc["s1_sum"] = [acc["s1_sum"][0] + s1[0], acc["s1_sum"][1] + s1[1]]
+    s2 = line["stage2_probs"]
+    if s2 is not None:
+        acc["eval_count"] += 1
+        acc["s2_sum"] = [acc["s2_sum"][0] + s2[0], acc["s2_sum"][1] + s2[1]]
+        z = (s2[1] > s2[0]) if stage2_argmax else (s2[1] >= stage2_threshold)
+        acc["zenker" if z else "healthy"] += 1
 
 
 def _rss_mb() -> float:

@@ -426,6 +426,50 @@ class StreamingCascade:
         return (np.stack([r.s2_probs for r in self._results])
                 if self._results else np.zeros((0, 2), np.float64))
 
+    @property
+    def windows_emitted(self) -> int:
+        """Number of windows emitted so far (== the next local window
+        index). Used by the serve handoff protocol to compute the global
+        resume point across process recycles."""
+        return self._next_window
+
+    def acc_state(self) -> dict:
+        """JSON-able snapshot of the running summary accumulators.
+
+        Together with :meth:`seed_accumulators` this makes the summary
+        state portable across processes: a recycled server (see
+        ``zenker-serve --handoff`` / ``zenker-serve-supervisor``) hands its
+        accumulators to its successor so the successor's final
+        :meth:`summary` covers the WHOLE stream, bit-identically to an
+        uninterrupted run (the sums are transported as exact float64 —
+        ``json.dumps``/``loads`` round-trips doubles losslessly)."""
+        acc = self._acc
+        return {
+            "n": int(acc["n"]), "idle": int(acc["idle"]),
+            "swallow": int(acc["swallow"]),
+            "s1_sum": [float(x) for x in acc["s1_sum"]],
+            "eval_count": int(acc["eval_count"]),
+            "s2_sum": [float(x) for x in acc["s2_sum"]],
+            "healthy": int(acc["healthy"]), "zenker": int(acc["zenker"]),
+        }
+
+    def seed_accumulators(self, state: dict) -> None:
+        """Seed the summary accumulators from a prior :meth:`acc_state`
+        snapshot (process-recycle handoff). Must be called before any
+        audio is fed."""
+        if self._next_window or self._total_samples:
+            raise RuntimeError("seed_accumulators() on a started stream")
+        missing = set(self._acc) - set(state)
+        if missing:
+            raise ValueError(f"acc state missing keys: {sorted(missing)}")
+        for k in ("n", "idle", "swallow", "eval_count", "healthy", "zenker"):
+            self._acc[k] = int(state[k])
+        for k in ("s1_sum", "s2_sum"):
+            arr = np.asarray(state[k], np.float64)
+            if arr.shape != (2,):
+                raise ValueError(f"acc state {k} must have shape (2,)")
+            self._acc[k] = arr
+
     def summary(self) -> dict:
         """Reference-exact per-file summary over everything emitted so far
         (identical to the offline engine's gate_and_summarize); O(1) from

@@ -409,6 +409,3 @@ def forward(params: Params, input_values: jnp.ndarray, config: ASTConfig,
                     remat_policy=remat_policy, attention_impl=attention_impl)
     return classify(params, pool(hidden), config)
 
-
-def param_count(params: Params) -> int:
-    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
