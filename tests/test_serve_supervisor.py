@@ -310,3 +310,16 @@ def test_seed_accumulators_contract(model_dirs):
     stream.feed(make_audio(2.5, seed=1))
     with pytest.raises(RuntimeError, match="started stream"):
         stream.seed_accumulators(state)
+
+
+def test_supervisor_validates_own_flags(model_dirs):
+    with pytest.raises(SystemExit, match="pump-bytes"):
+        serve_supervisor.main(
+            ["--rss-limit-mb", "64", "--pump-bytes", "0", "--"]
+            + serve_args(model_dirs),
+            stdin_buffer=io.BytesIO(b""), stdout=io.StringIO())
+    with pytest.raises(SystemExit, match="max-restarts"):
+        serve_supervisor.main(
+            ["--rss-limit-mb", "64", "--max-restarts-without-progress", "0",
+             "--"] + serve_args(model_dirs),
+            stdin_buffer=io.BytesIO(b""), stdout=io.StringIO())

@@ -180,6 +180,11 @@ def main(argv=None, stdin_buffer=None, stdout=None):
     else:
         serve_args = []
     args = build_arg_parser().parse_args(argv)
+    if args.pump_bytes < 1:
+        # read(0) returns b'' and would be mistaken for instant EOF
+        raise SystemExit("--pump-bytes must be >= 1")
+    if args.max_restarts_without_progress < 1:
+        raise SystemExit("--max-restarts-without-progress must be >= 1")
 
     # validate the serve args up front with serve's own parser, and read
     # the fields the replay math depends on
@@ -275,6 +280,10 @@ def main(argv=None, stdin_buffer=None, stdout=None):
             try:
                 activate(active)
                 break
+            except RuntimeError as e:
+                # replay point fell out of the tail buffer: unrecoverable
+                # without losing windows — stop with the actionable message
+                raise SystemExit(str(e)) from None
             except (BrokenPipeError, OSError):
                 # the promoted child died before going live (e.g. crashed
                 # during warmup); the no-progress guard bounds this loop
